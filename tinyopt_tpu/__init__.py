@@ -1,0 +1,51 @@
+"""tinyopt_tpu — a TPU-native nonlinear optimization framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference C++ library (julien-michot/tinyopt, mounted at /root/reference):
+non-linear least squares with Gauss-Newton and Levenberg-Marquardt, general
+unconstrained optimization with gradient descent, forward-mode AD of
+residuals on manifold tangent spaces, numerical differentiation, robust
+norms / M-estimators, Lie-group (SO3/SE3) parameters, covariance recovery —
+plus the TPU-native capabilities the reference lacks: batched instances via
+``vmap``, fused JᵀJ accumulation kernels, and mesh-sharded scale-out with
+``psum``-reduced normal equations.
+"""
+
+from .cost import Cost
+from .options import (
+    Options, SolverType, HessianOptions, CostScalingOptions, LMOptions,
+    GDOptions, LogOptions,
+    LevenbergMarquardt, GaussNewton, GradientDescent,
+)
+from .output import Output
+from .stop_reasons import StopReason, stop_reason_description
+from .optimize import optimize, Optimize, build_solver
+from .manifold import (
+    Manifold, register_manifold, tangent_spec, retract, local, TangentSpec,
+)
+from . import diff
+from . import losses
+from . import manifolds
+from .version import __version__
+
+# Namespace products mirroring the reference (optimizers/{nlls,unconstrained}.h)
+from . import _methods as _m
+lm = _m.lm
+gn = _m.gn
+gd = _m.gd
+nlls = _m.lm
+unconstrained = _m.gd
+
+__all__ = [
+    "optimize", "Optimize", "build_solver",
+    "Options", "SolverType", "Output", "Cost", "StopReason",
+    "stop_reason_description",
+    "HessianOptions", "CostScalingOptions", "LMOptions", "GDOptions",
+    "LogOptions",
+    "LevenbergMarquardt", "GaussNewton", "GradientDescent",
+    "Manifold", "register_manifold", "tangent_spec", "retract", "local",
+    "TangentSpec",
+    "lm", "gn", "gd", "nlls", "unconstrained",
+    "diff", "losses", "manifolds",
+    "__version__",
+]

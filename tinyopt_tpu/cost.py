@@ -1,0 +1,77 @@
+"""Cost value + metadata.
+
+Mirrors the reference ``tinyopt::Cost`` struct (reference:
+include/tinyopt/cost.h:18-99): a scalar cost, the number of residuals it was
+accumulated from, and an inlier ratio (meaningful when robust norms are
+used).  Here it is a JAX pytree dataclass so it can live inside jitted
+loops; ``num_residuals`` is a traced int32 so batched problems can carry
+per-instance counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Cost:
+    cost: jax.Array                 #: scalar cost value
+    num_residuals: jax.Array        #: number of residuals (int32)
+    inlier_ratio: jax.Array         #: ratio of inlier residuals in [0, 1]
+
+    @staticmethod
+    def make(cost, num_residuals=1, inlier_ratio=1.0) -> "Cost":
+        return Cost(
+            cost=jnp.asarray(cost),
+            num_residuals=jnp.asarray(num_residuals, jnp.int32),
+            inlier_ratio=jnp.asarray(inlier_ratio, jnp.float32),
+        )
+
+    @staticmethod
+    def from_residuals(residuals, inlier_ratio=1.0) -> "Cost":
+        """Cost = squared L2/Frobenius norm of the residuals (cost.h:28-31)."""
+        r = jnp.ravel(residuals)
+        return Cost.make(jnp.vdot(r, r), r.size, inlier_ratio)
+
+    def is_valid(self):
+        """n > 0 and cost below the float max sentinel (cost.h:83)."""
+        return (self.num_residuals > 0) & (self.cost < jnp.finfo(self.cost.dtype).max)
+
+    def num_inliers(self):
+        return (self.num_residuals * self.inlier_ratio).astype(jnp.int32)
+
+    def num_outliers(self):
+        return (self.num_residuals * (1.0 - self.inlier_ratio)).astype(jnp.int32)
+
+    def __float__(self):
+        return float(self.cost)
+
+    def to_string(self, label: str = "ε", print_inliers: bool = False) -> str:
+        n = int(self.num_residuals)
+        s = f"{label}:{float(self.cost):.4e}, n:{n}"
+        if n > 1:
+            s += f", √{label}/n:{float(jnp.sqrt(self.cost / n)):.2e}"
+        if print_inliers:
+            s += f", in:{float(self.inlier_ratio) * 100:.2f}% ({int(self.num_inliers())})"
+        return s
+
+
+def normalize_cost(cost: Cost, opts) -> Cost:
+    """Apply the cost-scaling options (reference: solvers/base.h:41-45).
+
+    Order matches the reference: optional sqrt (if not use_squared_norm),
+    then ×0.5, then ÷n.
+    """
+    c = cost.cost
+    if not opts.use_squared_norm:
+        c = jnp.sqrt(c)
+    if opts.downscale_by_2:
+        c = 0.5 * c
+    if opts.normalize:
+        n = jnp.maximum(cost.num_residuals, 1).astype(c.dtype)
+        c = c / n
+    return dataclasses.replace(cost, cost=c)

@@ -1,0 +1,101 @@
+"""Robust norms / M-estimators (reference: include/tinyopt/losses/robust_norms.h).
+
+All functions operate on the **squared** norm ``n2 = ‖r‖²`` against a
+squared threshold ``th2``, and return ``(scaled_squared_loss, scale)``
+where ``scale`` is the IRLS weight to apply to the residual's Jacobian —
+the same contract as the reference (robust_norms.h:17-27), which makes
+whitening-style ``r' = √w · r`` composition work under AD.
+
+``*_loss`` variants take a residual vector and return the robustified
+scalar loss directly (robust_norms.h:60-63 etc.).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def truncated(n2, th2):
+    """Hard clip: loss = min(n2, th2), scale ∈ {0,1} (robust_norms.h:35-55)."""
+    inlier = n2 <= th2
+    return jnp.where(inlier, n2, th2), jnp.where(inlier, 1.0, 0.0)
+
+
+def huber(n2, th2):
+    """Huber: quadratic inside, linear outside (robust_norms.h:70-103)."""
+    inlier = n2 <= th2
+    th = jnp.sqrt(th2)
+    n = jnp.sqrt(jnp.maximum(n2, 1e-30))
+    loss = jnp.where(inlier, n2, 2.0 * th * n - th2)
+    scale = jnp.where(inlier, 1.0, th / n)
+    return loss, scale
+
+
+def tukey(n2, th2):
+    """Tukey biweight (robust_norms.h:122-152)."""
+    inlier = n2 <= th2
+    u = 1.0 - n2 / th2
+    loss = jnp.where(inlier, th2 / 3.0 * (1.0 - u * u * u), th2 / 3.0)
+    scale = jnp.where(inlier, u * u, 0.0)
+    return loss, scale
+
+
+def arctan(n2, th2):
+    """Arctan soft clamp (robust_norms.h:169-191)."""
+    loss = th2 * jnp.arctan(n2 / th2)
+    u = n2 / th2
+    scale = 1.0 / (1.0 + u * u)
+    return loss, scale
+
+
+def cauchy(n2, th2):
+    """Cauchy/Lorentzian: th² log(1 + n²/th²) (robust_norms.h:208-228)."""
+    loss = th2 * jnp.log1p(n2 / th2)
+    scale = 1.0 / (1.0 + n2 / th2)
+    return loss, scale
+
+
+def geman_mcclure(n2, th2):
+    """Geman-McClure (robust_norms.h:245-265)."""
+    s = th2 + n2
+    loss = th2 * n2 / s
+    scale = (th2 / s) ** 2
+    return loss, scale
+
+
+def blake_zisserman(n2, th2, c: float = 1.0):
+    """Blake-Zisserman (robust_norms.h:282-303)."""
+    eps = jnp.exp(-th2)
+    loss = -jnp.log(jnp.exp(-n2) + eps)
+    scale = jnp.exp(-n2) / (jnp.exp(-n2) + eps)
+    return loss, scale
+
+
+def _loss_of(fn):
+    def loss_fn(r, th2):
+        r = jnp.ravel(r)
+        n2 = jnp.vdot(r, r)
+        l, _ = fn(n2, th2)
+        return l
+    return loss_fn
+
+
+truncated_loss = _loss_of(truncated)
+huber_loss = _loss_of(huber)
+tukey_loss = _loss_of(tukey)
+arctan_loss = _loss_of(arctan)
+cauchy_loss = _loss_of(cauchy)
+geman_mcclure_loss = _loss_of(geman_mcclure)
+blake_zisserman_loss = _loss_of(blake_zisserman)
+
+
+def robust_whiten(r, robust_fn, th2):
+    """IRLS whitening: r' = √scale · r so that ‖r'‖² ≈ robust loss.
+
+    The TPU-idiomatic way to use robust norms inside a residual function:
+    the AD of r' carries the IRLS weight into J automatically.
+    """
+    r = jnp.ravel(r)
+    n2 = jnp.vdot(r, r)
+    _, scale = robust_fn(n2, th2)
+    return jnp.sqrt(scale) * r

@@ -1,0 +1,160 @@
+"""Parameters-as-pytrees with a manifold (retraction) registry.
+
+This is the TPU-native re-design of the reference's ``params_trait`` system
+(reference: include/tinyopt/traits.h:103-349), which provides per-type
+``Dims`` (tangent dimension), ``cast`` (scalar promotion for Jets) and
+``PlusEq`` (the retraction x ⊞ δ).
+
+In JAX, parameters are pytrees, tracers flow through them natively (no cast
+needed), and the retraction is a pure function.  Any pytree of arrays is a
+valid parameter block: arrays are Euclidean leaves (tangent dim = size,
+retraction = flattened addition, column-major-agnostic since JAX arrays are
+dense); custom manifold types (e.g. SO3/SE3, see ``tinyopt_tpu.manifolds``)
+register a ``Manifold`` implementation here and are treated as atomic
+leaves whose tangent dimension differs from their ambient parameter count.
+
+The tangent vector layout concatenates leaf tangents in pytree order —
+the equivalent of the reference's pair/vector/array trait concatenation
+(traits.h:217-349).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Manifold(NamedTuple):
+    """Retraction + tangent-dimension spec for one registered type.
+
+    dims(x) -> int                   static tangent dimension of the leaf
+    retract(x, delta) -> x'          x ⊞ delta, delta has shape (dims,)
+    local(x, y) -> delta (optional)  y ⊟ x, used by numerical differencing
+    """
+
+    dims: Callable[[Any], int]
+    retract: Callable[[Any, jax.Array], Any]
+    local: Callable[[Any, Any], jax.Array] | None = None
+
+
+_REGISTRY: dict[type, Manifold] = {}
+
+
+def register_manifold(cls: type, manifold: Manifold) -> None:
+    """Register a manifold implementation for a (pytree-registered) type."""
+    _REGISTRY[cls] = manifold
+
+
+def manifold_for(x) -> Manifold | None:
+    return _REGISTRY.get(type(x))
+
+
+def _is_manifold_leaf(x) -> bool:
+    return type(x) in _REGISTRY
+
+
+def _leaf_dims(leaf) -> int:
+    m = manifold_for(leaf)
+    if m is not None:
+        return int(m.dims(leaf))
+    return int(np.size(leaf))
+
+
+class TangentSpec(NamedTuple):
+    """Static description of a parameter pytree's tangent space."""
+
+    treedef: Any
+    leaf_dims: tuple          # per-leaf tangent dimension
+    offsets: tuple            # per-leaf offset into the flat tangent vector
+    dims: int                 # total tangent dimension
+    dtype: Any                # tangent dtype (promoted over leaves)
+
+
+def _leaves(x):
+    return jax.tree_util.tree_flatten(x, is_leaf=_is_manifold_leaf)
+
+
+def tangent_spec(x) -> TangentSpec:
+    """Compute the (static) tangent-space layout of parameter pytree ``x``."""
+    leaves, treedef = _leaves(x)
+    dims = tuple(_leaf_dims(l) for l in leaves)
+    offsets = tuple(int(o) for o in np.cumsum((0,) + dims[:-1]))
+    dtypes = []
+    for l in leaves:
+        for a in jax.tree_util.tree_leaves(l):
+            dtypes.append(jnp.asarray(a).dtype)
+    dtype = jnp.result_type(*dtypes) if dtypes else jnp.float32
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.zeros((), dtype).dtype  # keep as-is; caller validates
+    return TangentSpec(treedef, dims, offsets, int(sum(dims)), dtype)
+
+
+def retract(x, delta: jax.Array, spec: TangentSpec | None = None):
+    """Manifold retraction ``x ⊞ delta`` over a full parameter pytree.
+
+    ``delta`` is the flat tangent vector (shape ``(dims,)``).  Euclidean
+    leaves get ``leaf + slice.reshape(leaf.shape)``; registered manifolds
+    dispatch to their ``retract``.  This is the JAX equivalent of the
+    reference's per-type ``PlusEq`` (traits.h:166-191, 310-349).
+    """
+    if spec is None:
+        spec = tangent_spec(x)
+    leaves, treedef = _leaves(x)
+    new_leaves = []
+    for leaf, d, off in zip(leaves, spec.leaf_dims, spec.offsets):
+        sl = delta[off:off + d]
+        m = manifold_for(leaf)
+        if m is not None:
+            new_leaves.append(m.retract(leaf, sl))
+        else:
+            arr = jnp.asarray(leaf)
+            new_leaves.append((arr + sl.reshape(arr.shape).astype(arr.dtype)))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def local(x, y, spec: TangentSpec | None = None) -> jax.Array:
+    """Inverse retraction ``y ⊟ x`` as a flat tangent vector."""
+    if spec is None:
+        spec = tangent_spec(x)
+    xl, _ = _leaves(x)
+    yl, _ = _leaves(y)
+    parts = []
+    for lx, ly in zip(xl, yl):
+        m = manifold_for(lx)
+        if m is not None:
+            if m.local is None:
+                raise NotImplementedError(
+                    f"Manifold for {type(lx).__name__} has no local() map")
+            parts.append(jnp.ravel(m.local(lx, ly)))
+        else:
+            parts.append(jnp.ravel(jnp.asarray(ly) - jnp.asarray(lx)))
+    if not parts:
+        return jnp.zeros((0,), spec.dtype)
+    return jnp.concatenate([p.astype(spec.dtype) for p in parts])
+
+
+def zero_tangent(x, spec: TangentSpec | None = None) -> jax.Array:
+    if spec is None:
+        spec = tangent_spec(x)
+    return jnp.zeros((spec.dims,), spec.dtype)
+
+
+def as_pytree(x):
+    """Canonicalize user input: Python scalars/lists -> jnp arrays."""
+    def conv(v):
+        if _is_manifold_leaf(v):
+            return v
+        return jnp.asarray(v)
+    return jax.tree_util.tree_map(conv, x, is_leaf=_is_manifold_leaf)
+
+
+def flatten_values(x) -> jax.Array:
+    """Flatten the *values* (not tangents) of a pytree into one vector."""
+    arrs = [jnp.ravel(jnp.asarray(a)) for a in jax.tree_util.tree_leaves(x)]
+    if not arrs:
+        return jnp.zeros((0,))
+    return jnp.concatenate(arrs)

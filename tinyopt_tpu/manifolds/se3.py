@@ -1,0 +1,102 @@
+"""SE(3) rigid-transform manifold (rotation quaternion + translation).
+
+Tangent dimension 6, layout ``[ρ (translation), ω (rotation)]`` with the
+retraction ``T ⊞ δ = T · exp(δ̂)`` (right-multiply), matching the Sophus
+convention the reference integrates (reference:
+3rdparty/traits/sophus.h:30-43, tangent = [upsilon, omega]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..manifold import Manifold, register_manifold
+from .so3 import SO3, _exp_quat, _qmul
+
+_EPS = 1e-8
+
+
+def _se3_exp(delta):
+    """se(3) tangent (..., 6) -> (SO3, t) with the closed-form V matrix."""
+    rho = delta[..., :3]
+    omega = delta[..., 3:]
+    theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    theta = jnp.sqrt(theta2 + _EPS ** 2)
+    q = _exp_quat(omega)
+    # V = I + (1-cosθ)/θ² [ω]ₓ + (θ-sinθ)/θ³ [ω]ₓ²
+    a = (1.0 - jnp.cos(theta)) / (theta2 + _EPS ** 2)
+    b = (theta - jnp.sin(theta)) / (theta2 * theta + _EPS ** 3)
+    wx = jnp.cross(omega, rho)
+    wwx = jnp.cross(omega, wx)
+    t = rho + a * wx + b * wwx
+    return SO3(q), t
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SE3:
+    rotation: SO3
+    translation: jax.Array  #: (..., 3)
+
+    @staticmethod
+    def identity(dtype=jnp.float32, batch=()):
+        return SE3(SO3.identity(dtype, batch), jnp.zeros(batch + (3,), dtype))
+
+    @staticmethod
+    def exp(delta) -> "SE3":
+        R, t = _se3_exp(jnp.asarray(delta))
+        return SE3(R, t)
+
+    def log(self):
+        omega = self.rotation.log()
+        theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
+        theta = jnp.sqrt(theta2 + _EPS ** 2)
+        # V⁻¹ = I - ½[ω]ₓ + (1/θ² − (1+cosθ)/(2θ sinθ)) [ω]ₓ²
+        half = 0.5 * theta
+        cot = jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)
+        c = (1.0 / (theta2 + _EPS ** 2)) * (1.0 - half * cot)
+        wt = jnp.cross(omega, self.translation)
+        wwt = jnp.cross(omega, wt)
+        rho = self.translation - 0.5 * wt + c * wwt
+        return jnp.concatenate([rho, omega], axis=-1)
+
+    def apply(self, p):
+        return self.rotation.apply(p) + self.translation
+
+    def inverse(self) -> "SE3":
+        rinv = self.rotation.inverse()
+        return SE3(rinv, -rinv.apply(self.translation))
+
+    def matrix(self):
+        R = self.rotation.matrix()
+        top = jnp.concatenate([R, self.translation[..., :, None]], axis=-1)
+        bottom = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0], R.dtype),
+            top.shape[:-2] + (1, 4))
+        return jnp.concatenate([top, bottom], axis=-2)
+
+    def __matmul__(self, other):
+        if isinstance(other, SE3):
+            return SE3(SO3(_qmul(self.rotation.wxyz, other.rotation.wxyz)),
+                       self.rotation.apply(other.translation) + self.translation)
+        return self.apply(other)
+
+
+def _se3_retract(x: SE3, delta):
+    d = SE3.exp(delta.astype(x.translation.dtype))
+    return SE3(SO3(_qmul(x.rotation.wxyz, d.rotation.wxyz)),
+               x.rotation.apply(d.translation) + x.translation)
+
+
+def _se3_local(x: SE3, y: SE3):
+    return (x.inverse() @ y).log()
+
+
+register_manifold(SE3, Manifold(
+    dims=lambda x: 6,
+    retract=_se3_retract,
+    local=_se3_local,
+))

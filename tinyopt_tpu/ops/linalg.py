@@ -1,0 +1,76 @@
+"""Dense linear-algebra primitives for the normal-equation solves.
+
+TPU-native replacement of the reference's Eigen LDLT layer (reference:
+include/tinyopt/math.h:232-277).  XLA's Cholesky does not report
+factorization failure like Eigen's ``info()`` — it produces NaNs — so PSD
+failure detection is a NaN check on the solution, which routes to the same
+λ-escalation path as the reference (SURVEY.md §7 hard parts).
+
+All functions are batched-friendly (leading batch dims broadcast) and keep
+matmuls in the input dtype with float32 accumulation on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def damp_diagonal(H: jax.Array, lam) -> jax.Array:
+    """Multiplicative LM damping: ``H[i,i] *= (1 + λ)``.
+
+    Matches the reference damping update (reference: solvers/lm.h:107-117);
+    since we always keep the *un-damped* H and damp on the fly, the
+    incremental ``(1+λ)/(1+λ_prev)`` re-damping trick is unnecessary — the
+    math is identical and the O(d²) add fuses into the factorization.
+    """
+    d = H.shape[-1]
+    eye = jnp.eye(d, dtype=H.dtype)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    return H + lam * (eye * diag[..., None, :])
+
+
+def solve_psd(H: jax.Array, b: jax.Array, use_cholesky: bool = True):
+    """Solve ``H dx = b`` for symmetric positive-definite H.
+
+    Returns ``(dx, ok)`` where ``ok`` is False when the factorization failed
+    (non-PSD H → NaNs) or the solution is non-finite.  Equivalent role to
+    ``SolveLDLT`` returning nullopt (reference: math.h:232-240).
+
+    With ``use_cholesky=False``, mirrors the reference's unchecked
+    ``H.inverse()`` path (reference: solvers/gn.h:150-171) including the
+    1-dim guard returning a zero step when H ≤ ε.
+    """
+    d = H.shape[-1]
+    if use_cholesky:
+        if d == 1:
+            h = H[..., 0, 0]
+            ok = (h > 0) & jnp.isfinite(h) & jnp.isfinite(b[..., 0])
+            dx = jnp.where(ok[..., None], b / jnp.where(h[..., None] == 0, 1, h[..., None]),
+                           jnp.zeros_like(b))
+            return dx, ok
+        L = jnp.linalg.cholesky(H)
+        dx = jax.scipy.linalg.cho_solve((L, True), b)
+        ok = jnp.all(jnp.isfinite(dx), axis=-1)
+        return dx, ok
+    else:
+        if d == 1:
+            eps = float(jnp.finfo(H.dtype).eps) ** 0.5
+            h = H[..., 0, 0]
+            good = h > eps
+            dx = jnp.where(good[..., None], b / jnp.where(good, h, 1.0)[..., None],
+                           jnp.zeros_like(b))
+            return dx, jnp.ones_like(good)  # always "success" (gn.h:161-163)
+        dx = jnp.linalg.solve(H, b)
+        return dx, jnp.ones(H.shape[:-2], bool)
+
+
+def inv_cov(H: jax.Array) -> jax.Array:
+    """Covariance = H⁻¹ (reference: math.h:88-189). NaNs if singular."""
+    d = H.shape[-1]
+    return jnp.linalg.solve(H, jnp.broadcast_to(jnp.eye(d, dtype=H.dtype), H.shape))
+
+
+def max_std_dev(H: jax.Array) -> jax.Array:
+    """√(max coefficient of H⁻¹) (reference: solvers/gn.h:177-183)."""
+    return jnp.sqrt(jnp.max(inv_cov(H), axis=(-2, -1)))

@@ -1,0 +1,170 @@
+"""Public API: ``optimize(x, fn, options)``.
+
+Functional counterpart of the reference's free function
+``tinyopt::Optimize(x, func, options)`` (reference:
+include/tinyopt/optimize.h:17-79): dispatches on what ``fn`` computes —
+
+  * residuals pytree (NLLS)            -> AD path (LM/GN)
+  * scalar cost                        -> AD path (GD) or NLLS with 1 residual
+  * ``(cost, grad)`` tuple             -> manual first-order acc
+  * ``(cost, grad, H)`` tuple          -> manual second-order acc
+
+and returns ``(x_opt, Output)`` instead of mutating ``x`` in place.
+
+The solve itself is a pure jitted function; compiled executables are cached
+keyed on (fn, options, mode, input structure/shapes/dtypes) so repeated
+solves of same-shaped problems hit the XLA compilation cache — the
+shape-specialized analogue of the reference's template instantiation.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import manifold as mf
+from .diff.auto import make_acc_system, make_cost_system, make_nlls_system
+from .optimizers.loop import optimize_from_acc, _skipped_output
+from .options import Options, SolverType
+from .output import Output
+from .stop_reasons import StopReason
+
+
+_CACHE: dict = {}
+
+
+def _detect_mode(fn, x, options) -> str:
+    """Signature dispatch via abstract evaluation (optimize.h:26-76)."""
+    out = jax.eval_shape(fn, x)
+    if isinstance(out, (tuple, list)) and len(out) in (2, 3):
+        second = out[1]
+        if hasattr(second, "shape") and len(getattr(second, "shape", ())) in (1,):
+            return "acc"
+    if options.solver_type == SolverType.GRADIENT_DESCENT:
+        return "cost"
+    return "residuals"
+
+
+def build_solver(fn: Callable, options: Options, mode: str, x_example) -> Callable:
+    """Build the pure solve function (x) -> (x_opt, Output) for ``fn``.
+
+    Use this directly to compose with jax transforms, e.g.
+    ``jax.vmap(build_solver(f, opts, "residuals", x0))`` for batched
+    instances sharded over a mesh.
+    """
+    x_example = mf.as_pytree(x_example)
+    spec = mf.tangent_spec(x_example)
+    first_order = options.solver_type == SolverType.GRADIENT_DESCENT
+
+    if mode == "auto":
+        mode = _detect_mode(fn, x_example, options)
+
+    if mode == "residuals":
+        if first_order:
+            # GD requires a scalar cost (optimize.h:59-72); a 1-element
+            # residual is accepted and squared like the reference.
+            acc, ev, n_res = make_cost_system(
+                lambda x: jnp.sum(jnp.square(
+                    jnp.ravel(jnp.asarray(fn(x))))), x_example, spec)
+        else:
+            acc, ev, n_res = make_nlls_system(fn, x_example, spec)
+    elif mode == "cost":
+        if not first_order:
+            raise ValueError(
+                "GN/LM cannot optimize a gradient-only/scalar cost function; "
+                "provide residuals or an acc returning H "
+                "(reference: optimize.h:40-57)")
+        acc, ev, n_res = make_cost_system(fn, x_example, spec)
+    elif mode == "acc":
+        acc, ev, n_res = make_acc_system(fn, x_example, spec, first_order)
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+
+    def solve(x):
+        if n_res == 0:
+            cap = options.max_iters + 1 + (1 if options.check_final_cost else 0)
+            return x, _skipped_output(cap, spec.dtype, False)
+        return optimize_from_acc(x, acc, ev, options, spec)
+
+    return solve
+
+
+def _cache_key(fn, options, mode, x):
+    leaves = jax.tree_util.tree_leaves(x)
+    shapes = tuple((jnp.shape(l), jnp.asarray(l).dtype.name) for l in leaves)
+    structure = jax.tree_util.tree_structure(x)
+    return (fn, options, mode, structure, shapes)
+
+
+def optimize(x, fn: Callable, options: Options | None = None, *,
+             mode: str = "auto", jit: bool = True):
+    """Optimize ``x`` to minimize ``fn``. Returns ``(x_opt, Output)``.
+
+    ``fn`` is a residual function, scalar cost, or manual acc function (see
+    module docstring).  ``options.max_duration_ms > 0`` runs a host-stepped
+    variant with wall-clock timeout (the reference's kTimedOut semantics,
+    optimizer.h:302-305); otherwise the whole solve is one XLA program.
+    """
+    options = options or Options()
+    x = mf.as_pytree(x)
+
+    if options.max_duration_ms > 0:
+        return _optimize_with_timeout(x, fn, options, mode)
+
+    t0 = time.perf_counter()
+    key = _cache_key(fn, options, mode, x)
+    solve = _CACHE.get(key)
+    if solve is None:
+        solve = build_solver(fn, options, mode, x)
+        if jit:
+            solve = jax.jit(solve)
+        _CACHE[key] = solve
+    x_opt, out = solve(x)
+    out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
+    return x_opt, out
+
+
+def _optimize_with_timeout(x, fn, options, mode):
+    """Host-chunked solve honoring ``max_duration_ms``.
+
+    Runs the jitted loop one max_iters=1 segment at a time, carrying the
+    solver state (x, λ schedule via warm restart) between segments and
+    checking the wall clock in between.  Cost: one extra build per segment
+    (re-linearization at the carried x) — acceptable since timeouts are a
+    safety net, not the hot path.
+    """
+    t0 = time.perf_counter()
+    seg_opts = options.replace(max_duration_ms=0.0, max_iters=1,
+                               check_final_cost=False)
+    key = _cache_key(fn, seg_opts, mode, x)
+    solve = _CACHE.get(key)
+    if solve is None:
+        solve = jax.jit(build_solver(fn, seg_opts, mode, x))
+        _CACHE[key] = solve
+
+    total_iters = 0
+    total_failures = 0
+    out = None
+    for _ in range(options.max_iters):
+        x, out = solve(x)
+        out = jax.block_until_ready(out)
+        total_iters += int(out.num_iters)
+        total_failures += int(out.num_failures)
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        if elapsed_ms > options.max_duration_ms:
+            out.stop_reason = jnp.asarray(int(StopReason.TIMED_OUT), jnp.int32)
+            break
+        if int(out.stop_reason) not in (int(StopReason.MAX_ITERS),
+                                        int(StopReason.NONE)):
+            break
+    out.num_iters = jnp.asarray(total_iters, jnp.int32)
+    out.num_failures = jnp.asarray(total_failures, jnp.int32)
+    out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
+    return x, out
+
+
+# Reference-style alias
+Optimize = optimize

@@ -1,0 +1,403 @@
+"""The outer optimization loop as a single jitted ``lax.while_loop``.
+
+This is the TPU-native re-design of ``Optimizer_::OptimizeAcc`` / ``Step``
+(reference: include/tinyopt/optimizers/optimizer.h:243-534).  The reference
+drives a data-dependent accept/reject loop with rollback-by-negation and an
+inner solve-retry loop with λ escalation; here the whole control flow is
+compiled once by XLA:
+
+  * outer iteration  -> ``lax.while_loop`` body
+  * build-vs-evaluate (the ``Rebuild(false)`` skip-re-accumulation
+    optimization, lm.h:96-105)           -> ``lax.cond``
+  * solve-retry with λ escalation
+    (optimizer.h:356-399)                -> inner ``lax.while_loop``
+    (re-damp + re-solve only; re-accumulating identical H/g, as the
+    reference does, would be pure waste under XLA)
+  * rollback ``x ⊞ (−last_dx)``
+    (optimizer.h:283-287)                -> single masked ``retract``
+
+Semantics preserved exactly (see tests/test_basic.py for the behavioral
+spec): stop-reason codes and their priorities, λ schedule including
+compounded bad factors, failure budgets, first-iteration auto-accept,
+check_final_cost extra evaluation, and the final un-damped Hessian save.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import manifold as mf
+from ..cost import Cost, normalize_cost
+from ..options import Options, SolverType
+from ..output import Output
+from ..solvers.lm import LMState, lm_init, lm_good_step, lm_bad_step, lm_failed_step
+from ..solvers.step import propose_step
+from ..stop_reasons import StopReason
+
+_I32 = jnp.int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class _Carry:
+    x: Any                      # parameter pytree
+    H: Any                      # (d, d) un-damped JtJ, or None (first-order)
+    g: jax.Array                # (d,) gradient JtR
+    lm: LMState                 # damping state (unused for GN/GD)
+    best_cost: jax.Array        # last accepted cost (inf before first eval)
+    best_num_res: jax.Array     # int32
+    best_inliers: jax.Array     # f32
+    final_rerr: jax.Array       # last relative error decrease
+    last_dx: jax.Array          # (d,)
+    has_last_dx: jax.Array      # bool
+    last_was_success: jax.Array # bool
+    rebuild: jax.Array          # bool: re-accumulate vs evaluate-only
+    it: jax.Array               # int32 == num_iters
+    num_failures: jax.Array     # int32
+    num_consec: jax.Array       # int32
+    stop: jax.Array             # int32 StopReason
+    errs: jax.Array             # (cap,)
+    deltas2: jax.Array          # (cap,)
+    succ: jax.Array             # (cap,) bool
+    num_hist: jax.Array         # int32
+
+
+class _RetryState(NamedTuple):
+    dx: jax.Array
+    ok: jax.Array
+    lm: LMState
+    num_failures: jax.Array
+    num_consec: jax.Array
+    give_up: jax.Array
+    tried: jax.Array
+
+
+def _solve_with_retries(H, g, lm_state, c, extra_ok, opts):
+    """Inner retry loop: propose, and on failure escalate λ and retry.
+
+    Mirrors optimizer.h:356-399 with FailedStep = λ escalation (LM) or
+    no-op (GN/GD).  ``extra_ok`` folds in build-validity checks (e.g. the
+    min-H-diagonal check, lm.h:83-88) that the reference treats as solver
+    failures.
+    """
+    max_tries = opts.max_consec_failures if opts.max_consec_failures > 0 else 255
+    is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+
+    def cond(s: _RetryState):
+        return (~s.ok) & (~s.give_up) & (s.num_consec <= max_tries)
+
+    def body(s: _RetryState):
+        dx, ok = propose_step(H, g, s.lm.lam, opts)
+        ok = ok & extra_ok
+        nf = s.num_failures + jnp.where(ok, 0, 1).astype(_I32)
+        nc = s.num_consec + jnp.where(ok, 0, 1).astype(_I32)
+        give_up = (~ok) & (opts.max_consec_failures > 0) & (
+            nc >= opts.max_consec_failures)
+        new_lm = lm_failed_step(s.lm, opts) if is_lm else s.lm
+        lm_state2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where((~ok) & (~give_up), a, b), new_lm, s.lm)
+        return _RetryState(dx=jnp.where(ok, dx, s.dx), ok=ok, lm=lm_state2,
+                           num_failures=nf, num_consec=nc, give_up=give_up,
+                           tried=s.tried + 1)
+
+    init = _RetryState(
+        dx=jnp.zeros_like(g), ok=jnp.zeros((), bool), lm=lm_state,
+        num_failures=c.num_failures, num_consec=c.num_consec,
+        give_up=jnp.zeros((), bool), tried=jnp.zeros((), _I32))
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _where_tree(pred, a, b):
+    return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+
+def optimize_from_acc(
+    x0,
+    accumulate: Callable[[Any], tuple],
+    evaluate: Callable[[Any], Cost],
+    options: Options,
+    spec: mf.TangentSpec | None = None,
+    num_diff_used: bool = False,
+):
+    """Run the full optimization loop. Pure function: (x0) -> (x_opt, Output).
+
+    ``accumulate(x) -> (H, g, Cost)`` builds the normal equations (H is None
+    for first-order solvers); ``evaluate(x) -> Cost`` computes the cost only
+    (used after consecutive rejections, mirroring ``Rebuild(false)``).
+
+    jit/vmap/shard-friendly: all shapes static, control flow in lax.
+    """
+    opts = options
+    first_order = opts.solver_type == SolverType.GRADIENT_DESCENT
+    is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+
+    if spec is None:
+        spec = mf.tangent_spec(x0)
+    d = spec.dims
+    dtype = spec.dtype
+
+    max_iters_total = opts.max_iters + 1 + (1 if opts.check_final_cost else 0)
+    cap = max_iters_total  # history capacity: ≤1 entry per outer iteration
+
+    # ---- Degenerate problems: nothing to optimize (optimizer.h:63-70) ----
+    if d == 0:
+        out = _skipped_output(cap, dtype, num_diff_used)
+        return x0, out
+
+    big = jnp.asarray(jnp.inf, dtype)
+
+    def init_carry(x0):
+        H0 = None if first_order else jnp.zeros((d, d), dtype)
+        return _Carry(
+            x=x0, H=H0, g=jnp.zeros((d,), dtype), lm=lm_init(opts, dtype),
+            best_cost=big, best_num_res=jnp.zeros((), _I32),
+            best_inliers=jnp.ones((), jnp.float32),
+            final_rerr=jnp.asarray(jnp.inf, dtype),
+            last_dx=jnp.zeros((d,), dtype),
+            has_last_dx=jnp.zeros((), bool),
+            last_was_success=jnp.ones((), bool),
+            rebuild=jnp.ones((), bool),
+            it=jnp.zeros((), _I32),
+            num_failures=jnp.zeros((), _I32), num_consec=jnp.zeros((), _I32),
+            stop=jnp.full((), int(StopReason.NONE), _I32),
+            errs=jnp.zeros((cap,), dtype), deltas2=jnp.zeros((cap,), dtype),
+            succ=jnp.zeros((cap,), bool), num_hist=jnp.zeros((), _I32),
+        )
+
+    def build_branch(x):
+        H, g, cost = accumulate(x)
+        cost = normalize_cost(cost, opts.cost)
+        # Gradient clipping happens at build time, before the solve
+        # (reference: solvers/base.h:29-38 via gn.h:129).
+        if opts.grad_clipping > 0:
+            v = dtype.type(opts.grad_clipping)
+            g = jnp.clip(g, -v, v)
+        if first_order:
+            H = None
+        return H, g, cost
+
+    def eval_branch(c: _Carry):
+        cost = normalize_cost(evaluate(c.x), opts.cost)
+        return c.H, c.g, cost
+
+    def body(c: _Carry) -> _Carry:
+        it = c.it
+        # --- Build or evaluate-only (lm.h:60-105) ---
+        H, g, cost = jax.lax.cond(
+            c.rebuild,
+            lambda c: build_branch(c.x),
+            eval_branch,
+            c,
+        )
+        err = cost.cost.astype(dtype)
+        n_res = cost.num_residuals
+
+        # --- Build validity (lm.h:83-88): min |H[i,i]| check ---
+        if (not first_order) and opts.hessian.check_min_H_diag > 0:
+            diag_ok = jnp.all(
+                jnp.abs(jnp.diagonal(H)) >= opts.hessian.check_min_H_diag)
+        else:
+            diag_ok = jnp.ones((), bool)
+
+        # --- Inner solve-retry loop with λ escalation ---
+        rs = _solve_with_retries(H, g, c.lm, c, diag_ok, opts)
+        dx, solved = rs.dx, rs.ok
+        lm_state = rs.lm
+
+        # --- Early failure routing (optimizer.h:364-409) ---
+        err_bad = jnp.isnan(err) | jnp.isinf(err)
+        no_res = n_res <= 0
+        stop_early = jnp.where(
+            solved,
+            jnp.where(err_bad, int(StopReason.SYSTEM_HAS_NAN_OR_INF),
+                      int(StopReason.NONE)),
+            jnp.where(no_res, int(StopReason.SKIPPED),
+                      jnp.where(err_bad, int(StopReason.SYSTEM_HAS_NAN_OR_INF),
+                                int(StopReason.SOLVER_FAILED))),
+        ).astype(_I32)
+        dx_norm2 = jnp.sum(dx * dx)
+        dxn_bad = jnp.isnan(dx_norm2) | jnp.isinf(dx_norm2)
+        stop_early = jnp.where(
+            (stop_early == 0) & dxn_bad,
+            int(StopReason.SYSTEM_HAS_NAN_OR_INF), stop_early).astype(_I32)
+        early_fail = stop_early != 0
+
+        # --- Accept / reject (optimizer.h:427-459) ---
+        derr = err - c.best_cost
+        is_good = derr < 0
+        eps = dtype.type(float(jnp.finfo(dtype).eps) ** 0.5)
+        rel_derr = jnp.where(
+            (c.best_cost > eps) & jnp.isfinite(c.best_cost),
+            (c.best_cost - err) / c.best_cost, dtype.type(0))
+        good = is_good | (it == 0)
+
+        # History (appended only when the step wasn't an early failure)
+        errs = c.errs.at[it].set(jnp.where(early_fail, c.errs[it], err))
+        deltas2 = c.deltas2.at[it].set(
+            jnp.where(early_fail, c.deltas2[it], dx_norm2))
+        succ = c.succ.at[it].set(jnp.where(early_fail, c.succ[it], is_good))
+        num_hist = jnp.where(early_fail, c.num_hist, it + 1).astype(_I32)
+
+        # λ schedule (lm.h:123-145); first iteration is auto-accepted but
+        # does NOT trigger GoodStep (optimizer.h:441).
+        if is_lm:
+            quality = rel_derr if opts.use_step_quality_approx else jnp.zeros((), dtype)
+            lm_good = lm_good_step(lm_state, quality, opts)
+            lm_bad = lm_bad_step(lm_state, opts)
+            apply_good = (~early_fail) & good & (it > 0)
+            apply_bad = (~early_fail) & (~good)
+            lm_state = _where_tree(
+                apply_good, lm_good, _where_tree(apply_bad, lm_bad, lm_state))
+
+        accepted = (~early_fail) & good
+        rejected = (~early_fail) & (~good)
+        # Solve retries already incremented the counters inside ``rs``; a
+        # rejected step adds one more, an accepted step resets consec to 0
+        # (optimizer.h:441-448).
+        num_consec = jnp.where(accepted, 0,
+                               rs.num_consec + jnp.where(rejected, 1, 0)
+                               ).astype(_I32)
+        num_failures = (rs.num_failures + jnp.where(rejected, 1, 0)).astype(_I32)
+
+        best_cost = jnp.where(accepted, err, c.best_cost)
+        best_num_res = jnp.where(accepted, n_res, c.best_num_res).astype(_I32)
+        best_inliers = jnp.where(accepted, cost.inlier_ratio, c.best_inliers)
+        final_rerr = jnp.where(accepted, rel_derr, c.final_rerr)
+
+        # Failure budgets (optimizer.h:450-459) — early return, no dx applied
+        budget_stop = jnp.where(
+            rejected & (opts.max_consec_failures > 0)
+            & (num_consec >= opts.max_consec_failures),
+            int(StopReason.MAX_CONSEC_NO_DECR),
+            jnp.where(
+                rejected & (opts.max_total_failures > 0)
+                & (num_failures >= opts.max_total_failures),
+                int(StopReason.MAX_NO_DECR), int(StopReason.NONE))).astype(_I32)
+        budget_fail = (stop_early == 0) & (budget_stop != 0)
+
+        # --- Stop-criteria cascade (optimizer.h:518-534) ---
+        grad_norm2 = jnp.sum(g * g)
+        cascade = jnp.zeros((), _I32)
+
+        def set_if(cascade, pred, code):
+            return jnp.where((cascade == 0) & pred, code, cascade).astype(_I32)
+
+        if opts.min_error > 0:
+            cascade = set_if(cascade, err < opts.min_error,
+                             int(StopReason.MIN_ERROR))
+        if opts.min_rerr_dec > 0:
+            cascade = set_if(cascade, (rel_derr > 0) & (rel_derr < opts.min_rerr_dec),
+                             int(StopReason.MIN_REL_ERROR))
+        if opts.min_step_norm2 > 0:
+            cascade = set_if(cascade, dx_norm2 < opts.min_step_norm2,
+                             int(StopReason.MIN_DELTA_NORM))
+        if opts.min_grad_norm2 > 0:
+            cascade = set_if(cascade, grad_norm2 < opts.min_grad_norm2,
+                             int(StopReason.MIN_GRAD_NORM))
+        if opts.stop_callback is not None:
+            cascade = set_if(cascade,
+                             jnp.asarray(opts.stop_callback(err, dx_norm2, grad_norm2)),
+                             int(StopReason.USER_STOPPED))
+        if opts.stop_callback2 is not None:
+            cascade = set_if(cascade, jnp.asarray(opts.stop_callback2(err, dx, g)),
+                             int(StopReason.USER_STOPPED))
+
+        stop = jnp.where(stop_early != 0, stop_early,
+                         jnp.where(budget_stop != 0, budget_stop, cascade)
+                         ).astype(_I32)
+
+        # --- Apply / rollback (optimizer.h:266-299) ---
+        returned_dx = (~early_fail) & (~budget_fail)
+        success = accepted & returned_dx
+        # failure && has_last  -> rollback by -last_dx
+        # failure && !has_last && returned_dx -> probe x+dx (consecutive
+        #   rejections: evaluate the new λ's step from the last good point)
+        fail = ~success
+        probe = fail & (~c.has_last_dx) & returned_dx
+        applied = jnp.where(success, dx,
+                            jnp.where(fail & c.has_last_dx, -c.last_dx,
+                                      jnp.where(probe, dx, jnp.zeros_like(dx))))
+        x_new = mf.retract(c.x, applied, spec)
+        last_dx = jnp.where(success | probe, dx, c.last_dx)
+        has_last = jnp.where(success, True,
+                             jnp.where(c.has_last_dx, False, probe))
+
+        # eval_only / rebuild flags (optimizer.h:277-299)
+        is_final_iter = (it + 1) >= max_iters_total
+        eval_only = jnp.where(
+            success,
+            opts.check_final_cost & is_final_iter,
+            ~c.last_was_success)
+        rebuild = ~eval_only
+        last_was_success = success
+
+        if opts.log.enable:
+            jax.debug.print(
+                "#{it} ok:{g} " + opts.log.e + ":{err:.4e} n:{n} d:{derr:+.2e} "
+                "r:{rel:+.1e} |dx|:{dxn:.2e} |grad|:{gn:.2e} 1/lam:{il:.2e}",
+                it=it, g=good, err=err, n=n_res, derr=jnp.where(it == 0, 0.0, derr),
+                rel=rel_derr, dxn=jnp.sqrt(dx_norm2), gn=jnp.sqrt(grad_norm2),
+                il=1.0 / jnp.maximum(lm_state.lam, 1e-30), ordered=False)
+
+        return _Carry(
+            x=x_new, H=H, g=g, lm=lm_state,
+            best_cost=best_cost, best_num_res=best_num_res,
+            best_inliers=best_inliers, final_rerr=final_rerr,
+            last_dx=last_dx, has_last_dx=has_last,
+            last_was_success=last_was_success, rebuild=rebuild,
+            it=(it + 1).astype(_I32),
+            num_failures=num_failures, num_consec=num_consec,
+            stop=stop, errs=errs, deltas2=deltas2, succ=succ,
+            num_hist=num_hist,
+        )
+
+    def cond(c: _Carry):
+        return (c.stop == int(StopReason.NONE)) & (c.it < max_iters_total)
+
+    carry = jax.lax.while_loop(cond, body, init_carry(x0))
+
+    stop = jnp.where(carry.stop == int(StopReason.NONE),
+                     int(StopReason.MAX_ITERS), carry.stop).astype(_I32)
+
+    final_hessian = None
+    if (not first_order) and opts.hessian.save_last:
+        final_hessian = carry.H
+
+    out = Output(
+        final_cost=Cost(cost=carry.best_cost,
+                        num_residuals=carry.best_num_res,
+                        inlier_ratio=carry.best_inliers),
+        final_rerr_dec=carry.final_rerr,
+        stop_reason=stop,
+        num_iters=carry.it,
+        num_failures=carry.num_failures,
+        num_consec_failures=carry.num_consec,
+        duration_ms=jnp.zeros((), jnp.float32),
+        final_grad=carry.g,
+        final_hessian=final_hessian,
+        errs=carry.errs, deltas2=carry.deltas2, successes=carry.succ,
+        num_hist=carry.num_hist,
+        num_diff_used=num_diff_used,
+    )
+    return carry.x, out
+
+
+def _skipped_output(cap, dtype, num_diff_used):
+    return Output(
+        final_cost=Cost.make(jnp.inf, 0, 1.0),
+        final_rerr_dec=jnp.asarray(jnp.inf, dtype),
+        stop_reason=jnp.full((), int(StopReason.SKIPPED), _I32),
+        num_iters=jnp.zeros((), _I32),
+        num_failures=jnp.zeros((), _I32),
+        num_consec_failures=jnp.zeros((), _I32),
+        duration_ms=jnp.zeros((), jnp.float32),
+        final_grad=None, final_hessian=None,
+        errs=jnp.zeros((cap,), dtype), deltas2=jnp.zeros((cap,), dtype),
+        successes=jnp.zeros((cap,), bool), num_hist=jnp.zeros((), _I32),
+        num_diff_used=num_diff_used,
+    )

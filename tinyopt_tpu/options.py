@@ -1,0 +1,146 @@
+"""Optimization options.
+
+Frozen (hashable) dataclasses so an ``Options`` instance can be passed as a
+static argument to ``jax.jit`` — every numeric option is baked into the
+compiled program as a constant, exactly the performance-oriented choice for
+TPU (no host->device scalar traffic per solve).
+
+Defaults and semantics mirror the reference ``tinyopt::Options``
+(reference: include/tinyopt/optimizers/options.h:18-156).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Callable, Optional
+
+
+class SolverType(enum.Enum):
+    """Which solver drives the step proposal (options.h:24-30)."""
+
+    LEVENBERG_MARQUARDT = 0
+    GAUSS_NEWTON = 1
+    GRADIENT_DESCENT = 2
+
+
+# Short aliases
+LevenbergMarquardt = SolverType.LEVENBERG_MARQUARDT
+GaussNewton = SolverType.GAUSS_NEWTON
+GradientDescent = SolverType.GRADIENT_DESCENT
+
+
+@dataclasses.dataclass(frozen=True)
+class HessianOptions:
+    """Hessian handling options (options.h:58-67)."""
+
+    #: Use a Cholesky factorization with PSD-failure detection. If False, use
+    #: an unchecked explicit inverse (except for 1-dim problems).
+    use_ldlt: bool = True
+    #: Reject the build when any |H[i,i]| is below this threshold (0 = off).
+    check_min_H_diag: float = 0.0
+    #: Save the last (un-damped) Hessian into the Output.
+    save_last: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class CostScalingOptions:
+    """Cost scaling options (options.h:75-80)."""
+
+    use_squared_norm: bool = True  #: cost = ||r||^2 (faster); else ||r||
+    downscale_by_2: bool = False   #: cost *= 0.5
+    normalize: bool = False        #: cost /= num_residuals
+
+
+@dataclasses.dataclass(frozen=True)
+class LMOptions:
+    """Levenberg-Marquardt damping schedule (options.h:128-141)."""
+
+    damping_init: float = 1e-4     #: Initial λ (0 disables damping ≈ GN)
+    damping_range: tuple = (1e-9, 1e9)  #: λ clamp range
+    good_factor: float = 1.0 / 3.0  #: λ scale on accepted steps
+    bad_factor: float = 2.0         #: λ scale on rejected steps (compounds)
+
+
+@dataclasses.dataclass(frozen=True)
+class GDOptions:
+    """Gradient descent options (options.h:147-154)."""
+
+    lr: float = 1e-3  #: Fixed learning rate
+
+
+@dataclasses.dataclass(frozen=True)
+class LogOptions:
+    """Iteration logging options (options.h:113-125).
+
+    When ``enable`` is True, a per-iteration log line is emitted through
+    ``jax.debug.print`` (works from inside jit) with the same fields as the
+    reference: error, dε, relative dε, |δx|, |∇|, 1/λ.
+    """
+
+    enable: bool = False
+    e: str = "ε²"               #: Symbol used for the error in log lines
+    print_x: bool = False
+    print_dx: bool = False
+    print_inliers: bool = False
+    print_max_stdev: bool = False
+    print_failure: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Common optimization options (options.h:18-156).
+
+    Hashable so it can be a jit static argument. ``stop_callback`` must be a
+    JAX-traceable callable ``(err, dx_norm2, grad_norm2) -> bool`` (traced
+    into the loop); ``stop_callback2`` receives ``(err, dx, grad)``.
+    """
+
+    solver_type: SolverType = SolverType.LEVENBERG_MARQUARDT
+
+    #: Re-evaluate the cost once more after the final iteration and roll back
+    #: if it increased (options.h:43).
+    check_final_cost: bool = False
+    #: Use the relative error decrease as the LM step quality (options.h:46).
+    use_step_quality_approx: bool = False
+    #: Clip the gradient to [-v, +v]; 0 disables (options.h:49).
+    grad_clipping: float = 0.0
+
+    hessian: HessianOptions = HessianOptions()
+    cost: CostScalingOptions = CostScalingOptions()
+
+    # --- Stop criteria (options.h:89-106) ---
+    max_iters: int = 50
+    min_error: float = 1e-12
+    min_rerr_dec: float = 1e-10
+    min_step_norm2: float = 1e-14
+    min_grad_norm2: float = 1e-18
+    max_total_failures: int = 0
+    max_consec_failures: int = 5
+    max_duration_ms: float = 0.0
+
+    #: Traceable callback (err, |δx|², |∇|²) -> bool; True stops the loop.
+    stop_callback: Optional[Callable[..., Any]] = None
+    #: Traceable callback (err, δx, ∇) -> bool; True stops the loop.
+    stop_callback2: Optional[Callable[..., Any]] = None
+
+    log: LogOptions = LogOptions()
+    lm: LMOptions = LMOptions()
+    gd: GDOptions = GDOptions()
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+    # Convenience constructors mirroring the namespace products
+    # (reference: optimizers/{lm,gn,gd}.h)
+    @staticmethod
+    def lm_(**kw) -> "Options":
+        return Options(solver_type=SolverType.LEVENBERG_MARQUARDT, **kw)
+
+    @staticmethod
+    def gn(**kw) -> "Options":
+        return Options(solver_type=SolverType.GAUSS_NEWTON, **kw)
+
+    @staticmethod
+    def gd_(**kw) -> "Options":
+        return Options(solver_type=SolverType.GRADIENT_DESCENT, **kw)

@@ -1,0 +1,29 @@
+"""Step proposal for GN / LM / GD.
+
+The "linear-system layer" of the framework: given the accumulated gradient
+``g`` (= JᵀR) and Hessian approximation ``H`` (= JᵀJ), propose a step
+``dx``.  Functional counterpart of ``SolverGN::Solve`` / ``SolverGD::Solve``
+(reference: include/tinyopt/solvers/gn.h:150-171, gd.h:131-134).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..options import SolverType
+from ..ops.linalg import damp_diagonal, solve_psd
+
+
+def propose_step(H, g, lam, opts):
+    """Propose dx for the current (H, g, λ). Returns (dx, ok).
+
+    * GD:    dx = -lr · g, always succeeds.
+    * GN/LM: solve (H ⊕ λ·diag) dx = -g via Cholesky (λ = 0 for GN);
+             failure (non-PSD) reported through ``ok`` for λ-escalation.
+    """
+    if opts.solver_type == SolverType.GRADIENT_DESCENT:
+        dx = -g.dtype.type(opts.gd.lr) * g
+        return dx, jnp.ones((), bool)
+    Hd = damp_diagonal(H, lam) if opts.solver_type == SolverType.LEVENBERG_MARQUARDT else H
+    dx, ok = solve_psd(Hd, -g, use_cholesky=opts.hessian.use_ldlt)
+    return dx, ok

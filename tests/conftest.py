@@ -4,11 +4,14 @@ Parity tests against the reference run in float64 on CPU (the reference is
 double-heavy); mesh/sharding tests use the 8 virtual CPU devices
 (SURVEY.md §4: JAX CPU multi-device simulation, since the reference offers
 no multi-device pattern to mirror).
+
+Note: the env var JAX_PLATFORMS is NOT sufficient here — the axon TPU
+plugin takes precedence over it — so we force the platform through
+jax.config, which wins.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +19,5 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

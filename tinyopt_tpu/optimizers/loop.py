@@ -41,11 +41,43 @@ from ..stop_reasons import StopReason
 
 _I32 = jnp.int32
 
+_CB_OK: bool | None = None
+
+
+def _callbacks_supported() -> bool:
+    """Whether the default backend supports host callbacks.
+
+    Some PJRT backends (e.g. the axon TPU tunnel) reject host send/recv
+    callbacks at runtime, which would make ``jax.debug.print`` iteration
+    logging crash the whole solve.  Probe once and degrade to silent.
+    """
+    global _CB_OK
+    if _CB_OK is None:
+        import warnings
+        try:
+            jax.jit(lambda: jax.debug.print("", ordered=False))()
+            jax.effects_barrier()
+            _CB_OK = True
+        except Exception:  # noqa: BLE001 - any backend failure means "no"
+            warnings.warn(
+                "tinyopt_tpu: this JAX backend does not support host "
+                "callbacks; per-iteration logging (options.log.enable) is "
+                "disabled.", RuntimeWarning)
+            _CB_OK = False
+    return _CB_OK
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class _Carry:
-    x: Any                      # parameter pytree
+    x: Any                      # parameter pytree (current candidate)
+    best_x: Any                 # last accepted parameters (exact rollback
+                                # target; the reference rolls back by
+                                # retracting -last_dx (optimizer.h:283-287),
+                                # which is inexact in floating point and can
+                                # turn a re-evaluation at the "same" point
+                                # into a spurious 1-ulp improvement — a copy
+                                # is free in functional JAX, so we keep one)
     H: Any                      # (d, d) un-damped JtJ, or None (first-order)
     g: jax.Array                # (d,) gradient JtR
     lm: LMState                 # damping state (unused for GN/GD)
@@ -154,7 +186,8 @@ def optimize_from_acc(
     def init_carry(x0):
         H0 = None if first_order else jnp.zeros((d, d), dtype)
         return _Carry(
-            x=x0, H=H0, g=jnp.zeros((d,), dtype), lm=lm_init(opts, dtype),
+            x=x0, best_x=x0, H=H0, g=jnp.zeros((d,), dtype),
+            lm=lm_init(opts, dtype),
             best_cost=big, best_num_res=jnp.zeros((), _I32),
             best_inliers=jnp.ones((), jnp.float32),
             final_rerr=jnp.asarray(jnp.inf, dtype),
@@ -319,10 +352,13 @@ def optimize_from_acc(
         #   rejections: evaluate the new λ's step from the last good point)
         fail = ~success
         probe = fail & (~c.has_last_dx) & returned_dx
-        applied = jnp.where(success, dx,
-                            jnp.where(fail & c.has_last_dx, -c.last_dx,
-                                      jnp.where(probe, dx, jnp.zeros_like(dx))))
-        x_new = mf.retract(c.x, applied, spec)
+        # Rollback restores best_x exactly (not x ⊞ (−last_dx)); the probe
+        # case (consecutive rejections: try the new λ's step from the last
+        # good point) has c.x == best_x already, so one retract covers all.
+        x_base = _where_tree(fail & c.has_last_dx, c.best_x, c.x)
+        applied = jnp.where(success | probe, dx, jnp.zeros_like(dx))
+        x_new = mf.retract(x_base, applied, spec)
+        best_x_new = _where_tree(success, c.x, c.best_x)
         last_dx = jnp.where(success | probe, dx, c.last_dx)
         has_last = jnp.where(success, True,
                              jnp.where(c.has_last_dx, False, probe))
@@ -336,7 +372,7 @@ def optimize_from_acc(
         rebuild = ~eval_only
         last_was_success = success
 
-        if opts.log.enable:
+        if opts.log.enable and _callbacks_supported():
             jax.debug.print(
                 "#{it} ok:{g} " + opts.log.e + ":{err:.4e} n:{n} d:{derr:+.2e} "
                 "r:{rel:+.1e} |dx|:{dxn:.2e} |grad|:{gn:.2e} 1/lam:{il:.2e}",
@@ -345,7 +381,7 @@ def optimize_from_acc(
                 il=1.0 / jnp.maximum(lm_state.lam, 1e-30), ordered=False)
 
         return _Carry(
-            x=x_new, H=H, g=g, lm=lm_state,
+            x=x_new, best_x=best_x_new, H=H, g=g, lm=lm_state,
             best_cost=best_cost, best_num_res=best_num_res,
             best_inliers=best_inliers, final_rerr=final_rerr,
             last_dx=last_dx, has_last_dx=has_last,

@@ -1,0 +1,72 @@
+"""Headline benchmark: batched 50-dim NLLS solves on TPU.
+
+Mirrors the reference's hardest published dense benchmark — the 50-dim
+whitened Gaussian prior, 56.26 µs per LM solve single-threaded CPU
+(BASELINE.md row 9, reference benchmarks/dense.cpp:83-114, options
+benchmarks/options.h:10-27) — but batched: 10k independent instances
+solved in one XLA program on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value = full LM solves per second and vs_baseline is the speedup over the
+reference's 1/56.26µs = 17,775 solves/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+REF_SOLVE_US = 56.26          # BASELINE.md: dense VecX Prior-50, per solve
+BATCH = 10_000
+DIMS = 50
+
+
+def main():
+    import tinyopt_tpu as to
+    from tinyopt_tpu.models.problems import make_prior_batch, prior_residual
+    from tinyopt_tpu.parallel.batched import batched_solver
+
+    data, x0 = make_prior_batch(BATCH, DIMS, dtype=jnp.float32, seed=1)
+
+    # Reference benchmark options (benchmarks/options.h:10-27)
+    opts = to.Options(
+        max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
+        min_step_norm2=1e-16, max_consec_failures=3,
+        hessian=to.HessianOptions(save_last=False),
+    )
+
+    x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+    d_ex = jax.tree_util.tree_map(lambda a: a[0], data)
+    solve = jax.jit(batched_solver(prior_residual, opts, "residuals",
+                                   x_ex, d_ex))
+
+    # Warmup / compile
+    x_opt, out = jax.block_until_ready(solve(x0, data))
+    conv = float(jnp.mean(out.converged()))
+    mean_iters = float(jnp.mean(out.num_iters))
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve(x0, data))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    solves_per_s = BATCH / dt
+    ref_solves_per_s = 1e6 / REF_SOLVE_US
+    print(json.dumps({
+        "metric": "batched_prior50_lm_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": f"solves/s (batch={BATCH}, dims={DIMS}, f32, "
+                f"conv={conv:.2f}, mean_iters={mean_iters:.1f}, "
+                f"wall={dt*1e3:.1f}ms)",
+        "vs_baseline": round(solves_per_s / ref_solves_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,21 +14,23 @@ import jax
 import jax.numpy as jnp
 
 from ..manifold import Manifold, register_manifold
-from .so3 import SO3, _exp_quat, _qmul
-
-_EPS = 1e-8
+from .so3 import SO3, _exp_quat, _qmul, _small
 
 
 def _se3_exp(delta):
-    """se(3) tangent (..., 6) -> (SO3, t) with the closed-form V matrix."""
+    """se(3) tangent (..., 6) -> (SO3, t), NaN-safe under AD at δ=0."""
     rho = delta[..., :3]
     omega = delta[..., 3:]
     theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta2 + _EPS ** 2)
+    small = _small(theta2)
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     q = _exp_quat(omega)
-    # V = I + (1-cosθ)/θ² [ω]ₓ + (θ-sinθ)/θ³ [ω]ₓ²
-    a = (1.0 - jnp.cos(theta)) / (theta2 + _EPS ** 2)
-    b = (theta - jnp.sin(theta)) / (theta2 * theta + _EPS ** 3)
+    # V = I + (1-cosθ)/θ² [ω]ₓ + (θ-sinθ)/θ³ [ω]ₓ²  (Taylor near 0)
+    a = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - jnp.sin(theta))
+                  / jnp.where(small, 1.0, theta2 * theta))
     wx = jnp.cross(omega, rho)
     wwx = jnp.cross(omega, wx)
     t = rho + a * wx + b * wwx
@@ -53,11 +55,14 @@ class SE3:
     def log(self):
         omega = self.rotation.log()
         theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
-        theta = jnp.sqrt(theta2 + _EPS ** 2)
-        # V⁻¹ = I - ½[ω]ₓ + (1/θ² − (1+cosθ)/(2θ sinθ)) [ω]ₓ²
+        small = _small(theta2)
+        theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+        # V⁻¹ = I − ½[ω]ₓ + c·[ω]ₓ², c = (1 − ½θ·cot(½θ))/θ²,
+        # Taylor c → 1/12 + θ²/720 near 0.
         half = 0.5 * theta
-        cot = jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)
-        c = (1.0 / (theta2 + _EPS ** 2)) * (1.0 - half * cot)
+        cot = jnp.cos(half) / jnp.sin(half)
+        c = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
+                      (1.0 - half * cot) / jnp.where(small, 1.0, theta2))
         wt = jnp.cross(omega, self.translation)
         wwt = jnp.cross(omega, wt)
         rho = self.translation - 0.5 * wt + c * wwt

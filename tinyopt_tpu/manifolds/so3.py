@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from ..manifold import Manifold, register_manifold
 
-_EPS = 1e-8
+def _small(theta2):
+    """Small-angle guard threshold, dtype-aware (f32-safe: no underflow)."""
+    eps = jnp.finfo(theta2.dtype).eps
+    return theta2 < eps ** 0.5
 
 
 def _qmul(a, b):
@@ -33,25 +36,38 @@ def _qmul(a, b):
 
 
 def _exp_quat(w):
-    """so(3) -> unit quaternion, Taylor-guarded near 0 for AD safety."""
+    """so(3) -> unit quaternion, NaN-safe under AD at θ=0.
+
+    Uses the where-guard idiom: the singular branch never sees θ=0 (its
+    operand is replaced by 1), and small angles take a Taylor series whose
+    derivative is exact at 0 — both the value AND the jvp are finite, which
+    is what the LM linearization at δ=0 differentiates through.
+    """
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta2 + _EPS ** 2)
+    small = _small(theta2)
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     half = 0.5 * theta
-    # sin(θ/2)/θ with series fallback; the +eps² regularization keeps the
-    # derivative finite at θ=0 (error O(eps²), far below f32 resolution).
-    k = jnp.sin(half) / theta
-    qw = jnp.cos(half)
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
+    qw = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
     return jnp.concatenate([qw, k * w], axis=-1)
 
 
 def _log_quat(q):
-    """Unit quaternion -> so(3) tangent (angle-axis)."""
+    """Unit quaternion -> so(3) tangent (angle-axis), NaN-safe under AD."""
     qw = q[..., :1]
     qv = q[..., 1:]
-    n = jnp.sqrt(jnp.sum(qv * qv, axis=-1, keepdims=True) + _EPS ** 2)
+    n2 = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = _small(n2)
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
     angle = 2.0 * jnp.arctan2(n, jnp.abs(qw))
+    # angle/n ≈ 2/|qw| · (1 − n²/(3qw²)) for small n (the overall sign(qw)
+    # factor below handles the quaternion double cover)
+    aqw = jnp.maximum(jnp.abs(qw), 1e-3)
+    scale = jnp.where(small,
+                      2.0 / aqw * (1.0 - n2 / (3.0 * aqw * aqw)),
+                      angle / n)
     sign = jnp.where(qw < 0, -1.0, 1.0)
-    return sign * angle * qv / n
+    return sign * scale * qv
 
 
 @jax.tree_util.register_dataclass

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from . import manifold as mf
 from .diff.auto import make_acc_system, make_cost_system, make_nlls_system
+from .diff.num_diff import Method, make_num_diff_system
 from .optimizers.loop import optimize_from_acc, _skipped_output
 from .options import Options, SolverType
 from .output import Output
@@ -62,6 +63,7 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example) -> Callab
     if mode == "auto":
         mode = _detect_mode(fn, x_example, options)
 
+    num_diff_used = False
     if mode == "residuals":
         if first_order:
             # GD requires a scalar cost (optimize.h:59-72); a 1-element
@@ -71,6 +73,19 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example) -> Callab
                     jnp.ravel(jnp.asarray(fn(x))))), x_example, spec)
         else:
             acc, ev, n_res = make_nlls_system(fn, x_example, spec)
+            # AD fallback to numerical differentiation when the residual
+            # function is not differentiable by JAX (e.g. missing custom
+            # JVP rules) — the reference's numdiff fallback setting
+            # Output.num_diff_used (reference: optimizer.h:167-182).
+            try:
+                jax.eval_shape(acc, x_example)
+            except Exception:  # noqa: BLE001 - any trace/AD failure
+                acc, ev, n_res = make_num_diff_system(fn, x_example, spec)
+                num_diff_used = True
+    elif mode == "numdiff":
+        acc, ev, n_res = make_num_diff_system(
+            fn, x_example, spec, first_order=first_order)
+        num_diff_used = True
     elif mode == "cost":
         if not first_order:
             raise ValueError(
@@ -86,8 +101,9 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example) -> Callab
     def solve(x):
         if n_res == 0:
             cap = options.max_iters + 1 + (1 if options.check_final_cost else 0)
-            return x, _skipped_output(cap, spec.dtype, False)
-        return optimize_from_acc(x, acc, ev, options, spec)
+            return x, _skipped_output(cap, spec.dtype, num_diff_used)
+        return optimize_from_acc(x, acc, ev, options, spec,
+                                 num_diff_used=num_diff_used)
 
     return solve
 

@@ -90,12 +90,25 @@ blake_zisserman_loss = _loss_of(blake_zisserman)
 
 
 def robust_whiten(r, robust_fn, th2):
-    """IRLS whitening: r' = √scale · r so that ‖r'‖² ≈ robust loss.
+    """Robust whitening: r' = √(ρ(n²)/n²) · r so that ‖r'‖² = ρ(n²) exactly.
 
     The TPU-idiomatic way to use robust norms inside a residual function:
-    the AD of r' carries the IRLS weight into J automatically.
+    AD of r' carries the robustification into the Jacobian automatically,
+    and the squared norm of the whitened residual IS the robust loss — so
+    hard-rejecting norms (Truncated, Tukey) contribute their constant
+    outlier plateau ρ(∞) to the cost instead of a spurious zero (which
+    would make "reject everything" a global optimum).
     """
     r = jnp.ravel(r)
     n2 = jnp.vdot(r, r)
-    _, scale = robust_fn(n2, th2)
-    return jnp.sqrt(scale) * r
+    loss, _ = robust_fn(n2, th2)
+    tiny = jnp.finfo(n2.dtype).tiny
+    # Double-where guards: neither branch of a where may produce NaN in
+    # value or tangent, so the divisions/sqrts only ever see safe operands.
+    pos = n2 > tiny
+    ratio = jnp.maximum(loss, 0.0) / jnp.where(pos, n2, 1.0)
+    rpos = ratio > 0
+    w = jnp.where(pos,
+                  jnp.where(rpos, jnp.sqrt(jnp.where(rpos, ratio, 1.0)), 0.0),
+                  1.0)
+    return w * r

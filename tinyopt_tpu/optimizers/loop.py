@@ -243,7 +243,11 @@ def optimize_from_acc(
         lm_state = rs.lm
 
         # --- Early failure routing (optimizer.h:364-409) ---
-        err_bad = jnp.isnan(err) | jnp.isinf(err)
+        # A non-finite gradient means the *system* is broken, not the
+        # factorization: the reference reaches the same verdict through its
+        # NaN check on |dx|² (optimizer.h:415-425).
+        err_bad = (jnp.isnan(err) | jnp.isinf(err)
+                   | ~jnp.all(jnp.isfinite(g)))
         no_res = n_res <= 0
         stop_early = jnp.where(
             solved,

@@ -99,6 +99,15 @@ def powell_singular_residuals(p):
     ])
 
 
+def easom_cost(p):
+    """Easom: 1 − cos(x)cos(y)e^{−((x−π)²+(y−π)²)}, global min at (π, π)
+    on a near-flat plateau (tests/optimize_easy.cpp:90-143)."""
+    pi = jnp.pi
+    dx = p[0] - pi
+    dy = p[1] - pi
+    return 1.0 - jnp.cos(p[0]) * jnp.cos(p[1]) * jnp.exp(-(dx * dx + dy * dy))
+
+
 # ---- Hard suite (tests/optimize_hard.cpp) ----
 
 def beale_residuals(p):
@@ -119,3 +128,28 @@ def jennrich_sampson_residuals(p, m: int = 10):
     x1, x2 = p
     i = jnp.arange(1, m + 1, dtype=p.dtype)
     return 2.0 + 2.0 * i - (jnp.exp(i * x1) + jnp.exp(i * x2))
+
+
+def wood_residuals(p):
+    """Wood's function as 6 residuals, min at (1,1,1,1)
+    (tests/optimize_hard.cpp:112-144)."""
+    x1, x2, x3, x4 = p
+    s10 = jnp.sqrt(10.0)
+    return jnp.stack([
+        10.0 * (x2 - x1 * x1),
+        1.0 - x1,
+        jnp.sqrt(90.0) * (x4 - x3 * x3),
+        1.0 - x3,
+        s10 * (x2 + x4 - 2.0),
+        (x2 - x4) / s10,
+    ])
+
+
+def freudenstein_roth_residuals(p):
+    """Freudenstein-Roth, global min at (5, 4)
+    (tests/optimize_hard.cpp:155-214)."""
+    x1, x2 = p
+    return jnp.stack([
+        x1 - 13.0 + ((5.0 - x2) * x2 - 2.0) * x2,
+        x1 - 29.0 + ((x2 + 1.0) * x2 - 14.0) * x2,
+    ])

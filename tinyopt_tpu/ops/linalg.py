@@ -23,11 +23,19 @@ def damp_diagonal(H: jax.Array, lam) -> jax.Array:
     since we always keep the *un-damped* H and damp on the fly, the
     incremental ``(1+λ)/(1+λ_prev)`` re-damping trick is unnecessary — the
     math is identical and the O(d²) add fuses into the factorization.
+
+    Deviation for exactly-zero diagonal entries (a parameter with no
+    residual coupling at the linearization point): multiplicative damping
+    cannot regularize them, but the reference's LDLT tolerates the
+    semidefinite system where Cholesky produces NaNs — so those entries
+    get absolute (Marquardt λ·1) damping instead, which the λ-escalation
+    retry loop then drives to a solvable system.
     """
     d = H.shape[-1]
     eye = jnp.eye(d, dtype=H.dtype)
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
-    return H + lam * (eye * diag[..., None, :])
+    damp = jnp.where(diag == 0, jnp.ones_like(diag), diag)
+    return H + lam * (eye * damp[..., None, :])
 
 
 def solve_psd(H: jax.Array, b: jax.Array, use_cholesky: bool = True):

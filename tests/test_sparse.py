@@ -1,0 +1,134 @@
+"""Sparse-path tests: block-diagonal Hessians and matrix-free GN-CG.
+
+Mirror of the reference tests/sparse.cpp:19-85 (diagonal problem with a
+sparse Hessian, AD into sparse H) re-expressed in the TPU-native
+formulations, plus equivalence checks against the dense path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu.ops.block import BlockDiag
+from tinyopt_tpu.models.problems import sparse_diag_residual
+
+
+class TestBlockDiag:
+    def test_to_dense_and_matvec(self):
+        rng = np.random.default_rng(0)
+        blocks = jnp.asarray(rng.uniform(-1, 1, (3, 2, 2)))
+        B = BlockDiag(blocks)
+        dense = np.asarray(B.to_dense())
+        assert dense.shape == (6, 6)
+        v = jnp.asarray(rng.uniform(-1, 1, 6))
+        np.testing.assert_allclose(np.asarray(B.matvec(v)), dense @ np.asarray(v),
+                                   atol=1e-12)
+
+    def test_solve_matches_dense(self):
+        rng = np.random.default_rng(1)
+        A = jnp.asarray(rng.uniform(-1, 1, (4, 3, 3)))
+        blocks = jnp.einsum("nij,nkj->nik", A, A) + 3 * jnp.eye(3)
+        B = BlockDiag(blocks)
+        b = jnp.asarray(rng.uniform(-1, 1, 12))
+        dx, ok = B.solve(b)
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(dx), np.linalg.solve(np.asarray(B.to_dense()),
+                                            np.asarray(b)), atol=1e-10)
+
+    def test_inv_is_blockwise(self):
+        blocks = jnp.stack([2.0 * jnp.eye(2), 4.0 * jnp.eye(2)])
+        C = BlockDiag(blocks).inv()
+        np.testing.assert_allclose(np.asarray(C.blocks[0]), np.eye(2) / 2)
+        np.testing.assert_allclose(np.asarray(C.blocks[1]), np.eye(2) / 4)
+
+
+class TestBlockOptimize:
+    @pytest.mark.parametrize("dims", [10, 100])
+    def test_diag_problem(self, dims):
+        """The reference's sparse diagonal problem (tests/sparse.cpp:19-61,
+        benchmarks/sparse.cpp:52-61): r_i = x_i² − i, block size 1."""
+        targets = jnp.arange(1.0, dims + 1.0).reshape(dims, 1)
+        # Far start: needs unlimited λ escalation (as the reference's own
+        # hard tests configure, optimize_hard.cpp:52).
+        x, out = to.block_optimize(
+            jnp.ones((dims, 1)),
+            lambda xb, t: xb * xb - t,
+            data=targets,
+            options=to.Options(max_consec_failures=0, max_iters=100))
+        assert bool(out.succeeded())
+        np.testing.assert_allclose(
+            np.asarray(x).ravel(),
+            np.sqrt(np.arange(1.0, dims + 1.0)), atol=1e-6)
+
+    def test_matches_dense_path(self):
+        """Block solve == dense solve on the same (block-structured)
+        problem (sparse-vs-dense agreement, tests/sparse.cpp:65-85)."""
+        targets = jnp.arange(1.0, 9.0).reshape(8, 1)
+        x_blk, out_blk = to.block_optimize(
+            jnp.ones((8, 1)), lambda xb, t: xb * xb - t, data=targets)
+        x_dense, out_dense = to.optimize(
+            jnp.ones(8), sparse_diag_residual)
+        np.testing.assert_allclose(np.asarray(x_blk).ravel(),
+                                   np.asarray(x_dense), atol=1e-8)
+        assert float(out_blk.final_cost.cost) == pytest.approx(
+            float(out_dense.final_cost.cost), abs=1e-10)
+
+    def test_block_hessian_saved_and_covariance(self):
+        targets = jnp.arange(1.0, 5.0).reshape(4, 1)
+        x, out = to.block_optimize(jnp.ones((4, 1)),
+                                   lambda xb, t: xb * xb - t, data=targets)
+        assert isinstance(out.final_hessian, BlockDiag)
+        C = out.covariance()
+        # J = diag(2x) → cov = diag(1/(4x²)) = diag(1/(4i))
+        np.testing.assert_allclose(
+            np.diag(np.asarray(C)),
+            1.0 / (4.0 * np.arange(1.0, 5.0)), rtol=1e-5)
+
+    def test_multidim_blocks(self):
+        """bs=3 blocks: each block fits a small quadratic independently."""
+        nb, bs = 6, 3
+        rng = np.random.default_rng(2)
+        targets = jnp.asarray(rng.uniform(-1, 1, (nb, bs)))
+        x, out = to.block_optimize(jnp.zeros((nb, bs)),
+                                   lambda xb, t: xb - t, data=targets)
+        assert bool(out.converged())
+        np.testing.assert_allclose(np.asarray(x), np.asarray(targets),
+                                   atol=1e-8)
+
+
+class TestMatfreeOptimize:
+    def test_matches_dense_lm(self):
+        """GN-CG reaches the same optimum as dense LM on Rosenbrock."""
+        from tinyopt_tpu.models.problems import rosenbrock_residuals
+        # Scalar (λ·ray·I) damping steers less precisely through the
+        # Rosenbrock valley than per-coordinate diag damping, so give the
+        # budget the reference's hard suite uses.
+        x_mf, out_mf = to.matfree_optimize(
+            jnp.array([-1.2, 1.0]), rosenbrock_residuals,
+            to.Options(max_iters=150, max_consec_failures=0))
+        assert bool(out_mf.succeeded())
+        np.testing.assert_allclose(np.asarray(x_mf), [1.0, 1.0], atol=1e-4)
+        assert out_mf.final_hessian is None
+
+    def test_large_dim_diag(self):
+        """1000-dim diagonal problem, never materializing the 1000² H
+        (the regime the reference says it is slow in, README.md:30)."""
+        dims = 1000
+        x, out = to.matfree_optimize(
+            jnp.ones(dims), sparse_diag_residual,
+            to.Options(max_iters=100, max_consec_failures=0), cg_iters=50)
+        assert bool(out.succeeded())
+        np.testing.assert_allclose(
+            np.asarray(x), np.sqrt(np.arange(1.0, dims + 1.0)), atol=1e-4)
+
+    def test_manifold_params(self):
+        """Matrix-free on a manifold (SE3 pose prior)."""
+        from tinyopt_tpu.manifolds import SE3
+        prior_inv = SE3.exp(jnp.asarray(np.linspace(-0.4, 0.4, 6)))
+        pose, out = to.matfree_optimize(
+            SE3.identity(jnp.float64),
+            lambda x: (prior_inv @ x).log())
+        assert float(jnp.linalg.norm((pose @ prior_inv).log())) < 1e-5

@@ -26,6 +26,9 @@ from .manifold import (
 from . import diff
 from . import losses
 from . import manifolds
+from . import sparse
+from .sparse import block_optimize, matfree_optimize
+from .ops.block import BlockDiag
 from .version import __version__
 
 # Namespace products mirroring the reference (optimizers/{nlls,unconstrained}.h)
@@ -46,6 +49,7 @@ __all__ = [
     "Manifold", "register_manifold", "tangent_spec", "retract", "local",
     "TangentSpec",
     "lm", "gn", "gd", "nlls", "unconstrained",
-    "diff", "losses", "manifolds",
+    "diff", "losses", "manifolds", "sparse",
+    "block_optimize", "matfree_optimize", "BlockDiag",
     "__version__",
 ]

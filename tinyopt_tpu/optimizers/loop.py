@@ -109,7 +109,8 @@ class _RetryState(NamedTuple):
     tried: jax.Array
 
 
-def _solve_with_retries(H, g, lm_state, c, extra_ok, opts):
+def _solve_with_retries(H, g, lm_state, c, extra_ok, opts,
+                        propose=propose_step):
     """Inner retry loop: propose, and on failure escalate λ and retry.
 
     Mirrors optimizer.h:356-399 with FailedStep = λ escalation (LM) or
@@ -124,7 +125,7 @@ def _solve_with_retries(H, g, lm_state, c, extra_ok, opts):
         return (~s.ok) & (~s.give_up) & (s.num_consec <= max_tries)
 
     def body(s: _RetryState):
-        dx, ok = propose_step(H, g, s.lm.lam, opts)
+        dx, ok = propose(H, g, s.lm.lam, opts)
         ok = ok & extra_ok
         nf = s.num_failures + jnp.where(ok, 0, 1).astype(_I32)
         nc = s.num_consec + jnp.where(ok, 0, 1).astype(_I32)
@@ -155,12 +156,18 @@ def optimize_from_acc(
     options: Options,
     spec: mf.TangentSpec | None = None,
     num_diff_used: bool = False,
+    propose: Callable = propose_step,
 ):
     """Run the full optimization loop. Pure function: (x0) -> (x_opt, Output).
 
     ``accumulate(x) -> (H, g, Cost)`` builds the normal equations (H is None
     for first-order solvers); ``evaluate(x) -> Cost`` computes the cost only
     (used after consecutive rejections, mirroring ``Rebuild(false)``).
+
+    ``H`` may be any pytree the ``propose`` function understands: a dense
+    (d, d) array, a :class:`~tinyopt_tpu.ops.block.BlockDiag`, or a custom
+    representation paired with a custom ``propose(H, g, λ, opts)`` (e.g.
+    the matrix-free GN-CG path in ``tinyopt_tpu.sparse``).
 
     jit/vmap/shard-friendly: all shapes static, control flow in lax.
     """
@@ -184,7 +191,14 @@ def optimize_from_acc(
     big = jnp.asarray(jnp.inf, dtype)
 
     def init_carry(x0):
-        H0 = None if first_order else jnp.zeros((d, d), dtype)
+        if first_order:
+            H0 = None
+        else:
+            # The H representation is whatever accumulate produces (dense
+            # array, BlockDiag, linearization-point pytree, ...).
+            H_shape = jax.eval_shape(accumulate, x0)[0]
+            H0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), H_shape)
         return _Carry(
             x=x0, best_x=x0, H=H0, g=jnp.zeros((d,), dtype),
             lm=lm_init(opts, dtype),
@@ -232,13 +246,14 @@ def optimize_from_acc(
 
         # --- Build validity (lm.h:83-88): min |H[i,i]| check ---
         if (not first_order) and opts.hessian.check_min_H_diag > 0:
-            diag_ok = jnp.all(
-                jnp.abs(jnp.diagonal(H)) >= opts.hessian.check_min_H_diag)
+            diag = (H.diagonal() if hasattr(H, "diagonal")
+                    else jnp.diagonal(H))
+            diag_ok = jnp.all(jnp.abs(diag) >= opts.hessian.check_min_H_diag)
         else:
             diag_ok = jnp.ones((), bool)
 
         # --- Inner solve-retry loop with λ escalation ---
-        rs = _solve_with_retries(H, g, c.lm, c, diag_ok, opts)
+        rs = _solve_with_retries(H, g, c.lm, c, diag_ok, opts, propose)
         dx, solved = rs.dx, rs.ok
         lm_state = rs.lm
 

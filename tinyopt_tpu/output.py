@@ -71,9 +71,12 @@ class Output:
         if self.final_hessian is None:
             return None
         H = self.final_hessian
-        d = H.shape[-1]
-        eye = jnp.eye(d, dtype=H.dtype)
-        cov = jnp.linalg.solve(H, eye)
+        if hasattr(H, "inv"):       # BlockDiag: blockwise sparse covariance
+            cov = H.inv().to_dense()
+        else:
+            d = H.shape[-1]
+            eye = jnp.eye(d, dtype=H.dtype)
+            cov = jnp.linalg.solve(H, eye)
         if rescaled:
             n = self.final_cost.num_residuals
             c = self.final_cost.cost

@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..options import SolverType
+from ..ops.block import BlockDiag
 from ..ops.linalg import damp_diagonal, solve_psd
 
 
@@ -20,10 +21,17 @@ def propose_step(H, g, lam, opts):
     * GD:    dx = -lr · g, always succeeds.
     * GN/LM: solve (H ⊕ λ·diag) dx = -g via Cholesky (λ = 0 for GN);
              failure (non-PSD) reported through ``ok`` for λ-escalation.
+
+    ``H`` may be a dense (d, d) array or a :class:`BlockDiag` — the
+    block-sparse path solves all blocks with one batched Cholesky.
     """
     if opts.solver_type == SolverType.GRADIENT_DESCENT:
         dx = -g.dtype.type(opts.gd.lr) * g
         return dx, jnp.ones((), bool)
-    Hd = damp_diagonal(H, lam) if opts.solver_type == SolverType.LEVENBERG_MARQUARDT else H
+    is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+    if isinstance(H, BlockDiag):
+        Hd = H.damp(lam) if is_lm else H
+        return Hd.solve(-g, use_cholesky=opts.hessian.use_ldlt)
+    Hd = damp_diagonal(H, lam) if is_lm else H
     dx, ok = solve_psd(Hd, -g, use_cholesky=opts.hessian.use_ldlt)
     return dx, ok

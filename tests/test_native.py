@@ -1,0 +1,94 @@
+"""Native (C++) micro-runtime tests.
+
+The host-side dense LM core (tinyopt_tpu/native/tinyopt_native.cpp) must
+agree with the XLA path on converged results and stop-reason semantics —
+it is the µs-latency backend for the reference's headline regime
+(reference: benchmarks/dense.cpp:28-114).
+"""
+
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu import native
+
+
+class TestBuiltinProblems:
+    def test_sqrt2(self):
+        res = native.bench_sqrt2(1.0)
+        assert res.stop_reason == int(to.StopReason.MIN_ERROR)
+        assert res.x[0] == pytest.approx(np.sqrt(2), abs=1e-8)
+        assert res.num_iters == 5  # same trajectory as the XLA path
+
+    def test_prior_50(self):
+        rng = np.random.default_rng(0)
+        d = 50
+        y = rng.uniform(-1, 1, d)
+        std = rng.uniform(0.1, 1.1, d)
+        x0 = rng.uniform(-1, 1, d)
+        res = native.bench_prior(y, 1.0 / std, x0)
+        assert res.stop_reason > 0
+        np.testing.assert_allclose(res.x, y, atol=1e-6)
+
+
+class TestCallbackPath:
+    def test_rosenbrock(self):
+        def rj(x):
+            r = np.array([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2)])
+            J = np.array([[-1.0, 0.0], [-20.0 * x[0], 10.0]])
+            return r, J
+
+        res = native.native_optimize(
+            np.array([-1.2, 1.0]), rj, 2,
+            native.make_options(max_iters=100, max_consec_failures=20))
+        assert res.stop_reason > 0
+        np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-5)
+
+    def test_gd(self):
+        def rj(x):
+            return x.copy(), np.eye(3)
+
+        res = native.native_optimize(
+            np.array([1.0, -2.0, 3.0]), rj, 3,
+            native.make_options("gd", max_iters=5000, gd_lr=0.05))
+        assert np.max(np.abs(res.x)) < 1e-3
+
+    def test_gn(self):
+        def rj(x):
+            return np.array([x[0] * x[0] - 2.0]), np.array([[2.0 * x[0]]])
+
+        res = native.native_optimize(np.array([1.5]), rj, 1,
+                                     native.make_options("gn"))
+        assert res.x[0] == pytest.approx(np.sqrt(2), abs=1e-8)
+
+    def test_nan_detection(self):
+        def rj(x):
+            return np.array([np.nan]), np.array([[1.0]])
+
+        res = native.native_optimize(np.array([1.0]), rj, 1)
+        assert res.stop_reason == int(to.StopReason.SYSTEM_HAS_NAN_OR_INF)
+
+    def test_failure_budget(self):
+        # Constant residual with a gradient pointing uphill: every step
+        # is rejected.
+        def rj(x):
+            return np.array([1.0 + x[0] * x[0]]), np.array([[-2.0]])
+
+        res = native.native_optimize(
+            np.array([2.0]), rj, 1,
+            native.make_options(max_consec_failures=3, min_error=0,
+                                min_rerr_dec=0, min_step_norm2=0,
+                                min_grad_norm2=0))
+        assert res.stop_reason == int(to.StopReason.MAX_CONSEC_NO_DECR)
+
+
+class TestAgreementWithXLA:
+    def test_same_convergence_trajectory(self):
+        """Native and XLA paths take the same number of iterations and
+        reach the same cost on sqrt2 (identical λ schedules)."""
+        import jax.numpy as jnp
+        x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0)
+        res = native.bench_sqrt2(1.0)
+        assert res.num_iters == int(out.num_iters)
+        assert res.final_cost == pytest.approx(float(out.final_cost.cost),
+                                               rel=1e-6, abs=1e-18)

@@ -61,6 +61,36 @@ class TestProposeStep:
         assert bool(ok) and float(dx[0]) == pytest.approx(-0.5)
 
 
+class TestCGSolver:
+    def test_cg_matches_cholesky_solution(self):
+        from tinyopt_tpu.ops.linalg import solve_psd_cg
+        rng = np.random.default_rng(5)
+        A = jnp.asarray(rng.uniform(-1, 1, (7, 9)))
+        H = A @ A.T + 0.5 * jnp.eye(7)
+        b = jnp.asarray(rng.uniform(-1, 1, 7))
+        dx = solve_psd_cg(H, b, iters=7)
+        np.testing.assert_allclose(np.asarray(dx),
+                                   np.linalg.solve(np.asarray(H),
+                                                   np.asarray(b)), atol=1e-8)
+
+    def test_cg_option_converges(self):
+        opts = to.Options(hessian=to.HessianOptions(solver="cg"))
+        x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0, opts)
+        assert float(x) == pytest.approx(np.sqrt(2), abs=1e-6)
+
+    def test_cg_option_batched_vmap(self):
+        """The custom_vmap route (the batched solver path)."""
+        import jax
+        opts = to.Options(hessian=to.HessianOptions(solver="cg",
+                                                    cg_iters=10))
+        solve = to.build_solver(lambda p: p * p - jnp.arange(1.0, 4.0),
+                                opts, "residuals", jnp.ones(3))
+        xs, outs = jax.jit(jax.vmap(solve))(jnp.ones((4, 3)))
+        np.testing.assert_allclose(
+            np.asarray(xs), np.sqrt(np.arange(1.0, 4.0))[None, :].repeat(4, 0),
+            atol=1e-5)
+
+
 class TestLMSchedule:
     """λ state machine (lm.h:123-154)."""
 

@@ -1,0 +1,131 @@
+"""Fused batched-CG Pallas kernel for the LM normal-equation solves.
+
+The performance-critical step of batched LM is solving thousands of small
+damped systems ``(H_b + λD_b) dx_b = −g_b``.  The XLA lowering of a
+batched CG re-reads the whole H tensor (batch × d × d, ~100 MB for the
+headline bench) from HBM on EVERY CG iteration — profiling shows this one
+multiply-reduce dominates the solve.  This kernel tiles the batch, loads
+each H tile into VMEM ONCE, and runs all CG iterations on-chip: HBM
+traffic drops from ``iters × |H|`` to ``|H|``.
+
+Integration is transparent: :func:`cg_solve` is a ``custom_vmap`` —
+called un-batched (inside the per-instance optimizer loop) it is a plain
+CG; under ``vmap`` (the batched/sharded solvers) the batching rule fires
+once with the full batch and dispatches to the fused kernel on TPU
+backends, falling back to the XLA path elsewhere (CPU tests, interpreters).
+
+No reference counterpart: the reference is single-instance (SURVEY.md
+§2.3); this kernel is the core of the "fused accumulate/solve ≥95% of
+roofline" deliverable (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .linalg import solve_psd_cg
+
+
+def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
+    H = H_ref[:]                      # (BT, D, D) resident in VMEM
+    b = b_ref[:]                      # (BT, D)
+    eps = jnp.finfo(b.dtype).tiny
+
+    def matvec(p):
+        # Batched matvec on VMEM-resident H: contract j of (BT, D, j)
+        # with (BT, j) — batch dim 0.
+        return jax.lax.dot_general(
+            H, p, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(b.dtype)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    rs0 = jnp.sum(r0 * r0, axis=-1)
+
+    def body(_, carry):
+        x, r, p, rs = carry
+        Hp = matvec(p)
+        alpha = rs / jnp.maximum(jnp.sum(p * Hp, -1), eps)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Hp
+        rs_new = jnp.sum(r * r, -1)
+        p = r + (rs_new / jnp.maximum(rs, eps))[:, None] * p
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, r0, rs0))
+    x_ref[:] = x
+
+
+def batched_cg_tpu(H: jax.Array, b: jax.Array, iters: int,
+                   block: int = 256) -> jax.Array:
+    """Solve B systems ``H[i] x = b[i]`` with the fused VMEM-resident CG.
+
+    H: (B, d, d), b: (B, d).  B is padded to a multiple of ``block``
+    (padded systems solve I·x = 0, which CG leaves at 0).
+    """
+    B, d, _ = H.shape
+    # Keep the H tile + CG vectors inside VMEM (~16 MB/core).  Mosaic pads
+    # the trailing dims to the (sublane, lane) tile — (8, 128) for f32 —
+    # and double-buffers input blocks across grid steps, so budget on the
+    # padded, doubled footprint.
+    d_sub = ((d + 7) // 8) * 8
+    d_lane = ((d + 127) // 128) * 128
+    bytes_per_inst = (d_sub * d_lane + 5 * d_lane) * H.dtype.itemsize
+    while block > 8 and 2 * block * bytes_per_inst > 10 * 1024 * 1024:
+        block //= 2
+    Bp = ((B + block - 1) // block) * block
+    if Bp != B:
+        pad = Bp - B
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=H.dtype), (pad, d, d))
+        H = jnp.concatenate([H, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, d), b.dtype)], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_cg_kernel, iters=iters),
+        grid=(Bp // block,),
+        in_specs=[
+            pl.BlockSpec((block, d, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, d), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, d), b.dtype),
+    )(H, b)
+    return out[:B]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
+
+def make_cg_solver(iters: int):
+    """A ``custom_vmap``-wrapped CG solve: (d,d),(d,) -> (d,).
+
+    Unbatched → plain XLA CG.  vmapped (the batched optimizer) → one call
+    on the whole batch, dispatched to the fused Pallas kernel on TPU.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def cg(H, b):
+        return solve_psd_cg(H, b, iters)
+
+    @cg.def_vmap
+    def _cg_vmap(axis_size, in_batched, H, b):
+        H_b, b_b = in_batched
+        if not H_b:
+            H = jnp.broadcast_to(H, (axis_size,) + H.shape)
+        if not b_b:
+            b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+        if _on_tpu() and H.ndim == 3:
+            out = batched_cg_tpu(H, b, iters)
+        else:
+            out = solve_psd_cg(H, b, iters)
+        return out, True
+
+    return cg

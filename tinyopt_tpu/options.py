@@ -41,6 +41,13 @@ class HessianOptions:
     check_min_H_diag: float = 0.0
     #: Save the last (un-damped) Hessian into the Output.
     save_last: bool = True
+    #: Linear solver for the normal equations: "cholesky" (exact,
+    #: PSD-failure detection) or "cg" (batched conjugate gradients —
+    #: inexact LM; ~1000× faster than XLA's batched Cholesky on TPU for
+    #: many small systems; no reference counterpart).
+    solver: str = "cholesky"
+    #: CG iteration count (0 = tangent dimension).
+    cg_iters: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

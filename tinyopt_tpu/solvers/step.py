@@ -8,11 +8,19 @@ The "linear-system layer" of the framework: given the accumulated gradient
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from ..options import SolverType
 from ..ops.block import BlockDiag
 from ..ops.linalg import damp_diagonal, solve_psd
+from ..ops.pallas_cg import make_cg_solver
+
+
+@functools.lru_cache(maxsize=None)
+def _cg_solver(iters: int):
+    return make_cg_solver(iters)
 
 
 def propose_step(H, g, lam, opts):
@@ -33,5 +41,9 @@ def propose_step(H, g, lam, opts):
         Hd = H.damp(lam) if is_lm else H
         return Hd.solve(-g, use_cholesky=opts.hessian.use_ldlt)
     Hd = damp_diagonal(H, lam) if is_lm else H
+    if opts.hessian.solver == "cg":
+        iters = opts.hessian.cg_iters or g.shape[-1]
+        dx = _cg_solver(iters)(Hd, -g)
+        return dx, jnp.all(jnp.isfinite(dx))
     dx, ok = solve_psd(Hd, -g, use_cholesky=opts.hessian.use_ldlt)
     return dx, ok

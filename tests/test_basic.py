@@ -132,6 +132,13 @@ class TestStopReasons:
         x, out = to.optimize(jnp.asarray(1.0), lambda x: jnp.zeros((0,)))
         assert _reason(out) == StopReason.SKIPPED
 
+    def test_out_of_memory(self):
+        """100k-dim dense Hessian (80 GB) → OUT_OF_MEMORY, not a crash
+        (basic.cpp:259-281)."""
+        x, out = to.optimize(jnp.zeros(100_000), lambda p: p - 1.0)
+        assert _reason(out) == StopReason.OUT_OF_MEMORY
+        assert not bool(out.succeeded())
+
 
 class TestHistoryInvariants:
     """History sizes and contents (basic.cpp:22-37)."""

@@ -1,0 +1,88 @@
+"""Cost accumulation, warm start, logging fields, timing utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu.cost import Cost
+
+
+class TestCostAccumulation:
+    def test_add_merges_counts_and_inliers(self):
+        """Partial-cost accumulation (reference cost.h:51-64)."""
+        a = Cost.make(1.0, 10, 0.8)
+        b = Cost.make(2.0, 30, 1.0)
+        c = a + b
+        assert float(c.cost) == pytest.approx(3.0)
+        assert int(c.num_residuals) == 40
+        assert float(c.inlier_ratio) == pytest.approx((8 + 30) / 40)
+
+    def test_from_residuals(self):
+        c = Cost.from_residuals(jnp.array([3.0, 4.0]))
+        assert float(c.cost) == pytest.approx(25.0)
+        assert int(c.num_residuals) == 2
+
+    def test_to_string(self):
+        s = Cost.make(4.0, 4, 0.5).to_string(print_inliers=True)
+        assert "n:4" in s and "in:" in s
+
+
+class TestWarmStart:
+    def test_warm_start_skips_first_build(self):
+        """With InitWith-style warm start, the first step is proposed from
+        the supplied system (reference optimizer.h:46-55)."""
+        target = jnp.array([2.0, -1.0])
+        fn = lambda p: p - target
+
+        # Exact system at x0=0: J=I, r=-target → g=-target, H=I. The first
+        # step is then the full Newton step; one iteration lands exactly.
+        g0 = -target
+        H0 = jnp.eye(2)
+        solve = to.build_solver(fn, to.Options(), "residuals",
+                                jnp.zeros(2), warm_start=(g0, H0))
+        x, out = jax.jit(solve)(jnp.zeros(2))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(target),
+                                   atol=1e-5)
+        assert bool(out.converged())
+
+    def test_wrong_warm_start_recovers(self):
+        """A bad warm-start system still converges (the step gets rejected
+        and the loop rebuilds)."""
+        fn = lambda x: x * x - 2.0
+        solve = to.build_solver(
+            fn, to.Options(max_consec_failures=0), "residuals",
+            jnp.asarray(1.0),
+            warm_start=(jnp.array([100.0]), jnp.array([[0.01]])))
+        x, out = jax.jit(solve)(jnp.asarray(1.0))
+        assert float(x) == pytest.approx(np.sqrt(2), abs=1e-5)
+
+
+class TestLoggingFields:
+    def test_print_extras_do_not_break_solve(self, capfd):
+        opts = to.Options(log=to.LogOptions(enable=True, print_x=True,
+                                            print_dx=True,
+                                            print_inliers=True,
+                                            print_max_stdev=True))
+        x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0, opts)
+        jax.effects_barrier()
+        assert float(x) == pytest.approx(np.sqrt(2), abs=1e-6)
+        captured = capfd.readouterr()
+        assert "x:" in captured.out and "sigma:" in captured.out
+
+
+class TestUtils:
+    def test_tic_toc(self):
+        t0 = to.utils.tic()
+        assert to.utils.toc_ms(t0) >= 0.0
+
+    def test_block_ms(self):
+        f = jax.jit(lambda x: x * 2.0)
+        ms = to.utils.block_ms(f, jnp.ones(8), n=2)
+        assert ms > 0
+
+    def test_debug_nans_context(self):
+        with to.utils.debug_nans(True):
+            with pytest.raises(FloatingPointError):
+                jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()

@@ -27,6 +27,7 @@ from . import diff
 from . import losses
 from . import manifolds
 from . import sparse
+from . import utils
 from .sparse import block_optimize, matfree_optimize
 from .ops.block import BlockDiag
 from .version import __version__
@@ -49,7 +50,7 @@ __all__ = [
     "Manifold", "register_manifold", "tangent_spec", "retract", "local",
     "TangentSpec",
     "lm", "gn", "gd", "nlls", "unconstrained",
-    "diff", "losses", "manifolds", "sparse",
+    "diff", "losses", "manifolds", "sparse", "utils",
     "block_optimize", "matfree_optimize", "BlockDiag",
     "__version__",
 ]

@@ -37,6 +37,16 @@ class Cost:
         r = jnp.ravel(residuals)
         return Cost.make(jnp.vdot(r, r), r.size, inlier_ratio)
 
+    def __add__(self, other: "Cost") -> "Cost":
+        """Accumulate two partial costs, merging inlier counts
+        (reference: cost.h:51-64)."""
+        n = self.num_residuals + other.num_residuals
+        inl = (self.num_inliers() + other.num_inliers()).astype(jnp.float32)
+        ratio = jnp.where(n > 0, inl / jnp.maximum(n, 1).astype(jnp.float32),
+                          jnp.float32(1.0))
+        return Cost(cost=self.cost + other.cost, num_residuals=n,
+                    inlier_ratio=ratio)
+
     def is_valid(self):
         """n > 0 and cost below the float max sentinel (cost.h:83)."""
         return (self.num_residuals > 0) & (self.cost < jnp.finfo(self.cost.dtype).max)

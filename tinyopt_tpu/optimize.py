@@ -49,12 +49,17 @@ def _detect_mode(fn, x, options) -> str:
     return "residuals"
 
 
-def build_solver(fn: Callable, options: Options, mode: str, x_example) -> Callable:
+def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
+                 warm_start=None) -> Callable:
     """Build the pure solve function (x) -> (x_opt, Output) for ``fn``.
 
     Use this directly to compose with jax transforms, e.g.
     ``jax.vmap(build_solver(f, opts, "residuals", x0))`` for batched
     instances sharded over a mesh.
+
+    ``warm_start=(g0, H0)`` seeds the normal equations (the reference's
+    ``InitWith`` warm start, optimizer.h:46-55): the first iteration
+    evaluates the cost only and proposes a step from the given system.
     """
     x_example = mf.as_pytree(x_example)
     spec = mf.tangent_spec(x_example)
@@ -103,7 +108,8 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example) -> Callab
             cap = options.max_iters + 1 + (1 if options.check_final_cost else 0)
             return x, _skipped_output(cap, spec.dtype, num_diff_used)
         return optimize_from_acc(x, acc, ev, options, spec,
-                                 num_diff_used=num_diff_used)
+                                 num_diff_used=num_diff_used,
+                                 warm_start=warm_start)
 
     return solve
 
@@ -138,7 +144,24 @@ def optimize(x, fn: Callable, options: Options | None = None, *,
         if jit:
             solve = jax.jit(solve)
         _CACHE[key] = solve
-    x_opt, out = solve(x)
+    try:
+        x_opt, out = solve(x)
+        out = jax.block_until_ready(out)
+    except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+        # Allocation failure -> kOutOfMemory (reference optimizer.h:61-92);
+        # XLA surfaces it as RESOURCE_EXHAUSTED at compile/dispatch time.
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
+                or "out of memory" in msg:
+            spec = mf.tangent_spec(x)
+            cap = options.max_iters + 1 + (1 if options.check_final_cost
+                                           else 0)
+            out = _skipped_output(cap, spec.dtype, False)
+            out.stop_reason = jnp.asarray(
+                int(StopReason.OUT_OF_MEMORY), jnp.int32)
+            out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
+            return x, out
+        raise
     out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
     return x_opt, out
 

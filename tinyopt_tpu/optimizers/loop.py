@@ -157,6 +157,7 @@ def optimize_from_acc(
     spec: mf.TangentSpec | None = None,
     num_diff_used: bool = False,
     propose: Callable = propose_step,
+    warm_start: tuple | None = None,
 ):
     """Run the full optimization loop. Pure function: (x0) -> (x_opt, Output).
 
@@ -168,6 +169,11 @@ def optimize_from_acc(
     (d, d) array, a :class:`~tinyopt_tpu.ops.block.BlockDiag`, or a custom
     representation paired with a custom ``propose(H, g, λ, opts)`` (e.g.
     the matrix-free GN-CG path in ``tinyopt_tpu.sparse``).
+
+    ``warm_start=(g0, H0)`` seeds the normal equations so the first
+    iteration evaluates the cost only instead of re-accumulating — the
+    reference's ``InitWith`` (optimizer.h:46-55).  ``H0`` is ignored for
+    first-order solvers.
 
     jit/vmap/shard-friendly: all shapes static, control flow in lax.
     """
@@ -199,8 +205,15 @@ def optimize_from_acc(
             H_shape = jax.eval_shape(accumulate, x0)[0]
             H0 = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), H_shape)
+        g0 = jnp.zeros((d,), dtype)
+        if warm_start is not None:
+            g0 = jnp.asarray(warm_start[0], dtype)
+            if (not first_order) and len(warm_start) > 1 \
+                    and warm_start[1] is not None:
+                H0 = jax.tree_util.tree_map(
+                    lambda z, w: jnp.asarray(w, z.dtype), H0, warm_start[1])
         return _Carry(
-            x=x0, best_x=x0, H=H0, g=jnp.zeros((d,), dtype),
+            x=x0, best_x=x0, H=H0, g=g0,
             lm=lm_init(opts, dtype),
             best_cost=big, best_num_res=jnp.zeros((), _I32),
             best_inliers=jnp.ones((), jnp.float32),
@@ -208,7 +221,7 @@ def optimize_from_acc(
             last_dx=jnp.zeros((d,), dtype),
             has_last_dx=jnp.zeros((), bool),
             last_was_success=jnp.ones((), bool),
-            rebuild=jnp.ones((), bool),
+            rebuild=jnp.asarray(warm_start is None),
             it=jnp.zeros((), _I32),
             num_failures=jnp.zeros((), _I32), num_consec=jnp.zeros((), _I32),
             stop=jnp.full((), int(StopReason.NONE), _I32),
@@ -392,12 +405,28 @@ def optimize_from_acc(
         last_was_success = success
 
         if opts.log.enable and _callbacks_supported():
-            jax.debug.print(
-                "#{it} ok:{g} " + opts.log.e + ":{err:.4e} n:{n} d:{derr:+.2e} "
-                "r:{rel:+.1e} |dx|:{dxn:.2e} |grad|:{gn:.2e} 1/lam:{il:.2e}",
-                it=it, g=good, err=err, n=n_res, derr=jnp.where(it == 0, 0.0, derr),
-                rel=rel_derr, dxn=jnp.sqrt(dx_norm2), gn=jnp.sqrt(grad_norm2),
-                il=1.0 / jnp.maximum(lm_state.lam, 1e-30), ordered=False)
+            fmt = ("#{it} ok:{g} " + opts.log.e + ":{err:.4e} n:{n} "
+                   "d:{derr:+.2e} r:{rel:+.1e} |dx|:{dxn:.2e} "
+                   "|grad|:{gn:.2e} 1/lam:{il:.2e}")
+            kw = dict(it=it, g=good, err=err, n=n_res,
+                      derr=jnp.where(it == 0, 0.0, derr), rel=rel_derr,
+                      dxn=jnp.sqrt(dx_norm2), gn=jnp.sqrt(grad_norm2),
+                      il=1.0 / jnp.maximum(lm_state.lam, 1e-30))
+            if opts.log.print_x:
+                fmt += " x:{x}"
+                kw["x"] = mf.flatten_values(x_new)
+            if opts.log.print_dx:
+                fmt += " dx:{dx}"
+                kw["dx"] = dx
+            if opts.log.print_inliers:
+                fmt += " in:{inl:.1%}"
+                kw["inl"] = cost.inlier_ratio
+            if (opts.log.print_max_stdev and (not first_order)
+                    and isinstance(H, jax.Array)):
+                from ..ops.linalg import max_std_dev
+                fmt += " sigma:{sd:.2e}"
+                kw["sd"] = max_std_dev(H)
+            jax.debug.print(fmt, ordered=False, **kw)
 
         return _Carry(
             x=x_new, best_x=best_x_new, H=H, g=g, lm=lm_state,

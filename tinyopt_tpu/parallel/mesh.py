@@ -35,3 +35,21 @@ def make_mesh(batch: int | None = None, block: int = 1,
 def local_mesh(axis_name: str = "batch") -> Mesh:
     """1-D mesh over every addressable device."""
     return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def init_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (a no-op if already initialized).
+
+    Call once per process on a multi-host pod before building meshes;
+    after this, ``jax.devices()`` spans all hosts, ``make_mesh`` lays the
+    batch axis across hosts (DCN) and the block axis within hosts (ICI).
+    Args are forwarded to ``jax.distributed.initialize`` (coordinator
+    address, num_processes, process_id — auto-detected on TPU pods).
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise

@@ -52,10 +52,15 @@ def main():
     conv = float(jnp.mean(out.converged()))
     mean_iters = float(jnp.mean(out.num_iters))
 
+    # Perturb the inputs per repetition: the TPU tunnel backend caches
+    # identical (executable, args) executions, which would otherwise make
+    # repeat timings measure the cache, not the solve.
     times = []
-    for _ in range(5):
+    for i in range(5):
+        x0i = x0 + jnp.float32(1e-6 * (i + 1))
+        jax.block_until_ready(x0i)
         t0 = time.perf_counter()
-        jax.block_until_ready(solve(x0, data))
+        jax.block_until_ready(solve(x0i, data))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

@@ -1,0 +1,126 @@
+"""Full benchmark sweep, mirroring the reference suite.
+
+Reference: benchmarks/dense.cpp (sqrt2 float/double; fixed Vec3/6/12 and
+dynamic VecX {3,6,12,33,50} whitened-prior fits), benchmarks/sparse.cpp
+(diag problem {10,100,1000}), run under Catch2 with the analysis script
+producing a per-problem table (benchmarks/scripts/analysis.py).
+
+Ours reports three regimes per problem:
+  * native   — the C++ micro-runtime, µs per single solve (the reference's
+               own regime; timed inside the shared library)
+  * tpu-1    — one solve on the accelerator (dominated by dispatch; shown
+               for honesty)
+  * tpu-10k  — 10,000 concurrent instances on the accelerator, µs per
+               solve (the TPU-native regime)
+
+Usage: python benchmarks/run_benchmarks.py [--batch 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+REFERENCE_US = {  # BASELINE.md (tinyopt, 1-thread CPU, max 10 LM iters)
+    "sqrt2": 0.79,
+    "prior3": 1.49, "prior6": 2.47, "prior12": 5.15,
+    "prior33": 25.68, "prior50": 56.26,
+}
+
+
+def bench_native(dims_list):
+    from tinyopt_tpu import native
+    rows = {}
+    rows["sqrt2"] = native.bench_sqrt2_us(1.0, reps=100_000)
+    rng = np.random.default_rng(1)
+    for d in dims_list:
+        y = rng.uniform(-1, 1, d)
+        std = rng.uniform(0.1, 1.1, d)
+        x0 = rng.uniform(-1, 1, d)
+        us, x = native.bench_prior_us(y, 1.0 / std, x0, reps=20_000)
+        assert np.allclose(x, y, atol=1e-5)
+        rows[f"prior{d}"] = us
+    return rows
+
+
+def bench_tpu(dims_list, batch, single: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import tinyopt_tpu as to
+    from tinyopt_tpu.models.problems import make_prior_batch, prior_residual
+    from tinyopt_tpu.parallel.batched import batched_solver
+
+    opts = to.Options(max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
+                      min_step_norm2=1e-16, max_consec_failures=3,
+                      hessian=to.HessianOptions(save_last=False, solver="cg",
+                                                cg_iters=25))
+    rows1, rowsN = {}, {}
+    for d in dims_list:
+        data, x0 = make_prior_batch(batch, d, dtype=jnp.float32, seed=1)
+        x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+        d_ex = jax.tree_util.tree_map(lambda a: a[0], data)
+        solve_n = jax.jit(batched_solver(prior_residual, opts, "residuals",
+                                         x_ex, d_ex))
+        jax.block_until_ready(solve_n(x0, data))
+        # Perturb inputs per rep — the tunnel backend caches identical
+        # executions (see bench.py).
+        ts = []
+        for i in range(3):
+            x0i = x0 + 1e-6 * (i + 1)
+            jax.block_until_ready(x0i)
+            t0 = time.perf_counter()
+            jax.block_until_ready(solve_n(x0i, data))
+            ts.append(time.perf_counter() - t0)
+        rowsN[f"prior{d}"] = min(ts) / batch * 1e6
+
+        if single:
+            solve_1 = jax.jit(to.build_solver(
+                lambda x: prior_residual(x, d_ex), opts, "residuals", x_ex))
+            jax.block_until_ready(solve_1(x_ex))
+            ts = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                jax.block_until_ready(solve_1(x_ex))
+                ts.append(time.perf_counter() - t0)
+            rows1[f"prior{d}"] = min(ts) * 1e6
+    return rows1, rowsN
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--single", action="store_true",
+                    help="also time single solves on the accelerator")
+    ap.add_argument("--dims", type=int, nargs="*",
+                    default=[3, 6, 12, 33, 50])
+    args = ap.parse_args()
+
+    dims = args.dims
+    nat = bench_native(dims)
+    if args.skip_tpu:
+        tpu1, tpuN = {}, {}
+    else:
+        tpu1, tpuN = bench_tpu(dims, args.batch, args.single)
+
+    print(f"{'problem':<10} {'ref µs':>8} {'native µs':>10} {'vs ref':>7} "
+          f"{'tpu-1 µs':>9} {'tpu-10k µs':>11} {'vs ref':>7}")
+    for k in ["sqrt2"] + [f"prior{d}" for d in dims]:
+        ref = REFERENCE_US.get(k, float("nan"))
+        n = nat.get(k, float("nan"))
+        t1 = tpu1.get(k, float("nan"))
+        tn = tpuN.get(k, float("nan"))
+        print(f"{k:<10} {ref:>8.2f} {n:>10.2f} {ref/n:>6.2f}x "
+              f"{t1:>9.0f} {tn:>11.2f} "
+              f"{(ref/tn if tn == tn else float('nan')):>6.2f}x")
+
+
+if __name__ == "__main__":
+    main()

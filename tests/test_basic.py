@@ -227,6 +227,27 @@ class TestOutputExtras:
             (0.08 ** 2 / 2.0) / 3.0, rel=1e-3)
 
 
+class TestCheckFinalCost:
+    def test_final_cost_reflects_last_accepted_point(self):
+        """check_final_cost adds one evaluation-only iteration and the
+        reported final cost is of the returned x (optimizer.h:250,279)."""
+        x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0,
+                             to.Options(max_iters=6, min_error=0,
+                                        min_rerr_dec=0, min_step_norm2=0,
+                                        min_grad_norm2=0,
+                                        check_final_cost=True))
+        r = float(x) ** 2 - 2.0
+        assert float(out.final_cost.cost) == pytest.approx(r * r, rel=1e-6)
+        assert int(out.num_iters) <= 6 + 2
+
+    def test_identical_result_with_and_without(self):
+        xa, _ = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0,
+                            to.Options(check_final_cost=True))
+        xb, _ = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0,
+                            to.Options(check_final_cost=False))
+        assert float(xa) == pytest.approx(float(xb), rel=1e-12)
+
+
 class TestGradClipping:
     def test_gd_step_uses_clipped_gradient(self):
         """One GD step with grad_clipping=1: |dx| = lr·1 exactly."""

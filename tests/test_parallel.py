@@ -1,0 +1,123 @@
+"""Scale-out layer tests on the 8-virtual-device CPU mesh.
+
+SURVEY.md §4: the reference offers no multi-device pattern to mirror — the
+mesh/psum layer is a new capability validated with
+``xla_force_host_platform_device_count`` simulation (conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import tinyopt_tpu as to
+from tinyopt_tpu.parallel import (batched_optimize, local_mesh, make_mesh,
+                                  masked_residuals, pad_instances,
+                                  sharded_optimize)
+
+
+class TestMesh:
+    def test_make_mesh_2d(self):
+        mesh = make_mesh(batch=4, block=2)
+        assert mesh.shape == {"batch": 4, "block": 2}
+
+    def test_local_mesh(self):
+        mesh = local_mesh("x")
+        assert mesh.shape["x"] == len(jax.devices())
+
+    def test_bad_factorization_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(batch=3, block=3)
+
+
+class TestBatchedSharded:
+    def test_batched_optimize_on_mesh(self):
+        """Instances sharded over all 8 devices solve identically to
+        unsharded."""
+        mesh = local_mesh("batch")
+        B = 16
+        targets = jnp.linspace(1.0, 2.0, B)[:, None]
+        x0 = jnp.zeros((B, 1))
+        x, out = batched_optimize(
+            x0, lambda x, t: x - t, data_batch=targets, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(targets),
+                                   atol=1e-8)
+        assert bool(jnp.all(out.converged()))
+
+    def test_sharded_block_psum_matches_dense(self):
+        """psum-reduced block accumulation == single-device dense solve."""
+        mesh = local_mesh("block")
+        nblocks, m = 16, 4
+        rng = np.random.default_rng(0)
+        obs = jnp.asarray(rng.uniform(-1, 1, (nblocks, m, 3)))
+
+        def block_fn(x, block_obs):
+            return (block_obs - x[None, :]).reshape(-1)
+
+        x_sh, out_sh = sharded_optimize(jnp.zeros(3), block_fn, obs,
+                                        to.Options(), mesh=mesh,
+                                        axis="block")
+        # Dense single-program equivalent
+        x_d, out_d = to.optimize(jnp.zeros(3),
+                                 lambda x: (obs - x[None, None, :]).reshape(-1))
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_d),
+                                   atol=1e-8)
+        assert float(out_sh.final_cost.cost) == pytest.approx(
+            float(out_d.final_cost.cost), rel=1e-6)
+        # The mean is the optimum
+        np.testing.assert_allclose(np.asarray(x_sh),
+                                   np.asarray(obs.reshape(-1, 3).mean(0)),
+                                   atol=1e-6)
+
+
+class TestPadding:
+    def test_pad_instances_shapes_and_mask(self):
+        data = [{"obs": jnp.ones((n, 2))} for n in (3, 5, 2)]
+        stacked, mask = pad_instances(data)
+        assert stacked["obs"].shape == (3, 5, 2)
+        np.testing.assert_array_equal(
+            np.asarray(mask),
+            [[1, 1, 1, 0, 0], [1, 1, 1, 1, 1], [1, 1, 0, 0, 0]])
+
+    def test_heterogeneous_batch_solves_correctly(self):
+        """Circle-style fits with different observation counts: padded
+        rows contribute zero residual AND zero Jacobian."""
+        rng = np.random.default_rng(3)
+        counts = [6, 9, 4, 11]
+        targets = [jnp.asarray(rng.uniform(-1, 1, 2)) for _ in counts]
+        data = [{"obs": t[None, :].repeat(n, 0)
+                 + 0.0 * jnp.asarray(rng.normal(size=(n, 2)))}
+                for t, n in zip(targets, counts)]
+        stacked, mask = pad_instances(data)
+
+        def fn(x, inst):
+            obs, m = inst
+            return masked_residuals(obs - x[None, :], m).reshape(-1)
+
+        x0 = jnp.zeros((len(counts), 2))
+        x, out = batched_optimize(x0, fn,
+                                  data_batch=(stacked["obs"], mask))
+        for i, t in enumerate(targets):
+            np.testing.assert_allclose(np.asarray(x[i]), np.asarray(t),
+                                       atol=1e-6)
+
+    def test_padding_does_not_bias_cost(self):
+        """Padded instance's final cost equals its unpadded solve's cost."""
+        obs_small = jnp.asarray([[1.0, 2.0], [1.2, 1.8], [0.8, 2.2]])
+        x_ref, out_ref = to.optimize(
+            jnp.zeros(2), lambda x: (obs_small - x[None, :]).reshape(-1))
+
+        data, mask = pad_instances([{"o": obs_small},
+                                    {"o": jnp.ones((7, 2))}])
+
+        def fn(x, inst):
+            o, m = inst
+            return masked_residuals(o - x[None, :], m).reshape(-1)
+
+        x, out = batched_optimize(jnp.zeros((2, 2)), fn,
+                                  data_batch=(data["o"], mask))
+        assert float(out.final_cost.cost[0]) == pytest.approx(
+            float(out_ref.final_cost.cost), abs=1e-10)
+        np.testing.assert_allclose(np.asarray(x[0]), np.asarray(x_ref),
+                                   atol=1e-8)

@@ -114,6 +114,42 @@ class TestPosePrior:
         np.testing.assert_allclose(np.asarray(C), np.eye(6), atol=1e-3)
 
 
+class TestSE23:
+    """Extended pose (rotation + velocity + position), the Lie++ SEn3<2>
+    analogue (reference tests/lieplusplus.cpp)."""
+
+    from tinyopt_tpu.manifolds import SE23
+
+    def test_exp_log_roundtrip(self):
+        from tinyopt_tpu.manifolds import SE23
+        d = jnp.array([0.1, -0.2, 0.3, 0.5, -1.0, 2.0, 0.3, -0.2, 0.7])
+        np.testing.assert_allclose(np.asarray(SE23.exp(d).log()),
+                                   np.asarray(d), atol=1e-10)
+
+    def test_inverse_compose(self):
+        from tinyopt_tpu.manifolds import SE23
+        X = SE23.exp(jnp.asarray(np.linspace(-0.5, 0.5, 9)))
+        np.testing.assert_allclose(np.asarray((X @ X.inverse()).log()),
+                                   np.zeros(9), atol=1e-12)
+
+    def test_extended_pose_prior_optimization(self):
+        from tinyopt_tpu.manifolds import SE23
+        rng = np.random.default_rng(9)
+        prior_inv = SE23.exp(jnp.asarray(rng.uniform(-0.8, 0.8, 9)))
+
+        def residuals(x):
+            return (prior_inv @ x).log()
+
+        x, out = to.optimize(SE23.identity(jnp.float64), residuals)
+        assert bool(out.converged())
+        assert float(jnp.linalg.norm((x @ prior_inv).log())) < 1e-5
+
+    def test_tangent_dims(self):
+        from tinyopt_tpu import manifold as mf
+        from tinyopt_tpu.manifolds import SE23
+        assert mf.tangent_spec(SE23.identity()).dims == 9
+
+
 class TestSE3RefinementModel:
     def test_batched_refinement_converges(self):
         """The flagship model (models/se3_refinement.py) on 32 instances."""

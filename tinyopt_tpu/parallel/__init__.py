@@ -1,9 +1,11 @@
-from .mesh import make_mesh, local_mesh
+from .mesh import make_mesh, local_mesh, init_distributed
 from .batched import batched_optimize, batched_solver
 from .sharded import make_block_system, sharded_optimize
+from .padding import pad_instances, masked_residuals
 
 __all__ = [
-    "make_mesh", "local_mesh",
+    "make_mesh", "local_mesh", "init_distributed",
     "batched_optimize", "batched_solver",
     "make_block_system", "sharded_optimize",
+    "pad_instances", "masked_residuals",
 ]

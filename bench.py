@@ -52,15 +52,21 @@ def main():
     conv = float(jnp.mean(out.converged()))
     mean_iters = float(jnp.mean(out.num_iters))
 
-    # Perturb the inputs per repetition: the TPU tunnel backend caches
-    # identical (executable, args) executions, which would otherwise make
-    # repeat timings measure the cache, not the solve.
+    # Honest timing on the tunnel backend requires (a) fresh random inputs
+    # per repetition — executions of previously-seen (executable, args) are
+    # served from a persistent server-side cache — and (b) forcing a scalar
+    # READ of the result — block_until_ready alone does not always imply
+    # device completion over the tunnel.
+    import numpy as np
+    rng = np.random.default_rng(time.time_ns())
     times = []
-    for i in range(5):
-        x0i = x0 + jnp.float32(1e-6 * (i + 1))
-        jax.block_until_ready(x0i)
+    for _ in range(5):
+        x0i = x0 + jnp.asarray(
+            rng.uniform(1e-7, 1e-6, x0.shape), jnp.float32)
+        float(x0i.sum())  # materialize the input before timing
         t0 = time.perf_counter()
-        jax.block_until_ready(solve(x0i, data))
+        _, out_i = solve(x0i, data)
+        float(out_i.final_cost.cost.sum())  # force completion
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

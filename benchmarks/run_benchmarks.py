@@ -69,14 +69,18 @@ def bench_tpu(dims_list, batch, single: bool = False):
         solve_n = jax.jit(batched_solver(prior_residual, opts, "residuals",
                                          x_ex, d_ex))
         jax.block_until_ready(solve_n(x0, data))
-        # Perturb inputs per rep — the tunnel backend caches identical
-        # executions (see bench.py).
+        # Fresh random inputs + forced scalar read per rep: the tunnel
+        # backend caches executions persistently AND block_until_ready
+        # alone does not imply completion (see bench.py).
+        prng = np.random.default_rng(time.time_ns())
         ts = []
-        for i in range(3):
-            x0i = x0 + 1e-6 * (i + 1)
-            jax.block_until_ready(x0i)
+        for _ in range(3):
+            x0i = x0 + jnp.asarray(
+                prng.uniform(1e-7, 1e-6, x0.shape), x0.dtype)
+            float(x0i.sum())
             t0 = time.perf_counter()
-            jax.block_until_ready(solve_n(x0i, data))
+            _, out_i = solve_n(x0i, data)
+            float(out_i.final_cost.cost.sum())
             ts.append(time.perf_counter() - t0)
         rowsN[f"prior{d}"] = min(ts) / batch * 1e6
 

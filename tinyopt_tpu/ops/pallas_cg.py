@@ -35,9 +35,20 @@ def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
     b = b_ref[:]                      # (BT, D)
     eps = jnp.finfo(b.dtype).tiny
 
+    import os
+    # "lane" (VPU multiply + lane reduction) measured marginally faster
+    # than the MXU dot_general for the small-d batched matvec; "sublane"
+    # (legal because H is symmetric) measured slower.
+    _mv = os.environ.get("TINYOPT_CG_MATVEC", "lane")
+
     def matvec(p):
         # Batched matvec on VMEM-resident H: contract j of (BT, D, j)
-        # with (BT, j) — batch dim 0.
+        # with (BT, j) — batch dim 0.  The "sublane" variant exploits H's
+        # symmetry to reduce over the sublane axis instead (VPU-friendly).
+        if _mv == "sublane":
+            return jnp.sum(H * p[:, :, None], axis=1)
+        if _mv == "lane":
+            return jnp.sum(H * p[:, None, :], axis=2)
         return jax.lax.dot_general(
             H, p, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(b.dtype)

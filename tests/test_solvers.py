@@ -78,6 +78,29 @@ class TestCGSolver:
         x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0, opts)
         assert float(x) == pytest.approx(np.sqrt(2), abs=1e-6)
 
+    def test_no_carry_mode_identical_trajectory(self):
+        """carry_system=False re-accumulates instead of carrying H; the
+        accepted-path trajectory is identical."""
+        opts_nc = to.Options(hessian=to.HessianOptions(save_last=False,
+                                                       carry_system=False))
+        opts_c = to.Options(hessian=to.HessianOptions(save_last=False))
+        xa, oa = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0,
+                             opts_nc)
+        xb, ob = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0,
+                             opts_c)
+        assert float(xa) == float(xb)
+        assert int(oa.num_iters) == int(ob.num_iters)
+        # rejection recovery still works without the carried system
+        xc, oc = to.optimize(jnp.asarray(0.5), lambda x: x * x - 2.0,
+                             opts_nc.replace(max_consec_failures=0))
+        assert float(xc) == pytest.approx(np.sqrt(2), abs=1e-5)
+
+    def test_no_carry_with_save_last_raises(self):
+        with pytest.raises(ValueError):
+            to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0,
+                        to.Options(hessian=to.HessianOptions(
+                            carry_system=False)))
+
     def test_cg_option_batched_vmap(self):
         """The custom_vmap route (the batched solver path)."""
         import jax

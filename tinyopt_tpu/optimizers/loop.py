@@ -180,6 +180,13 @@ def optimize_from_acc(
     opts = options
     first_order = opts.solver_type == SolverType.GRADIENT_DESCENT
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+    # carry_H=False: re-accumulate instead of carrying the (large) H
+    # through the while-loop carry (see HessianOptions.carry_system).
+    carry_H = (not first_order) and opts.hessian.carry_system
+    if (not first_order) and (not carry_H) and opts.hessian.save_last:
+        raise ValueError(
+            "hessian.carry_system=False cannot save the final Hessian; "
+            "set hessian.save_last=False as well")
 
     if spec is None:
         spec = mf.tangent_spec(x0)
@@ -197,7 +204,7 @@ def optimize_from_acc(
     big = jnp.asarray(jnp.inf, dtype)
 
     def init_carry(x0):
-        if first_order:
+        if first_order or not carry_H:
             H0 = None
         else:
             # The H representation is whatever accumulate produces (dense
@@ -208,7 +215,7 @@ def optimize_from_acc(
         g0 = jnp.zeros((d,), dtype)
         if warm_start is not None:
             g0 = jnp.asarray(warm_start[0], dtype)
-            if (not first_order) and len(warm_start) > 1 \
+            if carry_H and len(warm_start) > 1 \
                     and warm_start[1] is not None:
                 H0 = jax.tree_util.tree_map(
                     lambda z, w: jnp.asarray(w, z.dtype), H0, warm_start[1])
@@ -248,12 +255,18 @@ def optimize_from_acc(
     def body(c: _Carry) -> _Carry:
         it = c.it
         # --- Build or evaluate-only (lm.h:60-105) ---
-        H, g, cost = jax.lax.cond(
-            c.rebuild,
-            lambda c: build_branch(c.x),
-            eval_branch,
-            c,
-        )
+        if carry_H or first_order:
+            H, g, cost = jax.lax.cond(
+                c.rebuild,
+                lambda c: build_branch(c.x),
+                eval_branch,
+                c,
+            )
+        else:
+            # No-carry mode: always re-accumulate at the current point
+            # (which is the rolled-back best point after a rejection, so
+            # accepted-path trajectories are identical to carry mode).
+            H, g, cost = build_branch(c.x)
         err = cost.cost.astype(dtype)
         n_res = cost.num_residuals
 
@@ -429,7 +442,8 @@ def optimize_from_acc(
             jax.debug.print(fmt, ordered=False, **kw)
 
         return _Carry(
-            x=x_new, best_x=best_x_new, H=H, g=g, lm=lm_state,
+            x=x_new, best_x=best_x_new,
+            H=H if (carry_H or first_order) else None, g=g, lm=lm_state,
             best_cost=best_cost, best_num_res=best_num_res,
             best_inliers=best_inliers, final_rerr=final_rerr,
             last_dx=last_dx, has_last_dx=has_last,

@@ -48,6 +48,15 @@ class HessianOptions:
     solver: str = "cholesky"
     #: CG iteration count (0 = tangent dimension).
     cg_iters: int = 0
+    #: Carry (H, g) across loop iterations so rejected steps re-damp the
+    #: last built system without re-accumulating (the reference's
+    #: Rebuild(false) optimization, lm.h:96-105).  With False the loop
+    #: re-accumulates at the (rolled-back) point instead — mathematically
+    #: the same system at every accepted step, but the large H tensor
+    #: stays out of the while-loop carry, which removes per-iteration
+    #: HBM copy/select traffic in the batched case (faster whenever
+    #: rejections are rare).  Requires save_last=False.
+    carry_system: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

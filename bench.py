@@ -39,7 +39,7 @@ def main():
         max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
         min_step_norm2=1e-16, max_consec_failures=3,
         hessian=to.HessianOptions(save_last=False, solver="cg",
-                                  cg_iters=25, carry_system=False),
+                                  cg_iters=8, carry_system=False),
     )
 
     x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)

@@ -60,7 +60,7 @@ def bench_tpu(dims_list, batch, single: bool = False):
     opts = to.Options(max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
                       min_step_norm2=1e-16, max_consec_failures=3,
                       hessian=to.HessianOptions(save_last=False, solver="cg",
-                                                cg_iters=25,
+                                                cg_iters=8,
                                                 carry_system=False))
     rows1, rowsN = {}, {}
     for d in dims_list:

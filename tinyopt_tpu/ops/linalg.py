@@ -91,21 +91,28 @@ def solve_psd_cg(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
     def mv(v):
         return jnp.einsum("...ij,...j->...i", H, v)
 
+    # Jacobi preconditioning, matching the fused Pallas kernel
+    # (ops/pallas_cg.py) so both dispatch paths produce the same iterates.
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    dinv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+
     x0 = jnp.zeros_like(b)
     r0 = b
-    rs0 = jnp.sum(r0 * r0, -1)
+    z0 = r0 * dinv
+    rz0 = jnp.sum(r0 * z0, -1)
 
     def body(_, carry):
-        x, r, p, rs = carry
+        x, r, p, rz = carry
         Hp = mv(p)
-        alpha = rs / jnp.maximum(jnp.sum(p * Hp, -1), eps)
+        alpha = rz / jnp.maximum(jnp.sum(p * Hp, -1), eps)
         x = x + alpha[..., None] * p
         r = r - alpha[..., None] * Hp
-        rs_new = jnp.sum(r * r, -1)
-        p = r + (rs_new / jnp.maximum(rs, eps))[..., None] * p
-        return x, r, p, rs_new
+        z = r * dinv
+        rz_new = jnp.sum(r * z, -1)
+        p = z + (rz_new / jnp.maximum(rz, eps))[..., None] * p
+        return x, r, p, rz_new
 
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, r0, rs0))
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
     return x
 
 

@@ -34,6 +34,7 @@ def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
     H = H_ref[:]                      # (BT, D, D) resident in VMEM
     b = b_ref[:]                      # (BT, D)
     eps = jnp.finfo(b.dtype).tiny
+    d = H.shape[-1]
 
     import os
     # "lane" (VPU multiply + lane reduction) measured marginally faster
@@ -53,21 +54,33 @@ def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
             H, p, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(b.dtype)
 
+    # Jacobi (diagonal) preconditioner: for LM-damped JᵀJ this roughly
+    # halves the iterations needed for a given accuracy — the single
+    # biggest lever on kernel time.  diag extracted with an iota mask
+    # (no gather in Mosaic).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    eye = (ii == jj).astype(b.dtype)
+    diag = jnp.sum(H * eye[None, :, :], axis=2)
+    dinv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+
     x0 = jnp.zeros_like(b)
     r0 = b
-    rs0 = jnp.sum(r0 * r0, axis=-1)
+    z0 = r0 * dinv
+    rz0 = jnp.sum(r0 * z0, axis=-1)
 
     def body(_, carry):
-        x, r, p, rs = carry
+        x, r, p, rz = carry
         Hp = matvec(p)
-        alpha = rs / jnp.maximum(jnp.sum(p * Hp, -1), eps)
+        alpha = rz / jnp.maximum(jnp.sum(p * Hp, -1), eps)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * Hp
-        rs_new = jnp.sum(r * r, -1)
-        p = r + (rs_new / jnp.maximum(rs, eps))[:, None] * p
-        return x, r, p, rs_new
+        z = r * dinv
+        rz_new = jnp.sum(r * z, -1)
+        p = z + (rz_new / jnp.maximum(rz, eps))[:, None] * p
+        return x, r, p, rz_new
 
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, r0, rs0))
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
     x_ref[:] = x
 
 

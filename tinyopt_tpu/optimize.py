@@ -37,14 +37,34 @@ from .stop_reasons import StopReason
 _CACHE: dict = {}
 
 
-def _detect_mode(fn, x, options) -> str:
-    """Signature dispatch via abstract evaluation (optimize.h:26-76)."""
+def _detect_mode(fn, x, options, dims: int) -> str:
+    """Signature dispatch via abstract evaluation (optimize.h:26-76).
+
+    A return of ``(cost_like, grad (dims,)[, H (dims, dims)])`` is a
+    manual acc; anything else is residuals (or a scalar cost for GD).  A
+    residual pytree that happens to be a tuple is disambiguated by shape:
+    the gradient must span the full tangent dimension, H must be square
+    over it, and a 2-element acc (no H) only exists for first-order
+    solvers (optimize.h:40-76).
+    """
+    import math
     out = jax.eval_shape(fn, x)
+    first_order = options.solver_type == SolverType.GRADIENT_DESCENT
     if isinstance(out, (tuple, list)) and len(out) in (2, 3):
-        second = out[1]
-        if hasattr(second, "shape") and len(getattr(second, "shape", ())) in (1,):
+        first, second = out[0], out[1]
+        first_scalar = (hasattr(first, "shape")
+                        and math.prod(first.shape) == 1) \
+            or isinstance(first, (tuple, list))
+        grad_ok = (hasattr(second, "shape") and second.shape == (dims,))
+        if len(out) == 2:
+            h_ok = first_order
+        else:
+            third = out[2]
+            h_ok = (hasattr(third, "shape")
+                    and third.shape == (dims, dims))
+        if first_scalar and grad_ok and h_ok:
             return "acc"
-    if options.solver_type == SolverType.GRADIENT_DESCENT:
+    if first_order:
         return "cost"
     return "residuals"
 
@@ -66,7 +86,7 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
     first_order = options.solver_type == SolverType.GRADIENT_DESCENT
 
     if mode == "auto":
-        mode = _detect_mode(fn, x_example, options)
+        mode = _detect_mode(fn, x_example, options, spec.dims)
 
     num_diff_used = False
     if mode == "residuals":

@@ -28,6 +28,8 @@ from . import losses
 from . import manifolds
 from . import sparse
 from . import utils
+from . import implicit
+from .implicit import implicit_solver
 from .sparse import block_optimize, matfree_optimize
 from .ops.block import BlockDiag
 from .version import __version__
@@ -52,5 +54,6 @@ __all__ = [
     "lm", "gn", "gd", "nlls", "unconstrained",
     "diff", "losses", "manifolds", "sparse", "utils",
     "block_optimize", "matfree_optimize", "BlockDiag",
+    "implicit", "implicit_solver",
     "__version__",
 ]

@@ -38,6 +38,7 @@ def main():
     opts = to.Options(
         max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
         min_step_norm2=1e-16, max_consec_failures=3,
+        save_history=False,
         hessian=to.HessianOptions(save_last=False, solver="cg",
                                   cg_iters=8, carry_system=False),
     )

@@ -72,6 +72,31 @@ class TestLoggingFields:
         assert "x:" in captured.out and "sigma:" in captured.out
 
 
+class TestSaveHistoryOff:
+    def test_throughput_mode_empty_history(self):
+        opts = to.Options(save_history=False)
+        x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0, opts)
+        assert float(x) == pytest.approx(np.sqrt(2), abs=1e-6)
+        assert out.errs.shape == (0,)
+        assert out.errs_list == []
+        assert int(out.num_hist) == 0
+        # main results unaffected
+        assert bool(out.converged())
+        assert int(out.num_iters) == 5
+
+
+class TestMultiStart:
+    def test_himmelblau_global_best(self):
+        from tinyopt_tpu.models.problems import himmelblau_residuals
+        starts = jnp.array([[3.0, 2.0], [-2.8, 3.1], [100.0, 100.0]])
+        x, out, outs = to.multi_start_optimize(
+            starts, himmelblau_residuals, to.Options(max_iters=100))
+        assert bool(out.succeeded())
+        r = himmelblau_residuals(x)
+        assert float(jnp.max(jnp.abs(r))) < 1e-5
+        assert outs.final_cost.cost.shape == (3,)
+
+
 class TestUtils:
     def test_tic_toc(self):
         t0 = to.utils.tic()

@@ -19,7 +19,7 @@ from .options import (
 )
 from .output import Output
 from .stop_reasons import StopReason, stop_reason_description
-from .optimize import optimize, Optimize, build_solver
+from .optimize import optimize, Optimize, build_solver, multi_start_optimize
 from .manifold import (
     Manifold, register_manifold, tangent_spec, retract, local, TangentSpec,
 )
@@ -43,7 +43,7 @@ nlls = _m.lm
 unconstrained = _m.gd
 
 __all__ = [
-    "optimize", "Optimize", "build_solver",
+    "optimize", "Optimize", "build_solver", "multi_start_optimize",
     "Options", "SolverType", "Output", "Cost", "StopReason",
     "stop_reason_description",
     "HessianOptions", "CostScalingOptions", "LMOptions", "GDOptions",

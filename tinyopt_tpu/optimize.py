@@ -225,5 +225,27 @@ def _optimize_with_timeout(x, fn, options, mode):
     return x, out
 
 
+def multi_start_optimize(x0_batch, fn: Callable,
+                         options: Options | None = None, *,
+                         mode: str = "auto"):
+    """Solve from many start points at once and return the best.
+
+    The TPU answer to multi-modal problems (e.g. Himmelblau's four
+    minima): all starts run concurrently under ``vmap`` in one compiled
+    program, then the lowest-cost successful solve wins.  Returns
+    ``(x_best, out_best, outs_all)``.
+    """
+    options = options or Options()
+    x0_batch = mf.as_pytree(x0_batch)
+    x_example = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[0], x0_batch)
+    solve = jax.jit(jax.vmap(build_solver(fn, options, mode, x_example)))
+    xs, outs = solve(x0_batch)
+    cost = jnp.where(outs.succeeded(), outs.final_cost.cost, jnp.inf)
+    i = jnp.argmin(cost)
+    x_best = jax.tree_util.tree_map(lambda a: a[i], xs)
+    out_best = jax.tree_util.tree_map(lambda a: a[i], outs)
+    return x_best, out_best, outs
+
+
 # Reference-style alias
 Optimize = optimize

@@ -194,7 +194,8 @@ def optimize_from_acc(
     dtype = spec.dtype
 
     max_iters_total = opts.max_iters + 1 + (1 if opts.check_final_cost else 0)
-    cap = max_iters_total  # history capacity: ≤1 entry per outer iteration
+    # history capacity: ≤1 entry per outer iteration; 0 disables recording
+    cap = max_iters_total if opts.save_history else 0
 
     # ---- Degenerate problems: nothing to optimize (optimizer.h:63-70) ----
     if d == 0:
@@ -315,11 +316,16 @@ def optimize_from_acc(
         good = is_good | (it == 0)
 
         # History (appended only when the step wasn't an early failure)
-        errs = c.errs.at[it].set(jnp.where(early_fail, c.errs[it], err))
-        deltas2 = c.deltas2.at[it].set(
-            jnp.where(early_fail, c.deltas2[it], dx_norm2))
-        succ = c.succ.at[it].set(jnp.where(early_fail, c.succ[it], is_good))
-        num_hist = jnp.where(early_fail, c.num_hist, it + 1).astype(_I32)
+        if opts.save_history:
+            errs = c.errs.at[it].set(jnp.where(early_fail, c.errs[it], err))
+            deltas2 = c.deltas2.at[it].set(
+                jnp.where(early_fail, c.deltas2[it], dx_norm2))
+            succ = c.succ.at[it].set(
+                jnp.where(early_fail, c.succ[it], is_good))
+            num_hist = jnp.where(early_fail, c.num_hist, it + 1).astype(_I32)
+        else:
+            errs, deltas2, succ = c.errs, c.deltas2, c.succ
+            num_hist = jnp.zeros((), _I32)
 
         # λ schedule (lm.h:123-145); first iteration is auto-accepted but
         # does NOT trigger GoodStep (optimizer.h:441).

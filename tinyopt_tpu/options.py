@@ -135,6 +135,12 @@ class Options:
     max_consec_failures: int = 5
     max_duration_ms: float = 0.0
 
+    #: Record per-iteration history (errs/deltas2/successes) in the
+    #: Output.  Costs batched scatter updates per iteration; disable for
+    #: maximum throughput on huge batches (history arrays come back
+    #: empty, capacity 0).
+    save_history: bool = True
+
     #: Traceable callback (err, |δx|², |∇|²) -> bool; True stops the loop.
     stop_callback: Optional[Callable[..., Any]] = None
     #: Traceable callback (err, δx, ∇) -> bool; True stops the loop.

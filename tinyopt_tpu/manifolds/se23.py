@@ -88,17 +88,23 @@ class SE23:
         )
 
 
+def _se23_dims(x: SE23) -> int:
+    import numpy as _np
+    return 9 * int(_np.prod(x.position.shape[:-1], dtype=int))
+
+
 def _se23_retract(x: SE23, delta):
-    d = SE23.exp(delta.astype(x.position.dtype))
+    d = SE23.exp(delta.reshape(x.position.shape[:-1] + (9,))
+                 .astype(x.position.dtype))
     return x @ d
 
 
 def _se23_local(x: SE23, y: SE23):
-    return (x.inverse() @ y).log()
+    return (x.inverse() @ y).log().reshape(-1)
 
 
 register_manifold(SE23, Manifold(
-    dims=lambda x: 9,
+    dims=_se23_dims,
     retract=_se23_retract,
     local=_se23_local,
 ))

@@ -90,18 +90,26 @@ class SE3:
         return self.apply(other)
 
 
+def _se3_dims(x: SE3) -> int:
+    """6 per pose; leading batch axes multiply (batched SE3 leaves are
+    valid parameter blocks, e.g. all camera poses of a bundle)."""
+    import numpy as _np
+    return 6 * int(_np.prod(x.translation.shape[:-1], dtype=int))
+
+
 def _se3_retract(x: SE3, delta):
-    d = SE3.exp(delta.astype(x.translation.dtype))
+    d = SE3.exp(delta.reshape(x.translation.shape[:-1] + (6,))
+                .astype(x.translation.dtype))
     return SE3(SO3(_qmul(x.rotation.wxyz, d.rotation.wxyz)),
                x.rotation.apply(d.translation) + x.translation)
 
 
 def _se3_local(x: SE3, y: SE3):
-    return (x.inverse() @ y).log()
+    return (x.inverse() @ y).log().reshape(-1)
 
 
 register_manifold(SE3, Manifold(
-    dims=lambda x: 6,
+    dims=_se3_dims,
     retract=_se3_retract,
     local=_se3_local,
 ))

@@ -136,16 +136,24 @@ class SO3:
                                                keepdims=True))
 
 
+def _so3_dims(x: SO3) -> int:
+    """3 per rotation; leading batch axes multiply (a batched SO3 leaf is
+    a valid parameter block, e.g. all camera rotations at once)."""
+    import numpy as _np
+    return 3 * int(_np.prod(x.wxyz.shape[:-1], dtype=int))
+
+
 def _so3_retract(x: SO3, delta):
-    return SO3(_qmul(x.wxyz, _exp_quat(delta.astype(x.wxyz.dtype))))
+    d = delta.reshape(x.wxyz.shape[:-1] + (3,)).astype(x.wxyz.dtype)
+    return SO3(_qmul(x.wxyz, _exp_quat(d)))
 
 
 def _so3_local(x: SO3, y: SO3):
-    return _log_quat(_qmul(x.inverse().wxyz, y.wxyz))
+    return _log_quat(_qmul(x.inverse().wxyz, y.wxyz)).reshape(-1)
 
 
 register_manifold(SO3, Manifold(
-    dims=lambda x: 3,
+    dims=_so3_dims,
     retract=_so3_retract,
     local=_so3_local,
 ))

@@ -1,0 +1,113 @@
+"""Mini bundle adjustment: joint camera-pose + landmark refinement.
+
+The canonical large NLLS problem of the reference's domain (visual SLAM /
+SfM; the reference's roadmap targets exactly this space with its sparse
+solvers, reference README.md:165-167).  TPU-native formulation:
+
+* parameters are a pytree ``{"poses": SE3 (n_cams batched), "points":
+  (n_pts, 3)}`` — mixed manifold + Euclidean blocks handled by the
+  manifold layer (tangent = 6·n_cams + 3·n_pts);
+* observations are a DENSE (n_cams, n_pts, 2) tensor with a visibility
+  mask (masked rows contribute zero residual and zero Jacobian) — the
+  static-shape, MXU-friendly layout, in place of the reference-style
+  sparse observation lists;
+* the full solve runs through any backend: dense H for small problems,
+  ``matfree_optimize`` (GN-CG) for large ones.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..manifolds import SE3, SO3
+
+
+class BAData(NamedTuple):
+    observations: jax.Array  #: (n_cams, n_pts, 2) pixel obs (normalized)
+    mask: jax.Array          #: (n_cams, n_pts) 1.0 = visible
+
+
+def project(pose: SE3, points: jax.Array) -> jax.Array:
+    """Normalized pinhole projection of world points into one camera.
+
+    ``pose`` maps world → camera; points (n, 3) → (n, 2) = (x/z, y/z).
+    """
+    pc = pose.rotation.apply(points) + pose.translation[None, :]
+    z = jnp.maximum(pc[..., 2:3], 1e-6)
+    return pc[..., :2] / z
+
+
+def ba_residuals(params, data: BAData) -> jax.Array:
+    """Masked reprojection residuals, flattened."""
+    poses: SE3 = params["poses"]          # batched (n_cams,)
+    points = params["points"]             # (n_pts, 3)
+
+    def one_cam(q, t, obs_c, mask_c):
+        pred = project(SE3(SO3(q), t), points)
+        return (pred - obs_c) * mask_c[:, None]
+
+    res = jax.vmap(one_cam)(poses.rotation.wxyz, poses.translation,
+                            data.observations, data.mask)
+    return res.reshape(-1)
+
+
+def make_ba_problem(n_cams: int = 4, n_pts: int = 24, noise: float = 0.0,
+                    visibility: float = 1.0, pose_noise: float = 0.05,
+                    point_noise: float = 0.05, dtype=jnp.float64,
+                    seed: int = 0):
+    """Synthetic BA instance: cameras on a ring looking at a point cloud.
+
+    Returns ``(data, x0, x_true)``.  The first camera's pose and the first
+    point are NOT perturbed in ``x0`` (gauge anchoring: the global
+    similarity gauge is fixed by trusting them — their columns still
+    participate, mirroring the standard prior-anchored formulation).
+    """
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1.0, 1.0, (n_pts, 3))
+    pts[:, 2] += 4.0                       # cloud in front of the cameras
+
+    poses_q, poses_t = [], []
+    for i in range(n_cams):
+        ang = 0.25 * (i - (n_cams - 1) / 2)
+        R = SO3.exp(jnp.asarray([0.0, ang, 0.0], dtype))
+        c = jnp.asarray([2.0 * np.sin(ang), 0.0, 4.0 - 4.0 * np.cos(ang)],
+                        dtype)
+        # world->cam: x_c = R^T (x_w - c)
+        Rwc = R.inverse()
+        poses_q.append(Rwc.wxyz)
+        poses_t.append(-Rwc.apply(c))
+    true_poses = SE3(SO3(jnp.stack(poses_q)), jnp.stack(poses_t))
+    true_points = jnp.asarray(pts, dtype)
+
+    def one_cam(q, t):
+        return project(SE3(SO3(q), t), true_points)
+
+    obs = jax.vmap(one_cam)(true_poses.rotation.wxyz, true_poses.translation)
+    obs = obs + noise * jnp.asarray(rng.normal(size=obs.shape), dtype)
+    mask = jnp.asarray(
+        rng.uniform(size=(n_cams, n_pts)) < visibility, dtype)
+
+    # Perturbed initial guess, anchored at camera 0 and point 0.
+    dw = pose_noise * rng.normal(size=(n_cams, 6))
+    dw[0] = 0.0
+    x0_poses = jax.vmap(lambda p_q, p_t, w: SE3(SO3(p_q), p_t)
+                        @ SE3.exp(jnp.asarray(w, dtype)))(
+        true_poses.rotation.wxyz, true_poses.translation, jnp.asarray(dw))
+    dp = point_noise * rng.normal(size=(n_pts, 3))
+    dp[0] = 0.0
+    x0_points = true_points + jnp.asarray(dp, dtype)
+
+    data = BAData(obs, mask)
+    x0 = {"poses": x0_poses, "points": x0_points}
+    x_true = {"poses": true_poses, "points": true_points}
+    return data, x0, x_true
+
+
+def reprojection_rmse(params, data: BAData) -> jax.Array:
+    r = ba_residuals(params, data)
+    n = jnp.maximum(jnp.sum(data.mask) * 2.0, 1.0)
+    return jnp.sqrt(jnp.sum(r * r) / n)

@@ -264,6 +264,30 @@ class TestGradClipping:
         assert float(out.deltas2_list[0]) == pytest.approx(lr ** 2, rel=1e-6)
 
 
+class TestFloat32:
+    """f32 is the TPU-native dtype (SURVEY.md §7 precision hard part);
+    solves must converge to f32-appropriate tolerances."""
+
+    def test_sqrt2_f32(self):
+        x, out = to.optimize(jnp.float32(1.0), lambda x: x * x - 2.0)
+        assert x.dtype == jnp.float32
+        assert float(x) == pytest.approx(np.sqrt(2), abs=1e-5)
+        assert bool(out.succeeded())
+
+    def test_prior_f32(self):
+        y = jnp.asarray(np.linspace(-1, 1, 12), jnp.float32)
+        x, out = to.optimize(jnp.zeros(12, jnp.float32), lambda p: p - y)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+    def test_se3_f32(self):
+        from tinyopt_tpu.manifolds import SE3
+        prior_inv = SE3.exp(jnp.asarray(np.linspace(-0.3, 0.3, 6),
+                                        jnp.float32))
+        pose, out = to.optimize(SE3.identity(jnp.float32),
+                                lambda T: (prior_inv @ T).log())
+        assert float(jnp.linalg.norm((pose @ prior_inv).log())) < 1e-4
+
+
 class TestCostScaling:
     def test_normalize_and_downscale(self):
         res = lambda x: jnp.stack([x[0] - 1.0, x[0] - 1.0])

@@ -195,21 +195,35 @@ def _optimize_with_timeout(x, fn, options, mode):
     (re-linearization at the carried x) — acceptable since timeouts are a
     safety net, not the hot path.
     """
+    import dataclasses as _dc
+
     t0 = time.perf_counter()
-    seg_opts = options.replace(max_duration_ms=0.0, max_iters=1,
-                               check_final_cost=False)
-    key = _cache_key(fn, seg_opts, mode, x)
-    solve = _CACHE.get(key)
-    if solve is None:
-        solve = jax.jit(build_solver(fn, seg_opts, mode, x))
-        _CACHE[key] = solve
+    base_opts = options.replace(max_duration_ms=0.0, max_iters=1,
+                                check_final_cost=False)
+
+    def seg_solver(lam_init: float):
+        seg_opts = base_opts.replace(
+            lm=_dc.replace(base_opts.lm, damping_init=lam_init))
+        key = _cache_key(fn, seg_opts, mode, x)
+        solve = _CACHE.get(key)
+        if solve is None:
+            solve = jax.jit(build_solver(fn, seg_opts, mode, x))
+            _CACHE[key] = solve
+        return solve
 
     total_iters = 0
     total_failures = 0
     out = None
+    lam = float(options.lm.damping_init)
     for _ in range(options.max_iters):
-        x, out = solve(x)
+        # Carry λ across segments so the damping schedule is continuous,
+        # as in the reference's single uninterrupted loop.  Each distinct
+        # λ value keys a (cached) recompile; timeouts are a safety net,
+        # not the hot path.
+        x, out = seg_solver(lam)(x)
         out = jax.block_until_ready(out)
+        if out.final_lambda is not None:
+            lam = float(out.final_lambda)
         total_iters += int(out.num_iters)
         total_failures += int(out.num_failures)
         elapsed_ms = (time.perf_counter() - t0) * 1e3

@@ -484,6 +484,7 @@ def optimize_from_acc(
         duration_ms=jnp.zeros((), jnp.float32),
         final_grad=carry.g,
         final_hessian=final_hessian,
+        final_lambda=carry.lm.lam,
         errs=carry.errs, deltas2=carry.deltas2, successes=carry.succ,
         num_hist=carry.num_hist,
         num_diff_used=num_diff_used,

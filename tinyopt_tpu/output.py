@@ -35,13 +35,16 @@ class Output:
     num_consec_failures: jax.Array     #: int32
     duration_ms: jax.Array             #: float32, filled by the host driver
 
-    final_grad: jax.Array | None       #: last gradient (JᵀR), un-clipped? clipped
+    final_grad: jax.Array | None       #: last gradient (JᵀR), post-clipping
     final_hessian: jax.Array | None    #: last un-damped JᵀJ (if save_last)
 
     errs: jax.Array                    #: (capacity,) per-iteration cost
     deltas2: jax.Array                 #: (capacity,) per-iteration |δx|²
     successes: jax.Array               #: (capacity,) bool accept flags
     num_hist: jax.Array                #: int32 valid prefix length
+
+    #: last LM damping factor λ (continuity across host-chunked segments)
+    final_lambda: jax.Array | None = None
 
     num_diff_used: bool = dataclasses.field(
         default=False, metadata=dict(static=True))

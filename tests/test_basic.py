@@ -72,6 +72,34 @@ class TestStopReasons:
                                         stop_callback2=cb2))
         assert _reason(out) == StopReason.USER_STOPPED
 
+    def test_timeout_path_identical_to_plain_path(self):
+        """With an ample budget the host-chunked timeout driver follows
+        byte-identical trajectories to the un-chunked loop (full state
+        carry across segments: λ + bad_factor, accept/reject, budgets)."""
+        fn = lambda x: x * x - 2.0
+        xa, oa = to.optimize(jnp.asarray(0.5), fn,
+                             to.Options(max_consec_failures=0,
+                                        max_duration_ms=60_000))
+        xb, ob = to.optimize(jnp.asarray(0.5), fn,
+                             to.Options(max_consec_failures=0))
+        assert float(xa) == float(xb)
+        assert int(oa.num_iters) == int(ob.num_iters)
+        assert int(oa.num_failures) == int(ob.num_failures)
+        assert oa.errs_list == ob.errs_list
+        assert int(oa.stop_reason) == int(ob.stop_reason)
+
+    def test_timeout_respects_max_iters(self):
+        _, out = to.optimize(jnp.asarray(100.0), lambda x: x * x - 2.0,
+                             to.Options(max_iters=5, max_duration_ms=60_000,
+                                        min_error=0, min_rerr_dec=0,
+                                        min_step_norm2=0, min_grad_norm2=0))
+        assert int(out.num_iters) == 6  # max_iters + 1 rollback slot
+
+    def test_timeout_with_zero_max_iters(self):
+        _, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0,
+                             to.Options(max_iters=0, max_duration_ms=1e4))
+        assert int(out.num_iters) == 1  # the +1 slot, no crash
+
     def test_timeout(self):
         """max_duration_ms > 0 stops with TIMED_OUT (basic.cpp:88-106)."""
         import time

@@ -69,17 +69,11 @@ def _detect_mode(fn, x, options, dims: int) -> str:
     return "residuals"
 
 
-def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
-                 warm_start=None) -> Callable:
-    """Build the pure solve function (x) -> (x_opt, Output) for ``fn``.
+def _build_system(fn: Callable, options: Options, mode: str, x_example):
+    """Resolve the dispatch mode and build the (acc, ev) closures.
 
-    Use this directly to compose with jax transforms, e.g.
-    ``jax.vmap(build_solver(f, opts, "residuals", x0))`` for batched
-    instances sharded over a mesh.
-
-    ``warm_start=(g0, H0)`` seeds the normal equations (the reference's
-    ``InitWith`` warm start, optimizer.h:46-55): the first iteration
-    evaluates the cost only and proposes a step from the given system.
+    Returns ``(acc, ev, n_res, spec, num_diff_used, mode)`` — shared by
+    :func:`build_solver` and the host-chunked timeout driver.
     """
     x_example = mf.as_pytree(x_example)
     spec = mf.tangent_spec(x_example)
@@ -122,6 +116,23 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
         acc, ev, n_res = make_acc_system(fn, x_example, spec, first_order)
     else:
         raise ValueError(f"Unknown mode {mode!r}")
+    return acc, ev, n_res, spec, num_diff_used, mode
+
+
+def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
+                 warm_start=None) -> Callable:
+    """Build the pure solve function (x) -> (x_opt, Output) for ``fn``.
+
+    Use this directly to compose with jax transforms, e.g.
+    ``jax.vmap(build_solver(f, opts, "residuals", x0))`` for batched
+    instances sharded over a mesh.
+
+    ``warm_start=(g0, H0)`` seeds the normal equations (the reference's
+    ``InitWith`` warm start, optimizer.h:46-55): the first iteration
+    evaluates the cost only and proposes a step from the given system.
+    """
+    acc, ev, n_res, spec, num_diff_used, mode = _build_system(
+        fn, options, mode, x_example)
 
     def solve(x):
         if n_res == 0:
@@ -189,54 +200,94 @@ def optimize(x, fn: Callable, options: Options | None = None, *,
 def _optimize_with_timeout(x, fn, options, mode):
     """Host-chunked solve honoring ``max_duration_ms``.
 
-    Runs the jitted loop one max_iters=1 segment at a time, carrying the
-    solver state (x, λ schedule via warm restart) between segments and
-    checking the wall clock in between.  Cost: one extra build per segment
-    (re-linearization at the carried x) — acceptable since timeouts are a
-    safety net, not the hot path.
+    Runs the jitted loop one iteration per segment, carrying the COMPLETE
+    loop state (λ schedule including compounded bad factors, accept/reject
+    state, failure budgets, Rebuild(false) flags) between segments as a
+    runtime input — two compiled executables total ("start" and "resume"),
+    reused across segments — and checking the wall clock in between,
+    mirroring the reference's per-iteration timeout check
+    (optimizer.h:302-305).  Semantics match the un-chunked loop exactly on
+    the accepted path; the only cost is one device round-trip per
+    iteration, acceptable for a safety net.
     """
-    import dataclasses as _dc
+    import numpy as np
 
     t0 = time.perf_counter()
-    base_opts = options.replace(max_duration_ms=0.0, max_iters=1,
-                                check_final_cost=False)
+    x = mf.as_pytree(x)
+    seg_opts = options.replace(max_duration_ms=0.0, max_iters=1,
+                               check_final_cost=False)
+    acc, ev, n_res, spec, num_diff_used, mode = _build_system(
+        fn, seg_opts, mode, x)
+    if n_res == 0 or spec.dims == 0:
+        out = _skipped_output(0, spec.dtype, num_diff_used)
+        out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
+        return x, out
 
-    def seg_solver(lam_init: float):
-        seg_opts = base_opts.replace(
-            lm=_dc.replace(base_opts.lm, damping_init=lam_init))
-        key = _cache_key(fn, seg_opts, mode, x)
-        solve = _CACHE.get(key)
-        if solve is None:
-            solve = jax.jit(build_solver(fn, seg_opts, mode, x))
-            _CACHE[key] = solve
-        return solve
+    key = _cache_key(fn, seg_opts, mode, x)
+    pair = _CACHE.get(("timeout", key))
+    if pair is None:
+        start = jax.jit(lambda x0: optimize_from_acc(
+            x0, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
+            return_state=True))
+        resume = jax.jit(lambda st: optimize_from_acc(
+            st.x, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
+            segment_state=st, return_state=True))
+        evaluate = jax.jit(lambda xv: ev(xv).cost)
+        pair = (start, resume, evaluate)
+        _CACHE[("timeout", key)] = pair
+    start, resume, evaluate = pair
 
-    total_iters = 0
-    total_failures = 0
+    # The reference grants max_iters + 1 iterations (one rollback slot,
+    # optimizer.h:249) + 1 more with check_final_cost.
+    budget_iters = options.max_iters + 1 \
+        + (1 if options.check_final_cost else 0)
+    state = None
     out = None
-    lam = float(options.lm.damping_init)
-    for _ in range(options.max_iters):
-        # Carry λ across segments so the damping schedule is continuous,
-        # as in the reference's single uninterrupted loop.  Each distinct
-        # λ value keys a (cached) recompile; timeouts are a safety net,
-        # not the hot path.
-        x, out = seg_solver(lam)(x)
+    hist_e, hist_d, hist_s = [], [], []
+    total_iters = 0
+    timed_out = False
+    while total_iters < budget_iters:
+        if state is None:
+            _, out, state = start(x)
+        else:
+            _, out, state = resume(state)
         out = jax.block_until_ready(out)
-        if out.final_lambda is not None:
-            lam = float(out.final_lambda)
         total_iters += int(out.num_iters)
-        total_failures += int(out.num_failures)
-        elapsed_ms = (time.perf_counter() - t0) * 1e3
-        if elapsed_ms > options.max_duration_ms:
-            out.stop_reason = jnp.asarray(int(StopReason.TIMED_OUT), jnp.int32)
-            break
+        if options.save_history:
+            n = int(out.num_hist)
+            hist_e += list(np.asarray(out.errs[:n]))
+            hist_d += list(np.asarray(out.deltas2[:n]))
+            hist_s += list(np.asarray(out.successes[:n]))
         if int(out.stop_reason) not in (int(StopReason.MAX_ITERS),
                                         int(StopReason.NONE)):
             break
+        if (time.perf_counter() - t0) * 1e3 > options.max_duration_ms:
+            timed_out = True
+            break
+
+    x_final = state.x
+    # check_final_cost: re-evaluate the final point; if it regressed, fall
+    # back to the best accepted point (options.h:43 semantics).
+    if options.check_final_cost and not timed_out:
+        final_c = evaluate(x_final)
+        if float(final_c) >= float(state.best_cost):
+            x_final = state.best_x
+
+    stop = (jnp.asarray(int(StopReason.TIMED_OUT), jnp.int32) if timed_out
+            else jnp.where(
+                out.stop_reason == int(StopReason.NONE),
+                int(StopReason.MAX_ITERS), out.stop_reason).astype(jnp.int32))
+    out.stop_reason = stop
     out.num_iters = jnp.asarray(total_iters, jnp.int32)
-    out.num_failures = jnp.asarray(total_failures, jnp.int32)
+    out.errs = jnp.asarray(np.asarray(hist_e, dtype=np.asarray(
+        out.errs).dtype) if hist_e else np.zeros((0,)))
+    out.deltas2 = jnp.asarray(np.asarray(hist_d, dtype=np.asarray(
+        out.deltas2).dtype) if hist_d else np.zeros((0,)))
+    out.successes = jnp.asarray(np.asarray(hist_s, bool)
+                                if hist_s else np.zeros((0,), bool))
+    out.num_hist = jnp.asarray(len(hist_e), jnp.int32)
     out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
-    return x, out
+    return x_final, out
 
 
 def multi_start_optimize(x0_batch, fn: Callable,

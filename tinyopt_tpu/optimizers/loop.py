@@ -158,6 +158,8 @@ def optimize_from_acc(
     num_diff_used: bool = False,
     propose: Callable = propose_step,
     warm_start: tuple | None = None,
+    segment_state: "_Carry | None" = None,
+    return_state: bool = False,
 ):
     """Run the full optimization loop. Pure function: (x0) -> (x_opt, Output).
 
@@ -174,6 +176,19 @@ def optimize_from_acc(
     iteration evaluates the cost only instead of re-accumulating — the
     reference's ``InitWith`` (optimizer.h:46-55).  ``H0`` is ignored for
     first-order solvers.
+
+    Segmented execution (the host-chunked timeout driver): pass
+    ``return_state=True`` to additionally return the final loop carry, and
+    ``segment_state=<carry>`` to RESUME from it with full state continuity
+    (λ schedule including compounded bad factors, accept/reject state,
+    failure budgets, Rebuild(false) flags).  In segment mode
+    (``segment_state is not None`` or ``return_state``) the loop runs
+    exactly ``options.max_iters`` iterations per call — the +1 rollback
+    and check_final_cost allowances are the driver's responsibility.
+    Acceptance does not depend on the segment-local iteration index (the
+    first-evaluation auto-accept keys on "no finite best cost yet"), so a
+    resumed segment behaves identically to the same iterations of one
+    uninterrupted loop.
 
     jit/vmap/shard-friendly: all shapes static, control flow in lax.
     """
@@ -193,14 +208,21 @@ def optimize_from_acc(
     d = spec.dims
     dtype = spec.dtype
 
-    max_iters_total = opts.max_iters + 1 + (1 if opts.check_final_cost else 0)
+    segmented = return_state or (segment_state is not None)
+    if segmented:
+        # Exactly max_iters iterations per segment; allowances are the
+        # driver's job (optimize._optimize_with_timeout).
+        max_iters_total = opts.max_iters
+    else:
+        max_iters_total = opts.max_iters + 1 \
+            + (1 if opts.check_final_cost else 0)
     # history capacity: ≤1 entry per outer iteration; 0 disables recording
     cap = max_iters_total if opts.save_history else 0
 
     # ---- Degenerate problems: nothing to optimize (optimizer.h:63-70) ----
     if d == 0:
         out = _skipped_output(cap, dtype, num_diff_used)
-        return x0, out
+        return (x0, out, None) if return_state else (x0, out)
 
     big = jnp.asarray(jnp.inf, dtype)
 
@@ -313,7 +335,12 @@ def optimize_from_acc(
         rel_derr = jnp.where(
             (c.best_cost > eps) & jnp.isfinite(c.best_cost),
             (c.best_cost - err) / c.best_cost, dtype.type(0))
-        good = is_good | (it == 0)
+        # First evaluation is auto-accepted ("we guess it's a good step in
+        # the first iteration", optimizer.h:441); keyed on "no finite best
+        # cost yet" rather than the iteration index so resumed segments
+        # don't re-trigger it.
+        first_eval = ~jnp.isfinite(c.best_cost)
+        good = is_good | first_eval
 
         # History (appended only when the step wasn't an early failure)
         if opts.save_history:
@@ -333,7 +360,7 @@ def optimize_from_acc(
             quality = rel_derr if opts.use_step_quality_approx else jnp.zeros((), dtype)
             lm_good = lm_good_step(lm_state, quality, opts)
             lm_bad = lm_bad_step(lm_state, opts)
-            apply_good = (~early_fail) & good & (it > 0)
+            apply_good = (~early_fail) & good & (~first_eval)
             apply_bad = (~early_fail) & (~good)
             lm_state = _where_tree(
                 apply_good, lm_good, _where_tree(apply_bad, lm_bad, lm_state))
@@ -428,7 +455,7 @@ def optimize_from_acc(
                    "d:{derr:+.2e} r:{rel:+.1e} |dx|:{dxn:.2e} "
                    "|grad|:{gn:.2e} 1/lam:{il:.2e}")
             kw = dict(it=it, g=good, err=err, n=n_res,
-                      derr=jnp.where(it == 0, 0.0, derr), rel=rel_derr,
+                      derr=jnp.where(first_eval, 0.0, derr), rel=rel_derr,
                       dxn=jnp.sqrt(dx_norm2), gn=jnp.sqrt(grad_norm2),
                       il=1.0 / jnp.maximum(lm_state.lam, 1e-30))
             if opts.log.print_x:
@@ -463,7 +490,20 @@ def optimize_from_acc(
     def cond(c: _Carry):
         return (c.stop == int(StopReason.NONE)) & (c.it < max_iters_total)
 
-    carry = jax.lax.while_loop(cond, body, init_carry(x0))
+    if segment_state is not None:
+        # Resume: segment-local fields reset, solver/acceptance state kept.
+        carry0 = dataclasses.replace(
+            segment_state,
+            it=jnp.zeros((), _I32),
+            stop=jnp.full((), int(StopReason.NONE), _I32),
+            errs=jnp.zeros((cap,), dtype),
+            deltas2=jnp.zeros((cap,), dtype),
+            succ=jnp.zeros((cap,), bool),
+            num_hist=jnp.zeros((), _I32),
+        )
+    else:
+        carry0 = init_carry(x0)
+    carry = jax.lax.while_loop(cond, body, carry0)
 
     stop = jnp.where(carry.stop == int(StopReason.NONE),
                      int(StopReason.MAX_ITERS), carry.stop).astype(_I32)
@@ -489,6 +529,8 @@ def optimize_from_acc(
         num_hist=carry.num_hist,
         num_diff_used=num_diff_used,
     )
+    if return_state:
+        return carry.x, out, carry
     return carry.x, out
 
 

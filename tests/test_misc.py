@@ -47,6 +47,31 @@ class TestWarmStart:
                                    atol=1e-5)
         assert bool(out.converged())
 
+    def test_warm_start_with_no_carry_raises(self):
+        with pytest.raises(ValueError):
+            to.build_solver(
+                lambda p: p, to.Options(
+                    hessian=to.HessianOptions(save_last=False,
+                                              carry_system=False)),
+                "residuals", jnp.zeros(2),
+                warm_start=(jnp.zeros(2), jnp.eye(2)))(jnp.zeros(2))
+
+    def test_timeout_check_final_cost_with_cost_scaling(self):
+        """The timeout driver's final-cost comparison must use the same
+        normalization as the loop (regression: raw-vs-normalized)."""
+        fn = lambda x: (x - 3.0) ** 2
+        opts = dict(solver_type=to.GradientDescent, max_iters=5,
+                    check_final_cost=True, min_error=0, min_rerr_dec=0,
+                    min_step_norm2=0, min_grad_norm2=0,
+                    gd=to.GDOptions(lr=0.1),
+                    cost=to.CostScalingOptions(downscale_by_2=True))
+        xa, _ = to.optimize(jnp.asarray(0.0), fn,
+                            to.Options(**opts, max_duration_ms=60_000),
+                            mode="cost")
+        xb, _ = to.optimize(jnp.asarray(0.0), fn, to.Options(**opts),
+                            mode="cost")
+        assert float(xa) == pytest.approx(float(xb), rel=1e-12)
+
     def test_wrong_warm_start_recovers(self):
         """A bad warm-start system still converges (the step gets rejected
         and the loop rebuilds)."""

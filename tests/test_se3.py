@@ -39,6 +39,29 @@ class TestSO3:
         np.testing.assert_allclose(np.asarray(R2.matrix()),
                                    np.asarray(R.matrix()), atol=1e-10)
 
+    @pytest.mark.parametrize("axis", [
+        [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+        [1.0, -1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, -1.0],
+    ])
+    def test_from_matrix_180_degree_rotations(self, axis):
+        """Shepperd reconstruction at qw = 0 (the degenerate case where
+        antisymmetric-part sign fixes fail)."""
+        a = jnp.asarray(axis, jnp.float64)
+        a = a / jnp.linalg.norm(a)
+        R = SO3.exp(jnp.pi * a)
+        R2 = SO3.from_matrix(R.matrix())
+        np.testing.assert_allclose(np.asarray(R2.matrix()),
+                                   np.asarray(R.matrix()), atol=1e-10)
+
+    def test_from_matrix_random_dense_sweep(self):
+        rng = np.random.default_rng(12)
+        for _ in range(50):
+            w = jnp.asarray(rng.uniform(-np.pi, np.pi, 3))
+            R = SO3.exp(w)
+            R2 = SO3.from_matrix(R.matrix())
+            np.testing.assert_allclose(np.asarray(R2.matrix()),
+                                       np.asarray(R.matrix()), atol=1e-10)
+
     def test_compose_inverse(self):
         R1 = SO3.exp(jnp.array([0.1, 0.2, 0.3]))
         R2 = SO3.exp(jnp.array([-0.4, 0.5, 0.6]))

@@ -76,6 +76,20 @@ class TestBlockOptimize:
         assert float(out_blk.final_cost.cost) == pytest.approx(
             float(out_dense.final_cost.cost), abs=1e-10)
 
+    def test_blockdiag_rescaled_covariance(self):
+        """rescaled=True must work for BlockDiag final Hessians."""
+        targets = jnp.arange(1.0, 5.0).reshape(4, 1)
+        x, out = to.block_optimize(jnp.ones((4, 1)),
+                                   lambda xb, t: xb * xb - t, data=targets)
+        C = out.covariance(rescaled=True)
+        assert C.shape == (4, 4)
+        assert bool(jnp.all(jnp.isfinite(C)))
+
+    def test_matfree_rejects_gradient_descent(self):
+        with pytest.raises(ValueError):
+            to.matfree_optimize(jnp.ones(3), lambda x: x,
+                                to.Options(solver_type=to.GradientDescent))
+
     def test_block_hessian_saved_and_covariance(self):
         targets = jnp.arange(1.0, 5.0).reshape(4, 1)
         x, out = to.block_optimize(jnp.ones((4, 1)),

@@ -86,20 +86,43 @@ class SO3:
 
     @staticmethod
     def from_matrix(R) -> "SO3":
-        """Rotation matrix -> quaternion (Shepperd-style, branchless)."""
+        """Rotation matrix -> quaternion (Shepperd's method, branchless).
+
+        The largest of the four quaternion components anchors the
+        reconstruction (its candidate trace is positive and well away from
+        zero), and the remaining components come from off-diagonal sums /
+        differences divided by it — correct for ALL rotations including
+        180° (where naive sign fix-ups from the antisymmetric part fail:
+        those differences vanish at qw = 0).
+        """
         R = jnp.asarray(R)
         m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
         m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
         m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
-        tr = m00 + m11 + m22
-        qw = 0.5 * jnp.sqrt(jnp.clip(1.0 + tr, 1e-12))
-        qx = 0.5 * jnp.sqrt(jnp.clip(1.0 + m00 - m11 - m22, 1e-12))
-        qy = 0.5 * jnp.sqrt(jnp.clip(1.0 - m00 + m11 - m22, 1e-12))
-        qz = 0.5 * jnp.sqrt(jnp.clip(1.0 - m00 - m11 + m22, 1e-12))
-        qx = qx * jnp.sign(jnp.where(m21 - m12 == 0, 1.0, m21 - m12))
-        qy = qy * jnp.sign(jnp.where(m02 - m20 == 0, 1.0, m02 - m20))
-        qz = qz * jnp.sign(jnp.where(m10 - m01 == 0, 1.0, m10 - m01))
-        q = jnp.stack([qw, qx, qy, qz], axis=-1)
+        t0 = 1.0 + m00 + m11 + m22
+        t1 = 1.0 + m00 - m11 - m22
+        t2 = 1.0 - m00 + m11 - m22
+        t3 = 1.0 - m00 - m11 + m22
+        ts = jnp.stack([t0, t1, t2, t3], axis=-1)
+
+        def cand(t, a, b, c):
+            s = jnp.sqrt(jnp.maximum(t, 1e-30))
+            inv = 0.5 / s
+            return s * 0.5, a * inv, b * inv, c * inv
+
+        w0, x0, y0, z0 = cand(t0, m21 - m12, m02 - m20, m10 - m01)
+        x1, w1, y1, z1 = cand(t1, m21 - m12, m01 + m10, m02 + m20)
+        y2, w2, x2, z2 = cand(t2, m02 - m20, m01 + m10, m12 + m21)
+        z3, w3, x3, y3 = cand(t3, m10 - m01, m02 + m20, m12 + m21)
+        qs = jnp.stack([
+            jnp.stack([w0, x0, y0, z0], axis=-1),
+            jnp.stack([w1, x1, y1, z1], axis=-1),
+            jnp.stack([w2, x2, y2, z2], axis=-1),
+            jnp.stack([w3, x3, y3, z3], axis=-1),
+        ], axis=-2)                                   # (..., 4 cases, 4)
+        k = jnp.argmax(ts, axis=-1)
+        q = jnp.take_along_axis(qs, k[..., None, None].repeat(4, -1),
+                                axis=-2)[..., 0, :]
         return SO3(q / jnp.linalg.norm(q, axis=-1, keepdims=True))
 
     def log(self):

@@ -232,7 +232,11 @@ def _optimize_with_timeout(x, fn, options, mode):
         resume = jax.jit(lambda st: optimize_from_acc(
             st.x, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
             segment_state=st, return_state=True))
-        evaluate = jax.jit(lambda xv: ev(xv).cost)
+        # Normalize like the loop does, so the comparison against the
+        # (normalized) best_cost is apples-to-apples.
+        from .cost import normalize_cost
+        evaluate = jax.jit(
+            lambda xv: normalize_cost(ev(xv), seg_opts.cost).cost)
         pair = (start, resume, evaluate)
         _CACHE[("timeout", key)] = pair
     start, resume, evaluate = pair

@@ -202,6 +202,10 @@ def optimize_from_acc(
         raise ValueError(
             "hessian.carry_system=False cannot save the final Hessian; "
             "set hessian.save_last=False as well")
+    if (not carry_H) and (not first_order) and warm_start is not None:
+        raise ValueError(
+            "warm_start requires hessian.carry_system=True (the seeded "
+            "system lives in the loop carry)")
 
     if spec is None:
         spec = mf.tangent_spec(x0)
@@ -286,9 +290,13 @@ def optimize_from_acc(
                 c,
             )
         else:
-            # No-carry mode: always re-accumulate at the current point
-            # (which is the rolled-back best point after a rejection, so
-            # accepted-path trajectories are identical to carry mode).
+            # No-carry mode: always re-accumulate at the current point.
+            # After a rejection+rollback this re-linearizes at the best
+            # point (same system the carry mode re-damps); on rejection-free
+            # runs the trajectory is identical to carry mode.  During
+            # consecutive-rejection probing it linearizes at the probe
+            # instead of reusing the stale Rebuild(false) system — a
+            # deliberate deviation (fresher system, no carried H).
             H, g, cost = build_branch(c.x)
         err = cost.cost.astype(dtype)
         n_res = cost.num_residuals
@@ -331,7 +339,9 @@ def optimize_from_acc(
         # --- Accept / reject (optimizer.h:427-459) ---
         derr = err - c.best_cost
         is_good = derr < 0
-        eps = dtype.type(float(jnp.finfo(dtype).eps) ** 0.5)
+        # FloatEpsilon guard (reference: math.h:297-301 — 1e-7 for f64,
+        # 1e-4 for f32), matching the reference's rel_derr zeroing exactly.
+        eps = dtype.type(1e-7 if jnp.dtype(dtype).itemsize >= 8 else 1e-4)
         rel_derr = jnp.where(
             (c.best_cost > eps) & jnp.isfinite(c.best_cost),
             (c.best_cost - err) / c.best_cost, dtype.type(0))

@@ -74,10 +74,10 @@ class Output:
         if self.final_hessian is None:
             return None
         H = self.final_hessian
+        d = H.shape[-1] if not hasattr(H, "inv") else H.shape[0]
         if hasattr(H, "inv"):       # BlockDiag: blockwise sparse covariance
             cov = H.inv().to_dense()
         else:
-            d = H.shape[-1]
             eye = jnp.eye(d, dtype=H.dtype)
             cov = jnp.linalg.solve(H, eye)
         if rescaled:

@@ -184,6 +184,10 @@ def matfree_optimize(x0, residual_fn: Callable,
     (exact CG in exact arithmetic).  ``Output.final_hessian`` is None.
     """
     options = options or Options()
+    if options.solver_type == SolverType.GRADIENT_DESCENT:
+        raise ValueError(
+            "matfree_optimize is a Gauss-Newton/LM method; use "
+            "to.optimize with GradientDescent for first-order solves")
     x0 = mf.as_pytree(x0)
     spec = mf.tangent_spec(x0)
     if cg_iters <= 0:

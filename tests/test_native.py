@@ -92,3 +92,30 @@ class TestAgreementWithXLA:
         assert res.num_iters == int(out.num_iters)
         assert res.final_cost == pytest.approx(float(out.final_cost.cost),
                                                rel=1e-6, abs=1e-18)
+
+    def test_prior_trajectory_parity(self):
+        """Multi-iteration accepted-path parity: identical iteration count
+        and cost (regression for the λ-ordering bug: the solve must use
+        the pre-GoodStep λ, like the reference)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(5)
+        d = 6
+        y = rng.uniform(-1, 1, d)
+        std = rng.uniform(0.1, 1.1, d)
+        x0 = rng.uniform(-1, 1, d)
+        res = native.bench_prior(y, 1.0 / std, x0)
+        x_py, out_py = to.optimize(
+            jnp.asarray(x0),
+            lambda x: (x - jnp.asarray(y)) * jnp.asarray(1.0 / std))
+        assert res.num_iters == int(out_py.num_iters)
+        assert res.final_cost == pytest.approx(
+            float(out_py.final_cost.cost), rel=1e-9, abs=1e-20)
+
+    def test_callback_exception_propagates(self):
+        """A raising residual callback must surface, not 'converge'."""
+        with pytest.raises(ZeroDivisionError):
+            native.native_optimize(np.array([1.0]), lambda x: 1 / 0, 1)
+
+    def test_unknown_option_name_rejected(self):
+        with pytest.raises(TypeError):
+            native.make_options(max_iter=5)  # typo for max_iters

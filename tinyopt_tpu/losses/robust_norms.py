@@ -41,10 +41,11 @@ def tukey(n2, th2):
 
 
 def arctan(n2, th2):
-    """Arctan soft clamp (robust_norms.h:169-191)."""
-    loss = th2 * jnp.arctan(n2 / th2)
-    u = n2 / th2
-    scale = 1.0 / (1.0 + u * u)
+    """Arctan soft clamp: loss = th·atan(n²/th), th = √th²,
+    scale = 1/(1 + n⁴/th²) (robust_norms.h:169-191)."""
+    th = jnp.sqrt(th2)
+    loss = th * jnp.arctan2(n2, th)
+    scale = 1.0 / (1.0 + n2 * n2 / th2)
     return loss, scale
 
 
@@ -56,10 +57,11 @@ def cauchy(n2, th2):
 
 
 def geman_mcclure(n2, th2):
-    """Geman-McClure (robust_norms.h:245-265)."""
+    """Geman-McClure: loss = n²/(n²+th²) (plateau 1),
+    scale = th²/(n²+th²)² (robust_norms.h:245-265)."""
     s = th2 + n2
-    loss = th2 * n2 / s
-    scale = (th2 / s) ** 2
+    loss = n2 / s
+    scale = th2 / (s * s)
     return loss, scale
 
 

@@ -88,9 +88,13 @@ def tangent_spec(x) -> TangentSpec:
         for a in jax.tree_util.tree_leaves(l):
             dtypes.append(jnp.asarray(a).dtype)
     dtype = jnp.result_type(*dtypes) if dtypes else jnp.float32
-    if not jnp.issubdtype(dtype, jnp.floating):
-        dtype = jnp.zeros((), dtype).dtype  # keep as-is; caller validates
-    return TangentSpec(treedef, dims, offsets, int(sum(dims)), dtype)
+    total = int(sum(dims))
+    if total > 0 and not jnp.issubdtype(dtype, jnp.floating):
+        raise ValueError(
+            f"parameters must be floating point, got dtype {dtype}; "
+            "cast your initial values (e.g. jnp.asarray(x, jnp.float32)) — "
+            "integer tangents cannot be differentiated")
+    return TangentSpec(treedef, dims, offsets, total, dtype)
 
 
 def retract(x, delta: jax.Array, spec: TangentSpec | None = None):
@@ -144,10 +148,17 @@ def zero_tangent(x, spec: TangentSpec | None = None) -> jax.Array:
 
 
 def as_pytree(x):
-    """Canonicalize user input: Python scalars/lists -> jnp arrays."""
+    """Canonicalize user input: Python scalars/lists -> jnp arrays.
+
+    Python ints are promoted to floats (an integer starting point is
+    clearly meant as a real-valued parameter; integer ARRAYS are left
+    alone and rejected by ``tangent_spec`` with a clear error).
+    """
     def conv(v):
         if _is_manifold_leaf(v):
             return v
+        if isinstance(v, int) and not isinstance(v, bool):
+            return jnp.asarray(float(v))
         return jnp.asarray(v)
     return jax.tree_util.tree_map(conv, x, is_leaf=_is_manifold_leaf)
 

@@ -134,7 +134,12 @@ def make_options(solver: str = "lm", **kw) -> _NativeOptions:
     o = _NativeOptions()
     lib.tinyopt_default_options(ctypes.byref(o))
     o.solver_type = _SOLVER_CODE[solver]
+    valid = {name for name, _ in _NativeOptions._fields_}
     for k, v in kw.items():
+        if k not in valid:
+            raise TypeError(
+                f"unknown native option {k!r}; valid fields: "
+                f"{sorted(valid - {'solver_type'})}")
         setattr(o, k, v)
     return o
 
@@ -153,15 +158,26 @@ def native_optimize(x0, res_jac_fn: Callable, n_res: int,
     r_buf = np.zeros(n_res, np.float64)
     J_buf = np.zeros(n_res * d, np.float64)
 
+    # ctypes callbacks cannot propagate Python exceptions: capture any
+    # raised error, poison the residuals with NaN so the C loop stops
+    # with kSystemHasNaNOrInf instead of "converging" on a zero buffer,
+    # and re-raise host-side after the solve returns.
+    cb_error: list = []
+
     @_RESJAC
     def cb(x_ptr, r_ptr, J_ptr, jac, _ctx):
-        xv = np.ctypeslib.as_array(x_ptr, shape=(d,))
-        r, J = res_jac_fn(xv.copy())
         rr = np.ctypeslib.as_array(r_ptr, shape=(n_res,))
-        rr[:] = np.asarray(r, np.float64).ravel()
-        if jac:
-            JJ = np.ctypeslib.as_array(J_ptr, shape=(n_res * d,))
-            JJ[:] = np.asarray(J, np.float64).ravel()
+        try:
+            xv = np.ctypeslib.as_array(x_ptr, shape=(d,))
+            r, J = res_jac_fn(xv.copy())
+            rr[:] = np.asarray(r, np.float64).ravel()
+            if jac:
+                JJ = np.ctypeslib.as_array(J_ptr, shape=(n_res * d,))
+                JJ[:] = np.asarray(J, np.float64).ravel()
+        except Exception as e:  # noqa: BLE001 - relayed to the caller
+            if not cb_error:
+                cb_error.append(e)
+            rr[:] = np.nan
 
     lib.tinyopt_solve(
         d, n_res, cb, None,
@@ -169,6 +185,8 @@ def native_optimize(x0, res_jac_fn: Callable, n_res: int,
         ctypes.byref(opts), ctypes.byref(out),
         r_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         J_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if cb_error:
+        raise cb_error[0]
     return NativeResult(x, out.final_cost, out.stop_reason, out.num_iters,
                         out.num_failures)
 

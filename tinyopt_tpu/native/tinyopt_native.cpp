@@ -15,7 +15,13 @@
 // include/tinyopt/optimizers/optimizer.h:243-534): multiplicative diagonal
 // damping with an absolute floor for zero diagonals, accept/reject with
 // rollback to the last good point, compounded bad factors, the same stop
-// codes.
+// codes.  On the accepted path the trajectory (λ schedule, iterates, stop
+// reason) is bit-identical to the jitted loop.  Known deviation on the
+// REJECTED path: this merged loop rolls back and re-proposes within the
+// same iteration, where the reference/jitted loop spends a separate
+// evaluate-only iteration at the rolled-back point — the native runtime
+// therefore reports fewer iterations on rejection-heavy runs while
+// reaching the same optima.
 //
 // Build: g++ -O3 -fPIC -shared (see native/__init__.py).
 
@@ -195,6 +201,11 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
     BuildNormalEquations(J, r, n_res, dims, H, g);
 
     // ---- Accept / reject the cost at this point ----
+    // λ ordering (matches the reference and the jitted loop): the solve
+    // of this iteration's step uses λ as updated by the PREVIOUS
+    // iteration's outcome; a GoodStep here only affects the NEXT solve,
+    // while a BadStep (rollback + retry) escalates the λ used right away.
+    const double lam_pre = lam;
     const double derr = cost - best_cost;
     const bool good = (derr < 0.0) || iter == 0;
     double rel_derr = 0.0;
@@ -261,6 +272,10 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
     if (iter + 1 >= max_iters) break;
 
     // ---- Propose a step ----
+    // Accepted: solve with λ from before this iteration's GoodStep
+    // (the reference solves first, updates after). Rejected: solve with
+    // the freshly escalated λ (the reference's next-step re-damp).
+    double lam_solve = good ? lam_pre : lam;
     bool solved = false;
     for (int attempt = 0; attempt <= (opts->max_consec_failures > 0
                                           ? opts->max_consec_failures
@@ -275,7 +290,7 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
       if (is_lm) {
         for (int a = 0; a < dims; ++a) {
           const double d = H[a * dims + a];
-          Hd[a * dims + a] = d + lam * (d == 0.0 ? 1.0 : d);
+          Hd[a * dims + a] = d + lam_solve * (d == 0.0 ? 1.0 : d);
         }
       }
       for (int a = 0; a < dims; ++a) dx[a] = -g[a];
@@ -284,7 +299,9 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
         break;
       }
       if (!is_lm) break;  // GN has no damping to escalate
-      lam *= bad_factor;
+      lam_solve *= bad_factor;
+      lam *= bad_factor;  // FailedStep escalation persists (lm.h:148)
+      if (lam_solve > opts->damping_max) lam_solve = opts->damping_max;
       if (lam > opts->damping_max) lam = opts->damping_max;
       bad_factor *= opts->bad_factor;
       out->num_failures++;

@@ -48,13 +48,16 @@ def _detect_mode(fn, x, options, dims: int) -> str:
     solvers (optimize.h:40-76).
     """
     import math
+
+    from .cost import Cost
+
     out = jax.eval_shape(fn, x)
     first_order = options.solver_type == SolverType.GRADIENT_DESCENT
     if isinstance(out, (tuple, list)) and len(out) in (2, 3):
         first, second = out[0], out[1]
         first_scalar = (hasattr(first, "shape")
                         and math.prod(first.shape) == 1) \
-            or isinstance(first, (tuple, list))
+            or isinstance(first, (tuple, list, Cost))
         grad_ok = (hasattr(second, "shape") and second.shape == (dims,))
         if len(out) == 2:
             h_ok = first_order
@@ -85,11 +88,12 @@ def _build_system(fn: Callable, options: Options, mode: str, x_example):
     num_diff_used = False
     if mode == "residuals":
         if first_order:
-            # GD requires a scalar cost (optimize.h:59-72); a 1-element
-            # residual is accepted and squared like the reference.
+            # GD requires a scalar cost (optimize.h:59-72); residual
+            # pytrees are accepted and squared like the reference.
+            from .diff.auto import flatten_residuals
             acc, ev, n_res = make_cost_system(
-                lambda x: jnp.sum(jnp.square(
-                    jnp.ravel(jnp.asarray(fn(x))))), x_example, spec)
+                lambda x: jnp.sum(jnp.square(flatten_residuals(fn(x)))),
+                x_example, spec)
         else:
             acc, ev, n_res = make_nlls_system(fn, x_example, spec)
             # AD fallback to numerical differentiation when the residual
@@ -136,7 +140,9 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
 
     def solve(x):
         if n_res == 0:
-            cap = options.max_iters + 1 + (1 if options.check_final_cost else 0)
+            cap = (options.max_iters + 1
+                   + (1 if options.check_final_cost else 0)
+                   ) if options.save_history else 0
             return x, _skipped_output(cap, spec.dtype, num_diff_used)
         return optimize_from_acc(x, acc, ev, options, spec,
                                  num_diff_used=num_diff_used,
@@ -145,11 +151,11 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
     return solve
 
 
-def _cache_key(fn, options, mode, x):
+def _cache_key(fn, options, mode, x, jit=True):
     leaves = jax.tree_util.tree_leaves(x)
     shapes = tuple((jnp.shape(l), jnp.asarray(l).dtype.name) for l in leaves)
     structure = jax.tree_util.tree_structure(x)
-    return (fn, options, mode, structure, shapes)
+    return (fn, options, mode, structure, shapes, jit)
 
 
 def optimize(x, fn: Callable, options: Options | None = None, *,
@@ -168,7 +174,7 @@ def optimize(x, fn: Callable, options: Options | None = None, *,
         return _optimize_with_timeout(x, fn, options, mode)
 
     t0 = time.perf_counter()
-    key = _cache_key(fn, options, mode, x)
+    key = _cache_key(fn, options, mode, x, jit)
     solve = _CACHE.get(key)
     if solve is None:
         solve = build_solver(fn, options, mode, x)
@@ -185,8 +191,9 @@ def optimize(x, fn: Callable, options: Options | None = None, *,
         if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
                 or "out of memory" in msg:
             spec = mf.tangent_spec(x)
-            cap = options.max_iters + 1 + (1 if options.check_final_cost
-                                           else 0)
+            cap = (options.max_iters + 1
+                   + (1 if options.check_final_cost else 0)
+                   ) if options.save_history else 0
             out = _skipped_output(cap, spec.dtype, False)
             out.stop_reason = jnp.asarray(
                 int(StopReason.OUT_OF_MEMORY), jnp.int32)
@@ -219,7 +226,10 @@ def _optimize_with_timeout(x, fn, options, mode):
     acc, ev, n_res, spec, num_diff_used, mode = _build_system(
         fn, seg_opts, mode, x)
     if n_res == 0 or spec.dims == 0:
-        out = _skipped_output(0, spec.dtype, num_diff_used)
+        cap = (options.max_iters + 1
+               + (1 if options.check_final_cost else 0)
+               ) if options.save_history else 0
+        out = _skipped_output(cap, spec.dtype, num_diff_used)
         out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
         return x, out
 

@@ -292,6 +292,34 @@ class TestGradClipping:
         assert float(out.deltas2_list[0]) == pytest.approx(lr ** 2, rel=1e-6)
 
 
+class TestVmapConsistency:
+    def test_vmapped_lane_matches_unbatched(self):
+        """Regression: under XLA excess-precision fusion, (err − best) can
+        be ±1 ulp even for bit-identical values, and the MIN_REL_ERROR
+        knife-edge at the rollback evaluation falsely fired under vmap.
+        A batch-of-one must follow the identical trajectory."""
+        s = jnp.asarray(0.5342465753424658)
+        solve = to.optimize  # noqa - use build_solver for raw control
+        solver = to.build_solver(lambda x: x * x - 2.0,
+                                 to.Options(max_consec_failures=0),
+                                 "residuals", s)
+        import jax as _jax
+        x1, o1 = _jax.jit(solver)(s)
+        xs, os_ = _jax.jit(_jax.vmap(solver))(s[None])
+        assert float(xs[0]) == float(x1)
+        assert int(os_.num_iters[0]) == int(o1.num_iters)
+        assert int(os_.stop_reason[0]) == int(o1.stop_reason)
+
+    def test_dense_start_sweep_all_converge(self):
+        starts = jnp.linspace(0.5, 4.0, 256)
+        solver = to.build_solver(lambda x: x * x - 2.0,
+                                 to.Options(max_consec_failures=0),
+                                 "residuals", starts[0])
+        xs, outs = jax.jit(jax.vmap(solver))(starts)
+        assert bool(jnp.all(outs.converged()))
+        assert float(jnp.max(jnp.abs(xs - np.sqrt(2.0)))) < 1e-5
+
+
 class TestFloat32:
     """f32 is the TPU-native dtype (SURVEY.md §7 precision hard part);
     solves must converge to f32-appropriate tolerances."""

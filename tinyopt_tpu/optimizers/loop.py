@@ -412,8 +412,15 @@ def optimize_from_acc(
             cascade = set_if(cascade, err < opts.min_error,
                              int(StopReason.MIN_ERROR))
         if opts.min_rerr_dec > 0:
-            cascade = set_if(cascade, (rel_derr > 0) & (rel_derr < opts.min_rerr_dec),
-                             int(StopReason.MIN_REL_ERROR))
+            # Floor at a few machine eps: under XLA's excess-precision
+            # fusion, (err - best) can be ±1 ulp even for bit-identical
+            # operands (observed under vmap on CPU), and a noise-scale
+            # "decrease" must not read as convergence.
+            noise = dtype.type(8) * jnp.finfo(dtype).eps
+            cascade = set_if(
+                cascade,
+                (rel_derr > noise) & (rel_derr < opts.min_rerr_dec),
+                int(StopReason.MIN_REL_ERROR))
         if opts.min_step_norm2 > 0:
             cascade = set_if(cascade, dx_norm2 < opts.min_step_norm2,
                              int(StopReason.MIN_DELTA_NORM))

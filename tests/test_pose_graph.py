@@ -1,0 +1,56 @@
+"""Pose-graph optimization (SLAM backend model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu import manifold as mf
+from tinyopt_tpu.manifolds import SE3
+from tinyopt_tpu.models.pose_graph import (make_pose_graph,
+                                           pose_graph_residuals)
+
+
+def _pose_errors(poses: SE3, true_poses: SE3):
+    def one(q, t, qt, tt):
+        from tinyopt_tpu.manifolds import SO3
+        X = SE3(SO3(q), t)
+        T = SE3(SO3(qt), tt)
+        return jnp.linalg.norm((T.inverse() @ X).log())
+    return jax.vmap(one)(poses.rotation.wxyz, poses.translation,
+                         true_poses.rotation.wxyz, true_poses.translation)
+
+
+class TestPoseGraph:
+    def test_noise_free_recovery(self):
+        data, x0, true_poses = make_pose_graph(n_poses=10, extra_loops=3)
+        assert mf.tangent_spec(x0).dims == 60
+        err0 = float(jnp.max(_pose_errors(x0, true_poses)))
+        x, out = to.optimize(x0, lambda p: pose_graph_residuals(p, data),
+                             to.Options(max_iters=100,
+                                        max_consec_failures=0))
+        assert bool(out.succeeded())
+        err = float(jnp.max(_pose_errors(x, true_poses)))
+        assert err < 1e-7 and err < err0 * 1e-4
+
+    def test_noisy_measurements_converge(self):
+        data, x0, true_poses = make_pose_graph(n_poses=14, extra_loops=5,
+                                               noise=1e-2, seed=4)
+        x, out = to.optimize(x0, lambda p: pose_graph_residuals(p, data),
+                             to.Options(max_iters=150,
+                                        max_consec_failures=0))
+        assert bool(out.succeeded())
+        # ML estimate: pose errors on the order of the measurement noise
+        assert float(jnp.max(_pose_errors(x, true_poses))) < 0.1
+
+    def test_matfree_backend(self):
+        """Larger graph through GN-CG (tangent 180-dim)."""
+        data, x0, true_poses = make_pose_graph(n_poses=30, extra_loops=8,
+                                               seed=6)
+        x, out = to.matfree_optimize(
+            x0, lambda p: pose_graph_residuals(p, data),
+            to.Options(max_iters=100, max_consec_failures=0),
+            cg_iters=120)
+        assert bool(out.succeeded())
+        assert float(jnp.max(_pose_errors(x, true_poses))) < 1e-5

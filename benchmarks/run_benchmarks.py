@@ -35,16 +35,28 @@ REFERENCE_US = {  # BASELINE.md (tinyopt, 1-thread CPU, max 10 LM iters)
 }
 
 
+def _native_ref_options():
+    """The reference benchmark options (benchmarks/options.h:10-27) —
+    the configuration REFERENCE_US was measured with, and the same one
+    bench_tpu uses, so all columns are apples-to-apples."""
+    from tinyopt_tpu import native
+    return native.make_options(
+        "lm", max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
+        min_step_norm2=1e-16, max_consec_failures=3)
+
+
 def bench_native(dims_list):
     from tinyopt_tpu import native
+    opts = _native_ref_options()
     rows = {}
-    rows["sqrt2"] = native.bench_sqrt2_us(1.0, reps=100_000)
+    rows["sqrt2"] = native.bench_sqrt2_us(1.0, reps=100_000, options=opts)
     rng = np.random.default_rng(1)
     for d in dims_list:
         y = rng.uniform(-1, 1, d)
         std = rng.uniform(0.1, 1.1, d)
         x0 = rng.uniform(-1, 1, d)
-        us, x = native.bench_prior_us(y, 1.0 / std, x0, reps=20_000)
+        us, x = native.bench_prior_us(y, 1.0 / std, x0, reps=20_000,
+                                      options=opts)
         assert np.allclose(x, y, atol=1e-5)
         rows[f"prior{d}"] = us
     return rows
@@ -88,11 +100,18 @@ def bench_tpu(dims_list, batch, single: bool = False):
         if single:
             solve_1 = jax.jit(to.build_solver(
                 lambda x: prior_residual(x, d_ex), opts, "residuals", x_ex))
-            jax.block_until_ready(solve_1(x_ex))
+            r1 = solve_1(x_ex)
+            float(r1[1].final_cost.cost)
+            # Same honesty protocol as the batched rows: fresh inputs and
+            # a forced read per rep (see bench.py).
             ts = []
             for _ in range(10):
+                x1i = x_ex + jnp.asarray(
+                    prng.uniform(1e-7, 1e-6, x_ex.shape), x_ex.dtype)
+                float(x1i.sum())
                 t0 = time.perf_counter()
-                jax.block_until_ready(solve_1(x_ex))
+                _, o1 = solve_1(x1i)
+                float(o1.final_cost.cost)
                 ts.append(time.perf_counter() - t0)
             rows1[f"prior{d}"] = min(ts) * 1e6
     return rows1, rowsN

@@ -11,6 +11,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# Force CPU: the axon TPU plugin overrides JAX_PLATFORMS, and this tour's
+# seven distinct tiny solves would each be a minutes-long TPU compile.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp

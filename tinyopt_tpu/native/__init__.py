@@ -126,6 +126,20 @@ class NativeResult(NamedTuple):
     num_failures: int
 
 
+#: Compile-time bound of the C core's stack scratch (tinyopt_native.cpp
+#: kMaxDims); enforced HERE because the bench entry points copy into the
+#: scratch before the C-side dims check runs.
+MAX_DIMS = 128
+
+
+def _check_dims(d: int) -> None:
+    if d > MAX_DIMS:
+        raise ValueError(
+            f"native runtime supports at most {MAX_DIMS} dims (got {d}); "
+            "use the XLA path (to.optimize / to.matfree_optimize) for "
+            "larger problems")
+
+
 _SOLVER_CODE = {"lm": 0, "gn": 1, "gd": 2}
 
 
@@ -153,6 +167,7 @@ def native_optimize(x0, res_jac_fn: Callable, n_res: int,
     lib = _load()
     x = np.ascontiguousarray(np.asarray(x0, np.float64).ravel()).copy()
     d = x.size
+    _check_dims(d)
     opts = options or make_options()
     out = _NativeOutput()
     r_buf = np.zeros(n_res, np.float64)
@@ -198,6 +213,7 @@ def bench_prior(y, inv_std, x0,
     y = np.ascontiguousarray(np.asarray(y, np.float64))
     s = np.ascontiguousarray(np.asarray(inv_std, np.float64))
     x = np.ascontiguousarray(np.asarray(x0, np.float64)).copy()
+    _check_dims(x.size)
     opts = options or make_options()
     out = _NativeOutput()
     lib.tinyopt_bench_prior(
@@ -216,6 +232,7 @@ def bench_prior_us(y, inv_std, x0, reps: int = 10_000,
     y = np.ascontiguousarray(np.asarray(y, np.float64))
     s = np.ascontiguousarray(np.asarray(inv_std, np.float64))
     x0 = np.ascontiguousarray(np.asarray(x0, np.float64))
+    _check_dims(x0.size)
     x_out = np.zeros_like(x0)
     opts = options or make_options()
     us = lib.tinyopt_bench_prior_us(

@@ -58,12 +58,12 @@ def batched_optimize(x0_batch, fn: Callable, options: Options | None = None,
 
     if mesh is not None:
         sharding = NamedSharding(mesh, P(axis))
-        put = partial(jax.device_put)
         x0_batch = jax.tree_util.tree_map(
-            lambda a: put(jnp.asarray(a), sharding), x0_batch)
+            lambda a: jax.device_put(jnp.asarray(a), sharding), x0_batch)
         if data_batch is not None:
             data_batch = jax.tree_util.tree_map(
-                lambda a: put(jnp.asarray(a), sharding), data_batch)
+                lambda a: jax.device_put(jnp.asarray(a), sharding),
+                data_batch)
 
     solve = jax.jit(solve)
     if data_batch is None:

@@ -88,6 +88,38 @@ bool CholeskySolve(double* A, double* b, int n) {
   return true;
 }
 
+// Damped Cholesky solve reading H without a pre-copy: L is factored into
+// a separate buffer from (H + λ·D) on the fly — skips the O(d²) damped
+// copy every proposal costs otherwise.
+bool CholeskySolveDamped(const double* H, const double* g, double lam,
+                         int n, double* L, double* dx) {
+  for (int j = 0; j < n; ++j) {
+    const double hjj = H[j * n + j];
+    double d = hjj + lam * (hjj == 0.0 ? 1.0 : hjj);
+    for (int k = 0; k < j; ++k) d -= L[j * n + k] * L[j * n + k];
+    if (!(d > 0.0) || !std::isfinite(d)) return false;
+    const double lj = std::sqrt(d);
+    L[j * n + j] = lj;
+    const double inv = 1.0 / lj;
+    for (int i = j + 1; i < n; ++i) {
+      double s = H[i * n + j];
+      for (int k = 0; k < j; ++k) s -= L[i * n + k] * L[j * n + k];
+      L[i * n + j] = s * inv;
+    }
+  }
+  for (int i = 0; i < n; ++i) {
+    double s = -g[i];
+    for (int k = 0; k < i; ++k) s -= L[i * n + k] * dx[k];
+    dx[i] = s / L[i * n + i];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = dx[i];
+    for (int k = i + 1; k < n; ++k) s -= L[k * n + i] * dx[k];
+    dx[i] = s / L[i * n + i];
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -170,11 +202,17 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
     return out->stop_reason;
   }
 
-  double H[kMaxDims * kMaxDims];
-  double Hd[kMaxDims * kMaxDims];
-  double H_best[kMaxDims * kMaxDims];
-  double g[kMaxDims];
-  double g_best[kMaxDims];
+  // Two system buffers with pointer swapping on accept: the accepted
+  // (H, g) is preserved without any O(d²) copy, and rejected iterations
+  // read it directly (the Rebuild(false) shortcut, reference
+  // solvers/lm.h:96-105, at zero copy cost).
+  static thread_local double bufH[2][kMaxDims * kMaxDims];
+  static thread_local double bufG[2][kMaxDims];
+  double* H = bufH[0];       // build target (current candidate's system)
+  double* H_bst = bufH[1];   // last accepted system
+  double* g = bufG[0];
+  double* g_bst = bufG[1];
+  double L[kMaxDims * kMaxDims];  // Cholesky factor scratch
   double dx[kMaxDims];
   double x_best[kMaxDims];
   std::memcpy(x_best, x, sizeof(double) * dims);
@@ -212,6 +250,8 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
     if (have_good && best_cost > 1e-12 && std::isfinite(best_cost))
       rel_derr = (best_cost - cost) / best_cost;
 
+    const double* H_use;
+    const double* g_use;
     if (good) {
       if (iter > 0) {
         // GoodStep: revert compounded bad factor, shrink lambda.
@@ -225,8 +265,11 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
       have_good = true;
       out->num_consec_failures = 0;
       std::memcpy(x_best, x, sizeof(double) * dims);
-      std::memcpy(H_best, H, sizeof(double) * dims * dims);
-      std::memcpy(g_best, g, sizeof(double) * dims);
+      // The just-built system becomes the accepted one: swap buffers.
+      std::swap(H, H_bst);
+      std::swap(g, g_bst);
+      H_use = H_bst;
+      g_use = g_bst;
     } else {
       lam *= bad_factor;
       if (lam > opts->damping_max) lam = opts->damping_max;
@@ -244,11 +287,10 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
         out->stop_reason = kMaxNoDecr;
         break;
       }
-      // Restore the normal equations of the rolled-back point — the
-      // Rebuild(false) shortcut (reference: solvers/lm.h:96-105) as a
-      // copy instead of a re-accumulation.
-      std::memcpy(H, H_best, sizeof(double) * dims * dims);
-      std::memcpy(g, g_best, sizeof(double) * dims);
+      // Propose from the last accepted system — the Rebuild(false)
+      // shortcut at zero copy cost.
+      H_use = H_bst;
+      g_use = g_bst;
     }
 
     // ---- Stop criteria on the (good) state ----
@@ -263,7 +305,7 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
         break;
       }
       double gn2 = 0.0;
-      for (int a = 0; a < dims; ++a) gn2 += g[a] * g[a];
+      for (int a = 0; a < dims; ++a) gn2 += g_use[a] * g_use[a];
       if (opts->min_grad_norm2 > 0 && gn2 < opts->min_grad_norm2) {
         out->stop_reason = kMinGradNorm;
         break;
@@ -282,19 +324,12 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
                                           : 50);
          ++attempt) {
       if (is_gd) {
-        for (int a = 0; a < dims; ++a) dx[a] = -opts->gd_lr * g[a];
+        for (int a = 0; a < dims; ++a) dx[a] = -opts->gd_lr * g_use[a];
         solved = true;
         break;
       }
-      std::memcpy(Hd, H, sizeof(double) * dims * dims);
-      if (is_lm) {
-        for (int a = 0; a < dims; ++a) {
-          const double d = H[a * dims + a];
-          Hd[a * dims + a] = d + lam_solve * (d == 0.0 ? 1.0 : d);
-        }
-      }
-      for (int a = 0; a < dims; ++a) dx[a] = -g[a];
-      if (CholeskySolve(Hd, dx, dims)) {
+      if (CholeskySolveDamped(H_use, g_use, is_lm ? lam_solve : 0.0, dims,
+                              L, dx)) {
         solved = true;
         break;
       }

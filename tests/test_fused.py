@@ -1,0 +1,170 @@
+"""Parity tests for the whole-solve fused Pallas kernel.
+
+The kernel (ops/pallas_solver.py) must reproduce the XLA batched path —
+vmap of the jitted while-loop with ``hessian.solver="cg"`` and
+``carry_system=False`` — instance by instance: same trajectories, stop
+reasons, iteration/failure counters, λ, and costs.  On CPU the kernel runs
+in Pallas interpret mode (same program, HLO interpreter), which is what
+these tests exercise; a TPU run compiles the identical trace with Mosaic.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu.models.problems import (jennrich_sampson_residuals,
+                                         make_prior_batch, prior_residual)
+from tinyopt_tpu.ops.pallas_solver import (fused_batched_solver,
+                                           fused_supported)
+from tinyopt_tpu.parallel.batched import batched_solver
+
+
+def _opts(**kw):
+    hk = dict(save_last=False, solver="cg", cg_iters=8, carry_system=False)
+    hk.update(kw.pop("hessian", {}))
+    kw.setdefault("max_iters", 10)
+    kw.setdefault("min_error", 0.0)
+    kw.setdefault("min_rerr_dec", 1e-12)
+    kw.setdefault("min_step_norm2", 1e-16)
+    kw.setdefault("max_consec_failures", 3)
+    kw.setdefault("save_history", False)
+    return to.Options(hessian=to.HessianOptions(**hk), **kw)
+
+
+def _run_both(residual_fn, opts, x0, data=None):
+    """(XLA path result, fused interpret-mode result)."""
+    x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+    d_ex = (None if data is None
+            else jax.tree_util.tree_map(lambda a: a[0], data))
+    ref = jax.jit(batched_solver(residual_fn, opts, "residuals", x_ex, d_ex))
+    fused = fused_batched_solver(residual_fn, opts, x_ex, d_ex,
+                                 interpret=True)
+    if data is None:
+        return ref(x0), fused(x0)
+    return ref(x0, data), fused(x0, data)
+
+
+def _assert_parity(ref, fus, rtol=1e-5, atol=1e-6):
+    (xr, outr), (xf, outf) = ref, fus
+    np.testing.assert_allclose(np.asarray(jnp.asarray(
+        jax.tree_util.tree_leaves(xr)[0])), np.asarray(jnp.asarray(
+            jax.tree_util.tree_leaves(xf)[0])), rtol=rtol, atol=atol)
+    assert bool(jnp.all(outr.stop_reason == outf.stop_reason))
+    assert bool(jnp.all(outr.num_iters == outf.num_iters))
+    assert bool(jnp.all(outr.num_failures == outf.num_failures))
+    assert bool(jnp.all(outr.num_consec_failures == outf.num_consec_failures))
+    np.testing.assert_allclose(outr.final_cost.cost, outf.final_cost.cost,
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(outr.final_lambda, outf.final_lambda,
+                               rtol=rtol)
+    np.testing.assert_allclose(outr.final_grad, outf.final_grad,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prior_batch_parity_lm():
+    data, x0 = make_prior_batch(32, 7, dtype=jnp.float32, seed=3)
+    opts = _opts(hessian=dict(solver="fused"))
+    assert fused_supported(opts, "residuals",
+                           jax.tree_util.tree_map(lambda a: a[0], x0))
+    _assert_parity(*_run_both(prior_residual, opts, x0, data))
+
+
+def test_prior_batch_parity_gn():
+    data, x0 = make_prior_batch(16, 5, dtype=jnp.float32, seed=5)
+    opts = _opts(solver_type=to.GaussNewton, hessian=dict(solver="fused"))
+    _assert_parity(*_run_both(prior_residual, opts, x0, data))
+
+
+def test_rejection_heavy_parity():
+    # Jennrich-Sampson from aggressive starts: rejected steps, rollback,
+    # probe re-steps and compounded λ escalation all get exercised.
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (24, 2), jnp.float32, 0.1, 0.45)
+    opts = _opts(max_iters=20, max_consec_failures=5,
+                 hessian=dict(solver="fused"))
+    ref, fus = _run_both(jennrich_sampson_residuals, opts, x0)
+    _assert_parity(ref, fus, rtol=1e-4, atol=1e-4)
+    # the problem actually produced some rejections (test is meaningful)
+    assert int(jnp.sum(ref[1].num_failures)) > 0
+
+
+def test_nan_routing_per_instance():
+    data, x0 = make_prior_batch(8, 4, dtype=jnp.float32, seed=1)
+    bad_inv = data.inv_std.at[3].set(jnp.nan)
+    data = dataclasses.replace(data, inv_std=bad_inv) if dataclasses.is_dataclass(data) \
+        else data._replace(inv_std=bad_inv)
+    opts = _opts(hessian=dict(solver="fused"))
+    (xr, outr), (xf, outf) = _run_both(prior_residual, opts, x0, data)
+    assert int(outf.stop_reason[3]) == int(to.StopReason.SYSTEM_HAS_NAN_OR_INF)
+    assert bool(jnp.all(outr.stop_reason == outf.stop_reason))
+    # the healthy instances still converge
+    ok = jnp.delete(outf.stop_reason, 3)
+    assert bool(jnp.all(ok == int(to.StopReason.MIN_DELTA_NORM))
+                or jnp.all(ok > 0))
+
+
+def test_no_data_problem_parity():
+    # residual closed over constants, no per-instance data argument
+    x0 = jnp.linspace(0.5, 3.0, 12, dtype=jnp.float32)[:, None]
+
+    def res(x):
+        return jnp.stack([x[0] * x[0] - 2.0, 0.5 * (x[0] - 1.0)])
+
+    opts = _opts(hessian=dict(solver="fused"))
+    _assert_parity(*_run_both(res, opts, x0))
+
+
+def test_pytree_params_roundtrip():
+    # dict-of-arrays parameters exercise flatten/unflatten inside the kernel
+    key = jax.random.PRNGKey(2)
+    x0 = {"a": jax.random.normal(key, (10, 3), jnp.float32),
+          "b": jax.random.normal(key, (10, 2), jnp.float32)}
+
+    def res(x, data):
+        return jnp.concatenate([x["a"] - data["ta"], 2.0 * (x["b"] - data["tb"])])
+
+    data = {"ta": jnp.ones((10, 3), jnp.float32),
+            "tb": jnp.full((10, 2), 0.5, jnp.float32)}
+    opts = _opts(hessian=dict(solver="fused"))
+    (xr, outr), (xf, outf) = _run_both(res, opts, x0, data)
+    np.testing.assert_allclose(xf["a"], xr["a"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(xf["b"], xr["b"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xf["a"]), 1.0, atol=1e-4)
+    assert bool(jnp.all(outr.stop_reason == outf.stop_reason))
+
+
+def test_unsupported_configs_fall_back():
+    data, x0 = make_prior_batch(4, 3, dtype=jnp.float32, seed=0)
+    x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+    # history / save_last / carry_system / callbacks make it unsupported
+    assert not fused_supported(
+        _opts(save_history=True, hessian=dict(solver="fused")).replace(
+            save_history=True), "residuals", x_ex)
+    assert not fused_supported(
+        _opts(hessian=dict(solver="fused", save_last=True, carry_system=True)),
+        "residuals", x_ex)
+    assert not fused_supported(
+        _opts(hessian=dict(solver="fused"),
+              stop_callback=lambda e, d, g: False), "residuals", x_ex)
+    assert not fused_supported(
+        to.Options(solver_type=to.GradientDescent), "residuals", x_ex)
+    # and batched_solver still works (vmap fallback) under those options
+    opts = _opts(hessian=dict(solver="fused", save_last=False))
+    opts = opts.replace(save_history=True)
+    d_ex = jax.tree_util.tree_map(lambda a: a[0], data)
+    solve = jax.jit(batched_solver(prior_residual, opts, "residuals",
+                                   x_ex, d_ex))
+    x, out = solve(x0, data)
+    assert bool(jnp.all(out.succeeded()))
+
+
+def test_fused_rejects_manifold_params():
+    from tinyopt_tpu.manifolds import SO3
+    r = SO3.identity()
+    with pytest.raises(ValueError):
+        fused_batched_solver(lambda x: jnp.zeros((3,)),
+                             _opts(hessian=dict(solver="fused")), r)

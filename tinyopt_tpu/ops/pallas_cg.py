@@ -30,9 +30,21 @@ from jax.experimental import pallas as pl
 from .linalg import solve_psd_cg
 
 
-def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
-    H = H_ref[:]                      # (BT, D, D) resident in VMEM
-    b = b_ref[:]                      # (BT, D)
+def eye_mask(d: int, dtype) -> jax.Array:
+    """(d, d) identity built from iotas (no gather — Mosaic-compatible)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    return (ii == jj).astype(dtype)
+
+
+def pcg_on_values(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
+    """Jacobi-preconditioned CG on VMEM-resident values (kernel-inlined).
+
+    ``H``: (BT, d, d), ``b``: (BT, d).  Shared by the standalone CG kernel
+    and the whole-solve fused kernel (ops/pallas_solver.py); math identical
+    to :func:`~tinyopt_tpu.ops.linalg.solve_psd_cg` so the XLA fallback and
+    both kernels produce the same iterates.
+    """
     eps = jnp.finfo(b.dtype).tiny
     d = H.shape[-1]
 
@@ -58,9 +70,7 @@ def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
     # halves the iterations needed for a given accuracy — the single
     # biggest lever on kernel time.  diag extracted with an iota mask
     # (no gather in Mosaic).
-    ii = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
-    eye = (ii == jj).astype(b.dtype)
+    eye = eye_mask(d, b.dtype)
     diag = jnp.sum(H * eye[None, :, :], axis=2)
     dinv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
 
@@ -81,7 +91,11 @@ def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
         return x, r, p, rz_new
 
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
-    x_ref[:] = x
+    return x
+
+
+def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):
+    x_ref[:] = pcg_on_values(H_ref[:], b_ref[:], iters)
 
 
 def batched_cg_tpu(H: jax.Array, b: jax.Array, iters: int,

@@ -1,0 +1,587 @@
+"""Whole-solve fused Pallas kernel: the full batched LM/GN loop on-chip.
+
+The batched solver's remaining HBM cost is structural: every outer LM
+iteration XLA materializes the batch's Jacobians (B, n_res, d) and normal
+equations (B, d, d) to HBM between the accumulate, solve, and accept/reject
+stages.  This kernel fuses the ENTIRE solve — residual + Jacobian via
+forward-mode AD, JᵀJ/JᵀR accumulation, per-instance LM damping, the
+Jacobi-preconditioned CG solve, accept/reject/rollback, λ schedule and the
+stop-reason cascade — into one Pallas program: each batch tile's state
+lives in VMEM from x₀ to convergence, and HBM traffic collapses to the
+problem inputs and outputs.
+
+The user's residual function is traced *inside* the kernel body (Pallas
+kernels are ordinary JAX traces), so any residual whose ops Mosaic can
+lower — elementwise math, small matmuls — runs on-chip, differentiated by
+``jax.jvp`` over the tangent basis exactly like the XLA path
+(diff/auto.value_and_jacfwd).
+
+Semantics are bit-compatible with the ``hessian.carry_system=False`` +
+``hessian.solver="cg"`` configuration of the jitted while-loop
+(optimizers/loop.py): same accumulate-at-current-point build, same retry /
+λ-escalation, acceptance, rollback/probe, failure budgets and stop-reason
+cascade (reference behavior: include/tinyopt/optimizers/optimizer.h:243-534,
+lm.h:123-154).  ``tests/test_fused.py`` asserts the parity against the XLA
+path instance-by-instance.
+
+No reference counterpart: the reference is single-instance CPU (SURVEY.md
+§2.3); this is the "fused accumulate+solve" deliverable of BASELINE.md
+taken to its endpoint.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .. import manifold as mf
+from ..cost import Cost
+from ..options import Options, SolverType
+from ..output import Output
+from ..stop_reasons import StopReason
+from .pallas_cg import eye_mask, pcg_on_values
+
+_I32 = jnp.int32
+
+
+class _XLayout(NamedTuple):
+    """Static layout of a flat Euclidean parameter vector."""
+    treedef: Any
+    shapes: tuple
+    sizes: tuple
+    dims: int
+    dtype: Any
+
+
+def _x_layout(x_example) -> _XLayout | None:
+    """Flat layout of ``x`` if all leaves are plain same-dtype arrays."""
+    leaves, treedef = jax.tree_util.tree_flatten(
+        x_example, is_leaf=mf._is_manifold_leaf)
+    shapes, sizes = [], []
+    dtype = None
+    for leaf in leaves:
+        if mf.manifold_for(leaf) is not None:
+            return None                       # manifold leaf: XLA path only
+        arr = jnp.asarray(leaf)
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
+            return None
+        if dtype is None:
+            dtype = arr.dtype
+        elif arr.dtype != dtype:
+            return None                       # mixed dtypes: XLA path only
+        shapes.append(arr.shape)
+        sizes.append(int(arr.size))
+    if dtype is None or sum(sizes) == 0:
+        return None
+    return _XLayout(treedef, tuple(shapes), tuple(sizes), sum(sizes), dtype)
+
+
+def fused_supported(options: Options, mode: str, x_example,
+                    n_res: int | None = None) -> bool:
+    """Whether the fused whole-solve kernel covers this configuration.
+
+    The fused path implements the ``carry_system=False`` loop semantics
+    with the CG normal-equation solver and no in-loop host effects; any
+    other configuration silently uses the (identical-semantics) XLA path.
+    """
+    o = options
+    if o.solver_type not in (SolverType.LEVENBERG_MARQUARDT,
+                             SolverType.GAUSS_NEWTON):
+        return False
+    if mode != "residuals":
+        return False
+    if (o.save_history or o.hessian.save_last or o.hessian.carry_system
+            or o.check_final_cost or o.log.enable
+            or o.max_duration_ms > 0
+            or o.stop_callback is not None or o.stop_callback2 is not None
+            or o.hessian.check_min_H_diag > 0):
+        return False
+    if _x_layout(x_example) is None:
+        return False
+    if n_res is not None and n_res == 0:
+        return False
+    return True
+
+
+def _flatten_batch_x(x_batch, layout: _XLayout) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(x_batch)
+    cols = [jnp.reshape(jnp.asarray(l), (jnp.shape(l)[0], -1)) for l in leaves]
+    return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=-1)
+
+
+def _unflatten_x(xv: jax.Array, layout: _XLayout):
+    leaves, off = [], 0
+    for shp, sz in zip(layout.shapes, layout.sizes):
+        leaves.append(jnp.reshape(xv[off:off + sz], shp))
+        off += sz
+    return jax.tree_util.tree_unflatten(layout.treedef, leaves)
+
+
+def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
+                   n_data: int, squeezed: tuple, n_res: int, opts: Options,
+                   max_iters_total: int):
+    """One batch tile, x₀ → converged x, entirely in VMEM."""
+    d = layout.dims
+    dtype = layout.dtype
+    x0 = refs[0][:]                               # (BT, d)
+    # Rank-1 data leaves arrive lifted to (BT, 1) (Mosaic block-shape
+    # constraint); squeeze them back before handing to the residual fn.
+    data_vals = [r[:][:, 0] if sq else r[:]
+                 for r, sq in zip(refs[1:1 + n_data], squeezed)]
+    (x_ref, cost_ref, rerr_ref, stop_ref, it_ref, nfail_ref, nconsec_ref,
+     lam_ref, g_ref, nres_ref) = refs[1 + n_data:]
+
+    BT = x0.shape[0]
+    is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+    max_tries = (opts.max_consec_failures
+                 if opts.max_consec_failures > 0 else 255)
+    cg_iters = opts.hessian.cg_iters or d
+    eye = eye_mask(d, dtype)
+    big = jnp.asarray(jnp.inf, dtype)
+
+    def res_flat(xv, data_i):
+        from ..diff.auto import flatten_residuals
+        x_tree = _unflatten_x(xv, layout)
+        if data_treedef is None:
+            out = residual_fn(x_tree)
+        else:
+            out = residual_fn(
+                x_tree, jax.tree_util.tree_unflatten(data_treedef, data_i))
+        return flatten_residuals(out).astype(dtype)
+
+    def accumulate(x):
+        """(BT, d) -> H (BT, d, d), g (BT, d), err (BT, 1).
+
+        Forward-mode Jacobian via jvp over the tangent basis, traced into
+        the kernel (diff/auto.value_and_jacfwd, reference
+        diff/optimize_autodiff.h:149-164) — J and H never leave VMEM.
+        """
+        basis = jnp.eye(d, dtype=dtype)
+
+        def jac_one(x_i, *data_i):
+            f = lambda xv: res_flat(xv, data_i)
+            push = lambda t: jax.jvp(f, (x_i,), (t,))
+            r, Jt = jax.vmap(push, out_axes=(None, 0))(basis)
+            return r, Jt                           # (n_res,), (d, n_res)
+
+        r, Jt = jax.vmap(jac_one)(x, *data_vals)   # (BT, n_res), (BT, d, n_res)
+        g = jax.lax.dot_general(
+            Jt, r, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype)
+        H = jax.lax.dot_general(
+            Jt, Jt, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype)
+        err = jnp.sum(r * r, axis=-1)[:, None]
+        # Cost scaling (reference solvers/base.h:41-45 order)
+        if not opts.cost.use_squared_norm:
+            err = jnp.sqrt(err)
+        if opts.cost.downscale_by_2:
+            err = 0.5 * err
+        if opts.cost.normalize:
+            err = err / dtype.type(max(n_res, 1))
+        if opts.grad_clipping > 0:
+            v = dtype.type(opts.grad_clipping)
+            g = jnp.clip(g, -v, v)
+        return H, g, err
+
+    # Per-instance scalar state is kept as (BT, 1) columns throughout:
+    # Mosaic's layout engine handles f32 1-D vectors (the CG kernel's
+    # pattern) but not i32/bool 1-D relayouts (minor-dim insertion,
+    # 1-D→2-D shape casts for full reductions, boolean-valued selects all
+    # fail); 2-D columns sidestep every such case.  Float lane-reductions
+    # go through the known-good "reduce to (BT,) then [:, None]" pattern.
+
+    def all_lanes(pred):
+        """(BT, d) bool -> (BT, 1) bool: all() via an f32 min-reduce."""
+        return jnp.min(pred.astype(dtype), axis=-1)[:, None] > 0.5
+
+    def any_inst(mask):
+        """(BT, 1) bool -> scalar any(), reduced in f32."""
+        return jnp.max(mask.astype(dtype)) > 0.5
+
+    def propose(H, g, lam):
+        """Damped PCG step; mirrors solvers/step.propose_step(solver="cg")."""
+        if is_lm:
+            diag = jnp.sum(H * eye[None, :, :], axis=2)
+            damp = jnp.where(diag == 0, jnp.ones_like(diag), diag)
+            # λ (BT, 1) folded into the (BT, d) damping vector: Mosaic
+            # supports (BT, d) -> (BT, 1, d) shape casts but not
+            # (BT,) -> (BT, 1, 1).
+            dampl = damp * lam
+            Hd = H + eye[None, :, :] * dampl[:, None, :]
+        else:
+            Hd = H
+        dx = pcg_on_values(Hd, -g, cg_iters)
+        ok = all_lanes(jnp.isfinite(dx))
+        return dx, ok
+
+    # LM schedule on (BT, 1) λ columns (solvers/lm.py semantics, lm.h:123-154)
+    lam_lo = dtype.type(opts.lm.damping_range[0])
+    lam_hi = dtype.type(opts.lm.damping_range[1])
+    base_bad = dtype.type(opts.lm.bad_factor)
+    good_f = dtype.type(opts.lm.good_factor)
+
+    def lm_good(lam, bad, quality):
+        s = jnp.where(quality != 0,
+                      jnp.maximum(good_f, 1.0 - (2.0 * quality - 1.0) ** 3),
+                      good_f).astype(dtype)
+        s = jnp.where(bad != base_bad, s / bad, s)
+        return jnp.clip(lam * s, lam_lo, lam_hi), jnp.full_like(bad, base_bad)
+
+    def lm_bad(lam, bad):
+        return jnp.clip(lam * bad, lam_lo, lam_hi), bad * base_bad
+
+    # ---- Outer loop carry (per-instance, loop.py _Carry no-carry mode) ----
+    # Inits are derived from the loaded x0 (not plain constants) so the
+    # while-carry layout is inferred as the natural vector layout; constant
+    # inits get a fully-replicated layout and the yield→carry relayout of
+    # computed values is unsupported in Mosaic.
+    zvec = x0 * dtype.type(0)                  # (BT, d) zeros, vector layout
+    zcol = zvec[:, :1]                         # (BT, 1) zeros
+    zicol = zcol.astype(_I32)                  # (BT, 1) int zeros
+    carry0 = (
+        x0,                                    # x
+        x0,                                    # best_x
+        zcol + big,                            # best_cost
+        zcol + jnp.asarray(jnp.inf, dtype),    # final_rerr
+        zcol + dtype.type(opts.lm.damping_init),   # lam
+        zcol + base_bad,                       # bad_factor
+        zvec,                                  # last_dx
+        zicol,                                 # has_last_dx (0/1)
+        zicol,                                 # it
+        zicol,                                 # num_failures
+        zicol,                                 # num_consec
+        zicol + int(StopReason.NONE),          # stop
+        zvec,                                  # g (final_grad)
+        zicol,                                 # best_num_res
+    )
+
+    def active_of(stop, it):
+        return (stop == int(StopReason.NONE)) & (it < max_iters_total)
+
+    def outer_cond(c):
+        return any_inst(active_of(c[11], c[8]))
+
+    def outer_body(c):
+        (x, best_x, best_cost, final_rerr, lam, bad, last_dx, has_last_i,
+         it, num_failures, num_consec, stop, g_prev, best_nres) = c
+        has_last = has_last_i != 0
+        act = active_of(stop, it)
+
+        H, g, err = accumulate(x)
+
+        # --- Inner solve-retry with λ escalation (optimizer.h:356-399) ---
+        def retry_cond(s):
+            dx, ok_i, r_lam, r_bad, nf, nc, gu_i = s
+            m = act & (ok_i == 0) & (gu_i == 0) & (nc <= max_tries)
+            return any_inst(m)
+
+        def retry_body(s):
+            dx, ok_i, r_lam, r_bad, nf, nc, gu_i = s
+            ok, give_up = ok_i != 0, gu_i != 0
+            upd = act & (~ok) & (~give_up) & (nc <= max_tries)
+            dx_new, ok_new = propose(H, g, r_lam)
+            nf2 = nf + jnp.where(upd & (~ok_new), 1, 0).astype(_I32)
+            nc2 = nc + jnp.where(upd & (~ok_new), 1, 0).astype(_I32)
+            gu_new = (~ok_new) & (opts.max_consec_failures > 0) & (
+                nc2 >= opts.max_consec_failures)
+            if is_lm:
+                f_lam, f_bad = lm_bad(r_lam, r_bad)
+            else:
+                f_lam, f_bad = r_lam, r_bad
+            esc = upd & (~ok_new) & (~gu_new)
+            # Masks stored as i32 columns (no boolean-valued selects).
+            return (jnp.where(upd & ok_new, dx_new, dx),
+                    jnp.where(upd, ok_new.astype(_I32), ok_i),
+                    jnp.where(esc, f_lam, r_lam),
+                    jnp.where(esc, f_bad, r_bad),
+                    jnp.where(upd, nf2, nf),
+                    jnp.where(upd, nc2, nc),
+                    jnp.where(upd, (give_up | gu_new).astype(_I32), gu_i))
+
+        # dx/mask inits derived from carried values (same layout-inference
+        # constraint as carry0).
+        retry0 = (x * dtype.type(0), it * 0,
+                  lam, bad, num_failures, num_consec, it * 0)
+        dx, solved_i, lam, bad, rs_nf, rs_nc, _gu = jax.lax.while_loop(
+            retry_cond, retry_body, retry0)
+        solved = solved_i != 0
+
+        # --- Early failure routing (loop.py / optimizer.h:364-425) ---
+        err_bad = (jnp.isnan(err) | jnp.isinf(err)
+                   | ~all_lanes(jnp.isfinite(g)))
+        stop_early = jnp.where(
+            solved,
+            jnp.where(err_bad, int(StopReason.SYSTEM_HAS_NAN_OR_INF),
+                      int(StopReason.NONE)),
+            jnp.where(err_bad, int(StopReason.SYSTEM_HAS_NAN_OR_INF),
+                      int(StopReason.SOLVER_FAILED))).astype(_I32)
+        dx_norm2 = jnp.sum(dx * dx, axis=-1)[:, None]
+        dxn_bad = jnp.isnan(dx_norm2) | jnp.isinf(dx_norm2)
+        stop_early = jnp.where(
+            (stop_early == 0) & dxn_bad,
+            int(StopReason.SYSTEM_HAS_NAN_OR_INF), stop_early).astype(_I32)
+        early_fail = stop_early != 0
+
+        # --- Accept / reject (optimizer.h:427-459) ---
+        derr = err - best_cost
+        is_good = derr < 0
+        feps = dtype.type(1e-7 if jnp.dtype(dtype).itemsize >= 8 else 1e-4)
+        rel_derr = jnp.where(
+            (best_cost > feps) & jnp.isfinite(best_cost),
+            (best_cost - err) / best_cost, dtype.type(0))
+        first_eval = ~jnp.isfinite(best_cost)
+        good = is_good | first_eval
+
+        if is_lm:
+            quality = (rel_derr if opts.use_step_quality_approx
+                       else jnp.zeros((BT, 1), dtype))
+            g_lam, g_bad = lm_good(lam, bad, quality)
+            b_lam, b_bad = lm_bad(lam, bad)
+            apply_good = act & (~early_fail) & good & (~first_eval)
+            apply_bad = act & (~early_fail) & (~good)
+            lam = jnp.where(apply_good, g_lam,
+                            jnp.where(apply_bad, b_lam, lam))
+            bad = jnp.where(apply_good, g_bad,
+                            jnp.where(apply_bad, b_bad, bad))
+
+        accepted = (~early_fail) & good
+        rejected = (~early_fail) & (~good)
+        num_consec_new = jnp.where(
+            accepted, 0,
+            rs_nc + jnp.where(rejected, 1, 0)).astype(_I32)
+        num_failures_new = (rs_nf + jnp.where(rejected, 1, 0)).astype(_I32)
+
+        best_cost_new = jnp.where(accepted, err, best_cost)
+        best_nres_new = jnp.where(accepted, n_res, best_nres).astype(_I32)
+        final_rerr_new = jnp.where(accepted, rel_derr, final_rerr)
+
+        budget_stop = jnp.where(
+            rejected & (opts.max_consec_failures > 0)
+            & (num_consec_new >= opts.max_consec_failures),
+            int(StopReason.MAX_CONSEC_NO_DECR),
+            jnp.where(
+                rejected & (opts.max_total_failures > 0)
+                & (num_failures_new >= opts.max_total_failures),
+                int(StopReason.MAX_NO_DECR),
+                int(StopReason.NONE))).astype(_I32)
+        budget_fail = (stop_early == 0) & (budget_stop != 0)
+
+        # --- Stop cascade (optimizer.h:518-534) ---
+        grad_norm2 = jnp.sum(g * g, axis=-1)[:, None]
+        cascade = jnp.zeros((BT, 1), _I32)
+
+        def set_if(cascade, pred, code):
+            return jnp.where((cascade == 0) & pred, code, cascade).astype(_I32)
+
+        if opts.min_error > 0:
+            cascade = set_if(cascade, err < opts.min_error,
+                             int(StopReason.MIN_ERROR))
+        if opts.min_rerr_dec > 0:
+            noise = dtype.type(8) * jnp.finfo(dtype).eps
+            cascade = set_if(cascade,
+                             (rel_derr > noise) & (rel_derr < opts.min_rerr_dec),
+                             int(StopReason.MIN_REL_ERROR))
+        if opts.min_step_norm2 > 0:
+            cascade = set_if(cascade, dx_norm2 < opts.min_step_norm2,
+                             int(StopReason.MIN_DELTA_NORM))
+        if opts.min_grad_norm2 > 0:
+            cascade = set_if(cascade, grad_norm2 < opts.min_grad_norm2,
+                             int(StopReason.MIN_GRAD_NORM))
+
+        stop_new = jnp.where(stop_early != 0, stop_early,
+                             jnp.where(budget_stop != 0, budget_stop,
+                                       cascade)).astype(_I32)
+
+        # --- Apply / rollback / probe (loop.py, optimizer.h:266-299) ---
+        returned_dx = (~early_fail) & (~budget_fail)
+        success = accepted & returned_dx
+        fail = ~success
+        probe = fail & (~has_last) & returned_dx
+        roll = fail & has_last
+        x_base = jnp.where(roll, best_x, x)
+        applied = jnp.where(success | probe, dx, jnp.zeros_like(dx))
+        x_new = x_base + applied
+        best_x_new = jnp.where(success, x, best_x)
+        last_dx_new = jnp.where(success | probe, dx, last_dx)
+        # i32-valued select chain (Mosaic: no boolean-valued selects)
+        has_last_new = jnp.where(
+            success, 1, jnp.where(has_last, 0, probe.astype(_I32)))
+
+        def upd(new, old):
+            return jnp.where(act, new, old)
+
+        return (upd(x_new, x), upd(best_x_new, best_x),
+                upd(best_cost_new, best_cost),
+                upd(final_rerr_new, final_rerr),
+                upd(lam, c[4]), upd(bad, c[5]),
+                upd(last_dx_new, last_dx), upd(has_last_new, has_last_i),
+                upd(it + 1, it).astype(_I32),
+                upd(num_failures_new, num_failures),
+                upd(num_consec_new, num_consec),
+                upd(stop_new, stop), upd(g, g_prev),
+                upd(best_nres_new, best_nres))
+
+    c = jax.lax.while_loop(outer_cond, outer_body, carry0)
+
+    # All per-instance scalars are already (BT, 1) columns.
+    x_ref[:] = c[0]
+    cost_ref[:] = c[2]
+    rerr_ref[:] = c[3]
+    stop_ref[:] = jnp.where(c[11] == int(StopReason.NONE),
+                            int(StopReason.MAX_ITERS), c[11]).astype(_I32)
+    it_ref[:] = c[8]
+    nfail_ref[:] = c[9]
+    nconsec_ref[:] = c[10]
+    lam_ref[:] = c[4]
+    g_ref[:] = c[12]
+    nres_ref[:] = c[13]
+
+
+def fused_batched_solver(residual_fn: Callable, options: Options,
+                         x_example, data_example=None, *,
+                         block: int = 256,
+                         interpret: bool = False) -> Callable:
+    """Build the fused whole-solve callable for a batch of instances.
+
+    Returns ``solve(x0_batch[, data_batch]) -> (x_opt_batch, Output)`` with
+    the exact result structure of ``vmap``-of-``optimize_from_acc`` under
+    the same options.  Use :func:`fused_supported` first; this function
+    raises on unsupported configurations.
+    """
+    layout = _x_layout(x_example)
+    if layout is None or not fused_supported(options, "residuals", x_example):
+        raise ValueError(
+            "fused_batched_solver: configuration not supported (requires "
+            "Euclidean array parameters, residuals mode, carry_system="
+            "False, no history/save_last/logging/callbacks)")
+    d = layout.dims
+    dtype = layout.dtype
+    opts = options
+
+    if data_example is None:
+        data_treedef = None
+        n_res = int(sum(
+            l.size for l in jax.tree_util.tree_leaves(
+                jax.eval_shape(residual_fn, x_example))))
+    else:
+        data_treedef = jax.tree_util.tree_structure(data_example)
+        n_res = int(sum(
+            l.size for l in jax.tree_util.tree_leaves(
+                jax.eval_shape(residual_fn, x_example, data_example))))
+    if n_res == 0:
+        raise ValueError("fused_batched_solver: empty residuals")
+
+    max_iters_total = opts.max_iters + 1       # +1 rollback slot
+
+    def solve(x0_batch, data_batch=None):
+        xflat = _flatten_batch_x(x0_batch, layout).astype(dtype)
+        B = xflat.shape[0]
+        data_leaves = ([] if data_batch is None
+                       else [jnp.asarray(l) for l in
+                             jax.tree_util.tree_leaves(data_batch)])
+        # Lift rank-1 leaves to (B, 1) for legal Mosaic block shapes.
+        squeezed = tuple(l.ndim == 1 for l in data_leaves)
+        data_leaves = [l[:, None] if sq else l
+                       for l, sq in zip(data_leaves, squeezed)]
+
+        # VMEM budget: J/H tiles + CG vectors + state, double-buffered.
+        d_sub = ((d + 7) // 8) * 8
+        d_lane = ((d + 127) // 128) * 128
+        r_lane = ((n_res + 127) // 128) * 128
+        per_inst = (d_sub * d_lane          # H
+                    + d_sub * r_lane        # Jt
+                    + 14 * d_lane           # vectors/state
+                    ) * jnp.dtype(dtype).itemsize
+        import math
+        per_inst += sum(
+            math.prod(l.shape[1:]) * l.dtype.itemsize for l in data_leaves)
+        blk = block
+        while blk > 8 and 2 * blk * per_inst > 9 * 1024 * 1024:
+            blk //= 2
+        Bp = ((B + blk - 1) // blk) * blk
+        if Bp != B:
+            pad = Bp - B
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+            xflat = rep(xflat)
+            data_leaves = [rep(l) for l in data_leaves]
+
+        in_specs = [pl.BlockSpec((blk, d), lambda i: (i, 0))]
+        for l in data_leaves:
+            nd = l.ndim
+            in_specs.append(pl.BlockSpec(
+                (blk,) + l.shape[1:],
+                functools.partial(
+                    lambda i, _nd: (i,) + (0,) * (_nd - 1), _nd=nd)))
+
+        col = pl.BlockSpec((blk, 1), lambda i: (i, 0))
+        out_specs = [
+            pl.BlockSpec((blk, d), lambda i: (i, 0)),      # x
+            col, col, col, col, col, col, col,             # per-inst scalars
+            pl.BlockSpec((blk, d), lambda i: (i, 0)),      # g
+            col,                                           # nres
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((Bp, d), dtype),
+            jax.ShapeDtypeStruct((Bp, 1), dtype),
+            jax.ShapeDtypeStruct((Bp, 1), dtype),
+            jax.ShapeDtypeStruct((Bp, 1), _I32),
+            jax.ShapeDtypeStruct((Bp, 1), _I32),
+            jax.ShapeDtypeStruct((Bp, 1), _I32),
+            jax.ShapeDtypeStruct((Bp, 1), _I32),
+            jax.ShapeDtypeStruct((Bp, 1), dtype),
+            jax.ShapeDtypeStruct((Bp, d), dtype),
+            jax.ShapeDtypeStruct((Bp, 1), _I32),
+        ]
+
+        kernel = functools.partial(
+            _solver_kernel, residual_fn=residual_fn, layout=layout,
+            data_treedef=data_treedef, n_data=len(data_leaves),
+            squeezed=squeezed, n_res=n_res, opts=opts,
+            max_iters_total=max_iters_total)
+        (xf, cost, rerr, stop, it, nfail, nconsec, lam, g, nres) = \
+            pl.pallas_call(
+                kernel, grid=(Bp // blk,), in_specs=in_specs,
+                out_specs=out_specs, out_shape=out_shape,
+                interpret=interpret,
+                debug=bool(__import__("os").environ.get(
+                    "TINYOPT_PALLAS_DEBUG")))(xflat, *data_leaves)
+
+        sl = lambda a: a[:B, 0]                  # (Bp, 1) column outputs
+        x_out_flat = xf[:B]
+        # Unflatten back to the user's pytree structure
+        leaves, off = [], 0
+        for shp, sz in zip(layout.shapes, layout.sizes):
+            leaves.append(jnp.reshape(
+                x_out_flat[:, off:off + sz], (B,) + shp))
+            off += sz
+        x_out = jax.tree_util.tree_unflatten(layout.treedef, leaves)
+
+        out = Output(
+            final_cost=Cost(cost=sl(cost), num_residuals=sl(nres),
+                            inlier_ratio=jnp.ones((B,), jnp.float32)),
+            final_rerr_dec=sl(rerr),
+            stop_reason=sl(stop),
+            num_iters=sl(it),
+            num_failures=sl(nfail),
+            num_consec_failures=sl(nconsec),
+            duration_ms=jnp.zeros((B,), jnp.float32),
+            final_grad=g[:B],
+            final_hessian=None,
+            errs=jnp.zeros((B, 0), dtype),
+            deltas2=jnp.zeros((B, 0), dtype),
+            successes=jnp.zeros((B, 0), bool),
+            num_hist=jnp.zeros((B,), _I32),
+            final_lambda=sl(lam),
+            num_diff_used=False,
+        )
+        return x_out, out
+
+    if data_example is None:
+        return lambda x0_batch: solve(x0_batch)
+    return solve

@@ -42,9 +42,14 @@ class HessianOptions:
     #: Save the last (un-damped) Hessian into the Output.
     save_last: bool = True
     #: Linear solver for the normal equations: "cholesky" (exact,
-    #: PSD-failure detection) or "cg" (batched conjugate gradients —
+    #: PSD-failure detection), "cg" (batched conjugate gradients —
     #: inexact LM; ~1000× faster than XLA's batched Cholesky on TPU for
-    #: many small systems; no reference counterpart).
+    #: many small systems), or "fused" (CG semantics, and batched solves
+    #: additionally dispatch the ENTIRE LM loop to one Pallas kernel on
+    #: TPU — requires carry_system=False, save_history=False,
+    #: save_last=False and Euclidean array parameters; other
+    #: configurations transparently use the "cg" path).  No reference
+    #: counterpart for either.
     solver: str = "cholesky"
     #: CG iteration count (0 = tangent dimension).
     cg_iters: int = 0

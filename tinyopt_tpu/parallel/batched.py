@@ -28,6 +28,21 @@ def batched_solver(fn: Callable, options: Options, mode: str, x_example,
     ``data_example`` is given, ``fn(x, data)`` receives per-instance data
     (e.g. observations) and both arguments are vmapped.
     """
+    # "fused" solver: dispatch the whole batched solve to the Pallas
+    # whole-solve kernel (ops/pallas_solver.py) on TPU backends.  Any
+    # configuration outside the kernel's envelope — or a non-TPU backend —
+    # transparently uses the vmapped XLA path below, whose trajectories
+    # are identical (the kernel implements the same carry_system=False +
+    # CG semantics).
+    if options.hessian.solver == "fused":
+        from ..ops.pallas_solver import fused_batched_solver, fused_supported
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - backend probing never fatal
+            on_tpu = False
+        if on_tpu and fused_supported(options, mode, x_example):
+            return fused_batched_solver(fn, options, x_example, data_example)
+
     if data_example is None:
         solve1 = build_solver(fn, options, mode, x_example)
         return jax.vmap(solve1)

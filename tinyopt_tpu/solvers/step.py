@@ -41,7 +41,9 @@ def propose_step(H, g, lam, opts):
         Hd = H.damp(lam) if is_lm else H
         return Hd.solve(-g, use_cholesky=opts.hessian.use_ldlt)
     Hd = damp_diagonal(H, lam) if is_lm else H
-    if opts.hessian.solver == "cg":
+    # "fused" = whole-solve Pallas kernel when batched (ops/pallas_solver);
+    # outside that path it degrades to the identical-iterates CG solve.
+    if opts.hessian.solver in ("cg", "fused"):
         iters = opts.hessian.cg_iters or g.shape[-1]
         dx = _cg_solver(iters)(Hd, -g)
         return dx, jnp.all(jnp.isfinite(dx))

@@ -37,15 +37,44 @@ def eye_mask(d: int, dtype) -> jax.Array:
     return (ii == jj).astype(dtype)
 
 
-def pcg_on_values(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
-    """Jacobi-preconditioned CG on VMEM-resident values (kernel-inlined).
+def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int) -> jax.Array:
+    """Jacobi-preconditioned CG with a caller-supplied matvec.
 
-    ``H``: (BT, d, d), ``b``: (BT, d).  Shared by the standalone CG kernel
-    and the whole-solve fused kernel (ops/pallas_solver.py); math identical
-    to :func:`~tinyopt_tpu.ops.linalg.solve_psd_cg` so the XLA fallback and
-    both kernels produce the same iterates.
+    ``matvec``: (BT, d) -> (BT, d) applying the (damped) normal matrix;
+    ``dinv``: (BT, d) inverse of its diagonal (1 where non-positive);
+    ``b``: (BT, d).  Same update formulas as
+    :func:`~tinyopt_tpu.ops.linalg.solve_psd_cg` so every dispatch path
+    produces the same iterates (up to matvec association order).
     """
     eps = jnp.finfo(b.dtype).tiny
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = r0 * dinv
+    rz0 = jnp.sum(r0 * z0, axis=-1)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Hp = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Hp, -1), eps)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Hp
+        z = r * dinv
+        rz_new = jnp.sum(r * z, -1)
+        p = z + (rz_new / jnp.maximum(rz, eps))[:, None] * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
+    return x
+
+
+def pcg_on_values(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
+    """Jacobi-preconditioned CG on a VMEM-resident explicit H.
+
+    ``H``: (BT, d, d), ``b``: (BT, d).  Used by the standalone CG kernel;
+    math identical to :func:`~tinyopt_tpu.ops.linalg.solve_psd_cg` so the
+    XLA fallback and the kernel produce the same iterates.
+    """
     d = H.shape[-1]
 
     import os
@@ -73,25 +102,7 @@ def pcg_on_values(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
     eye = eye_mask(d, b.dtype)
     diag = jnp.sum(H * eye[None, :, :], axis=2)
     dinv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
-
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = r0 * dinv
-    rz0 = jnp.sum(r0 * z0, axis=-1)
-
-    def body(_, carry):
-        x, r, p, rz = carry
-        Hp = matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Hp, -1), eps)
-        x = x + alpha[:, None] * p
-        r = r - alpha[:, None] * Hp
-        z = r * dinv
-        rz_new = jnp.sum(r * z, -1)
-        p = z + (rz_new / jnp.maximum(rz, eps))[:, None] * p
-        return x, r, p, rz_new
-
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
-    return x
+    return pcg_core(matvec, dinv, b, iters)
 
 
 def _cg_kernel(H_ref, b_ref, x_ref, *, iters: int):

@@ -582,6 +582,10 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
         )
         return x_out, out
 
+    # jit the whole wrapper: the pad/slice/Output plumbing around the
+    # pallas_call must compile into the same executable (eagerly it is
+    # dozens of dispatches — each a full round-trip on remote backends).
+    solve = jax.jit(solve)
     if data_example is None:
         return lambda x0_batch: solve(x0_batch)
     return solve

@@ -33,13 +33,15 @@ def main():
     data, x0 = make_prior_batch(BATCH, DIMS, dtype=jnp.float32, seed=1)
 
     # Reference benchmark options (benchmarks/options.h:10-27), with the
-    # fused Pallas batched-CG normal-equation solver (ops/pallas_cg.py) —
-    # ~5x over batched Cholesky at identical converged cost.
+    # whole-solve fused Pallas kernel (ops/pallas_solver.py): the entire
+    # batched LM loop — matrix-free accumulate, damped Jacobi-PCG solve,
+    # accept/reject, λ schedule, stop cascade — runs in VMEM, ~1.7x over
+    # the per-op XLA pipeline at identical converged cost.
     opts = to.Options(
         max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
         min_step_norm2=1e-16, max_consec_failures=3,
         save_history=False,
-        hessian=to.HessianOptions(save_last=False, solver="cg",
+        hessian=to.HessianOptions(save_last=False, solver="fused",
                                   cg_iters=8, carry_system=False),
     )
 

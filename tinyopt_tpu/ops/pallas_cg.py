@@ -37,7 +37,8 @@ def eye_mask(d: int, dtype) -> jax.Array:
     return (ii == jj).astype(dtype)
 
 
-def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int) -> jax.Array:
+def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int,
+             unroll: bool = False) -> jax.Array:
     """Jacobi-preconditioned CG with a caller-supplied matvec.
 
     ``matvec``: (BT, d) -> (BT, d) applying the (damped) normal matrix;
@@ -45,6 +46,11 @@ def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int) -> jax.Array:
     ``b``: (BT, d).  Same update formulas as
     :func:`~tinyopt_tpu.ops.linalg.solve_psd_cg` so every dispatch path
     produces the same iterates (up to matvec association order).
+
+    ``unroll=True`` traces the iterations straight-line instead of a
+    ``fori_loop`` — inside Pallas kernels the per-trip loop management is
+    comparable to the (tiny) vector work, so unrolling fixed small counts
+    is a measurable win.
     """
     eps = jnp.finfo(b.dtype).tiny
 
@@ -64,7 +70,12 @@ def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int) -> jax.Array:
         p = z + (rz_new / jnp.maximum(rz, eps))[:, None] * p
         return x, r, p, rz_new
 
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
+    carry = (x0, r0, z0, rz0)
+    if unroll:
+        for _ in range(iters):
+            carry = body(0, carry)
+        return carry[0]
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, carry)
     return x
 
 

@@ -43,7 +43,7 @@ from ..cost import Cost
 from ..options import Options, SolverType
 from ..output import Output
 from ..stop_reasons import StopReason
-from .pallas_cg import eye_mask, pcg_on_values
+from .pallas_cg import pcg_core
 
 _I32 = jnp.int32
 
@@ -140,7 +140,6 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
     max_tries = (opts.max_consec_failures
                  if opts.max_consec_failures > 0 else 255)
     cg_iters = opts.hessian.cg_iters or d
-    eye = eye_mask(d, dtype)
     big = jnp.asarray(jnp.inf, dtype)
 
     def res_flat(xv, data_i):
@@ -153,28 +152,65 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
                 x_tree, jax.tree_util.tree_unflatten(data_treedef, data_i))
         return flatten_residuals(out).astype(dtype)
 
-    def accumulate(x):
-        """(BT, d) -> H (BT, d, d), g (BT, d), err (BT, 1).
-
-        Forward-mode Jacobian via jvp over the tangent basis, traced into
-        the kernel (diff/auto.value_and_jacfwd, reference
-        diff/optimize_autodiff.h:149-164) — J and H never leave VMEM.
-        """
-        basis = jnp.eye(d, dtype=dtype)
-
-        def jac_one(x_i, *data_i):
+    def vjp_apply(x, q):
+        """Batched Jᵀq at linearization point x: (BT, n_res) -> (BT, d)."""
+        def one(x_i, q_i, *data_i):
             f = lambda xv: res_flat(xv, data_i)
-            push = lambda t: jax.jvp(f, (x_i,), (t,))
-            r, Jt = jax.vmap(push, out_axes=(None, 0))(basis)
-            return r, Jt                           # (n_res,), (d, n_res)
+            _, pull = jax.vjp(f, x_i)
+            return pull(q_i)[0]
+        return jax.vmap(one)(x, q, *data_vals)
 
-        r, Jt = jax.vmap(jac_one)(x, *data_vals)   # (BT, n_res), (BT, d, n_res)
-        g = jax.lax.dot_general(
-            Jt, r, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dtype)
-        H = jax.lax.dot_general(
-            Jt, Jt, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dtype)
+    def jvp_apply(x, p):
+        """Batched J·p at linearization point x: (BT, d) -> (BT, n_res)."""
+        def one(x_i, p_i, *data_i):
+            f = lambda xv: res_flat(xv, data_i)
+            return jax.jvp(f, (x_i,), (p_i,))[1]
+        return jax.vmap(one)(x, p, *data_vals)
+
+    def accumulate(x):
+        """(BT, d) -> diag(H) (BT, d), g (BT, d), err (BT, 1) — matrix-free.
+
+        The normal matrix H = JᵀJ is never materialized: g = Jᵀr comes from
+        one reverse-mode sweep and the CG solve applies H as p ↦ Jᵀ(J p)
+        (jvp+vjp, diff/auto semantics, reference
+        diff/optimize_autodiff.h:149-164).  Only diag(H) — needed for the
+        reference's multiplicative damping and the Jacobi preconditioner —
+        is built explicitly, as the row-sum-of-squares of the basis-jvp
+        Jacobian.  This keeps every per-CG-iteration op 2-D (BT, n) where
+        Mosaic vectorizes across the whole tile; explicit (BT, d, d) tiles
+        lower to per-instance loops and were ~10× slower end-to-end.
+        """
+        def val_one(x_i, *data_i):
+            return res_flat(x_i, data_i)
+
+        r = jax.vmap(val_one)(x, *data_vals)       # (BT, n_res)
+        g = vjp_apply(x, r)                        # JᵀR
+
+        # diag(H)_j = ‖J e_j‖², one 2-D jvp sweep per tangent dim,
+        # accumulated into the j-th column with a one-hot mask.  Shapes
+        # stay (BT, n) throughout: a batched basis-jvp would materialize a
+        # rank-3 (BT, d, n_res) tile, which Mosaic processes one instance
+        # (one sub-tile) at a time — measured ~10× slower end-to-end.
+        # Sweeps run in a fori_loop over chunks of K with the chunk body
+        # unrolled: full unrolling of all d sweeps blows up Mosaic compile
+        # time, while one sweep per loop trip pays per-trip loop overhead
+        # d times.
+        jj = jax.lax.broadcasted_iota(_I32, (1, d), 1)
+        K = 8
+
+        def diag_chunk(c, diagH):
+            for i in range(K):
+                j = c * K + i                      # dynamic column index
+                e_j = (jj == j).astype(dtype)      # (1, d) one-hot
+                Jej = jvp_apply(x, jnp.broadcast_to(e_j, x.shape))
+                dj = jnp.sum(Jej * Jej, axis=-1)[:, None]     # (BT, 1)
+                # j >= d contributes a zero mask — padding chunks are no-ops
+                diagH = diagH + dj * e_j
+            return diagH
+
+        diagH = jax.lax.fori_loop(0, (d + K - 1) // K, diag_chunk,
+                                  jnp.zeros_like(x))
+
         err = jnp.sum(r * r, axis=-1)[:, None]
         # Cost scaling (reference solvers/base.h:41-45 order)
         if not opts.cost.use_squared_norm:
@@ -186,7 +222,7 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         if opts.grad_clipping > 0:
             v = dtype.type(opts.grad_clipping)
             g = jnp.clip(g, -v, v)
-        return H, g, err
+        return diagH, g, err
 
     # Per-instance scalar state is kept as (BT, 1) columns throughout:
     # Mosaic's layout engine handles f32 1-D vectors (the CG kernel's
@@ -203,19 +239,27 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         """(BT, 1) bool -> scalar any(), reduced in f32."""
         return jnp.max(mask.astype(dtype)) > 0.5
 
-    def propose(H, g, lam):
-        """Damped PCG step; mirrors solvers/step.propose_step(solver="cg")."""
+    def propose(x, diagH, g, lam):
+        """Damped matrix-free PCG step: (JᵀJ + λ·diag-damping) dx = −g.
+
+        Same damping semantics as solvers/step.propose_step (multiplicative
+        H[i,i]·(1+λ); absolute λ for exactly-zero diagonals, ops/linalg
+        damp_diagonal) and the same Jacobi-preconditioned CG formulas, with
+        the matvec applied as Jᵀ(J p) at the linearization point.
+        """
         if is_lm:
-            diag = jnp.sum(H * eye[None, :, :], axis=2)
-            damp = jnp.where(diag == 0, jnp.ones_like(diag), diag)
-            # λ (BT, 1) folded into the (BT, d) damping vector: Mosaic
-            # supports (BT, d) -> (BT, 1, d) shape casts but not
-            # (BT,) -> (BT, 1, 1).
-            dampl = damp * lam
-            Hd = H + eye[None, :, :] * dampl[:, None, :]
+            damp = jnp.where(diagH == 0, jnp.ones_like(diagH), diagH)
+            dampl = damp * lam                    # (BT, d)
         else:
-            Hd = H
-        dx = pcg_on_values(Hd, -g, cg_iters)
+            dampl = jnp.zeros_like(diagH)
+
+        def matvec(p):
+            return vjp_apply(x, jvp_apply(x, p)) + dampl * p
+
+        diag_d = diagH + dampl                    # diagonal of damped H
+        dinv = jnp.where(diag_d > 0,
+                         1.0 / jnp.where(diag_d > 0, diag_d, 1.0), 1.0)
+        dx = pcg_core(matvec, dinv, -g, cg_iters, unroll=True)
         ok = all_lanes(jnp.isfinite(dx))
         return dx, ok
 
@@ -272,7 +316,7 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         has_last = has_last_i != 0
         act = active_of(stop, it)
 
-        H, g, err = accumulate(x)
+        diagH, g, err = accumulate(x)
 
         # --- Inner solve-retry with λ escalation (optimizer.h:356-399) ---
         def retry_cond(s):
@@ -284,7 +328,7 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             dx, ok_i, r_lam, r_bad, nf, nc, gu_i = s
             ok, give_up = ok_i != 0, gu_i != 0
             upd = act & (~ok) & (~give_up) & (nc <= max_tries)
-            dx_new, ok_new = propose(H, g, r_lam)
+            dx_new, ok_new = propose(x, diagH, g, r_lam)
             nf2 = nf + jnp.where(upd & (~ok_new), 1, 0).astype(_I32)
             nc2 = nc + jnp.where(upd & (~ok_new), 1, 0).astype(_I32)
             gu_new = (~ok_new) & (opts.max_consec_failures > 0) & (
@@ -489,14 +533,14 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
         data_leaves = [l[:, None] if sq else l
                        for l, sq in zip(data_leaves, squeezed)]
 
-        # VMEM budget: J/H tiles + CG vectors + state, double-buffered.
-        d_sub = ((d + 7) // 8) * 8
+        # VMEM budget: the matrix-free kernel holds only 2-D (BT, d) /
+        # (BT, n_res) vectors — loop state (~16 columns), CG workspace and
+        # AD temporaries (~8 residual-width rows) — plus the per-tile data,
+        # double-buffered across grid steps.  Bigger tiles mean fewer
+        # sequential grid steps, so budget generously.
         d_lane = ((d + 127) // 128) * 128
         r_lane = ((n_res + 127) // 128) * 128
-        per_inst = (d_sub * d_lane          # H
-                    + d_sub * r_lane        # Jt
-                    + 14 * d_lane           # vectors/state
-                    ) * jnp.dtype(dtype).itemsize
+        per_inst = (16 * d_lane + 8 * r_lane) * jnp.dtype(dtype).itemsize
         import math
         per_inst += sum(
             math.prod(l.shape[1:]) * l.dtype.itemsize for l in data_leaves)

@@ -74,17 +74,16 @@ def bench_tpu(dims_list, batch, single: bool = False):
                       hessian=to.HessianOptions(save_last=False, solver="cg",
                                                 cg_iters=8,
                                                 carry_system=False))
-    rows1, rowsN = {}, {}
-    for d in dims_list:
-        data, x0 = make_prior_batch(batch, d, dtype=jnp.float32, seed=1)
-        x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
-        d_ex = jax.tree_util.tree_map(lambda a: a[0], data)
-        solve_n = jax.jit(batched_solver(prior_residual, opts, "residuals",
-                                         x_ex, d_ex))
-        jax.block_until_ready(solve_n(x0, data))
+    # Whole-solve fused Pallas kernel (ops/pallas_solver.py)
+    opts_f = opts.replace(save_history=False, hessian=to.HessianOptions(
+        save_last=False, solver="fused", cg_iters=8, carry_system=False))
+    rows1, rowsN, rowsF = {}, {}, {}
+
+    def _time_batched(solve, x0, data):
         # Fresh random inputs + forced scalar read per rep: the tunnel
         # backend caches executions persistently AND block_until_ready
         # alone does not imply completion (see bench.py).
+        jax.block_until_ready(solve(x0, data))
         prng = np.random.default_rng(time.time_ns())
         ts = []
         for _ in range(3):
@@ -92,10 +91,22 @@ def bench_tpu(dims_list, batch, single: bool = False):
                 prng.uniform(1e-7, 1e-6, x0.shape), x0.dtype)
             float(x0i.sum())
             t0 = time.perf_counter()
-            _, out_i = solve_n(x0i, data)
+            _, out_i = solve(x0i, data)
             float(out_i.final_cost.cost.sum())
             ts.append(time.perf_counter() - t0)
-        rowsN[f"prior{d}"] = min(ts) / batch * 1e6
+        return min(ts) / batch * 1e6
+
+    for d in dims_list:
+        data, x0 = make_prior_batch(batch, d, dtype=jnp.float32, seed=1)
+        x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+        d_ex = jax.tree_util.tree_map(lambda a: a[0], data)
+        prng = np.random.default_rng(time.time_ns())
+        solve_n = jax.jit(batched_solver(prior_residual, opts, "residuals",
+                                         x_ex, d_ex))
+        rowsN[f"prior{d}"] = _time_batched(solve_n, x0, data)
+        solve_f = batched_solver(prior_residual, opts_f, "residuals",
+                                 x_ex, d_ex)
+        rowsF[f"prior{d}"] = _time_batched(solve_f, x0, data)
 
         if single:
             solve_1 = jax.jit(to.build_solver(
@@ -114,7 +125,7 @@ def bench_tpu(dims_list, batch, single: bool = False):
                 float(o1.final_cost.cost)
                 ts.append(time.perf_counter() - t0)
             rows1[f"prior{d}"] = min(ts) * 1e6
-    return rows1, rowsN
+    return rows1, rowsN, rowsF
 
 
 def bench_se3(batch: int):
@@ -165,20 +176,22 @@ def main():
     dims = args.dims
     nat = bench_native(dims)
     if args.skip_tpu:
-        tpu1, tpuN = {}, {}
+        tpu1, tpuN, tpuF = {}, {}, {}
     else:
-        tpu1, tpuN = bench_tpu(dims, args.batch, args.single)
+        tpu1, tpuN, tpuF = bench_tpu(dims, args.batch, args.single)
 
     print(f"{'problem':<10} {'ref µs':>8} {'native µs':>10} {'vs ref':>7} "
-          f"{'tpu-1 µs':>9} {'tpu-10k µs':>11} {'vs ref':>7}")
+          f"{'tpu-1 µs':>9} {'tpu-10k µs':>11} {'fused µs':>9} {'vs ref':>7}")
     for k in ["sqrt2"] + [f"prior{d}" for d in dims]:
         ref = REFERENCE_US.get(k, float("nan"))
         n = nat.get(k, float("nan"))
         t1 = tpu1.get(k, float("nan"))
         tn = tpuN.get(k, float("nan"))
+        tf = tpuF.get(k, float("nan"))
+        best = min(x for x in (tn, tf, float("inf")) if x == x)
         print(f"{k:<10} {ref:>8.2f} {n:>10.2f} {ref/n:>6.2f}x "
-              f"{t1:>9.0f} {tn:>11.2f} "
-              f"{(ref/tn if tn == tn else float('nan')):>6.2f}x")
+              f"{t1:>9.0f} {tn:>11.2f} {tf:>9.2f} "
+              f"{(ref/best if best == best else float('nan')):>6.2f}x")
 
     if not args.skip_tpu:
         sps, conv = bench_se3(args.batch)

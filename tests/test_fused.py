@@ -179,3 +179,36 @@ def test_fused_rejects_manifold_params():
     with pytest.raises(ValueError):
         fused_batched_solver(lambda x: jnp.zeros((3,)),
                              _opts(hessian=dict(solver="fused")), r)
+
+
+def test_fused_under_shard_map():
+    # Multi-chip path: each device's shard runs the whole-solve kernel
+    # under shard_map (batched_optimize wires this up on TPU; here the
+    # same composition is exercised on the 8-device CPU mesh with the
+    # kernel in interpret mode).
+    from jax.sharding import PartitionSpec as P
+
+    from tinyopt_tpu.parallel.mesh import make_mesh
+    from tinyopt_tpu.parallel.sharded import _shard_map
+
+    B = 64
+    data, x0 = make_prior_batch(B, 6, dtype=jnp.float32, seed=7)
+    opts = _opts(hessian=dict(solver="fused"))
+    x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+    d_ex = jax.tree_util.tree_map(lambda a: a[0], data)
+
+    fused = fused_batched_solver(prior_residual, opts, x_ex, d_ex,
+                                 interpret=True)
+    mesh = make_mesh(batch=len(jax.devices()))
+    spec = P("batch")
+    sharded = jax.jit(_shard_map(fused, mesh=mesh, in_specs=(spec, spec),
+                                 out_specs=spec))
+    xs, outs = sharded(x0, data)
+    assert xs.shape == (B, 6)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(data.y),
+                               atol=1e-4)
+    assert bool(jnp.all(outs.succeeded()))
+    # parity with the unsharded fused solve
+    xs0, outs0 = fused(x0, data)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs0), atol=1e-6)
+    assert bool(jnp.all(outs.stop_reason == outs0.stop_reason))

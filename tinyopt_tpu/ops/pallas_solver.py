@@ -631,5 +631,10 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
     # dozens of dispatches — each a full round-trip on remote backends).
     solve = jax.jit(solve)
     if data_example is None:
-        return lambda x0_batch: solve(x0_batch)
-    return solve
+        out = lambda x0_batch: solve(x0_batch)
+    else:
+        out = lambda x0_batch, data_batch: solve(x0_batch, data_batch)
+    # Marker for batched_optimize: a Pallas call cannot be GSPMD-auto-
+    # partitioned, so the mesh path must wrap this in shard_map.
+    out._tinyopt_fused = True
+    return out

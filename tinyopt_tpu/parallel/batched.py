@@ -61,7 +61,10 @@ def batched_optimize(x0_batch, fn: Callable, options: Options | None = None,
     ``x0_batch`` (and each leaf of ``data_batch``) has a leading instance
     axis.  With ``mesh``, inputs are placed with ``NamedSharding(mesh,
     P(axis))`` so the batch splits across devices; XLA compiles one SPMD
-    program (no per-device dispatch loop).
+    program (no per-device dispatch loop).  With
+    ``options.hessian.solver="fused"`` on TPU the per-device shard runs
+    the whole-solve Pallas kernel under ``shard_map`` (a Pallas call
+    cannot be auto-partitioned by GSPMD).
     """
     options = options or Options()
     x_example = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[0], x0_batch)
@@ -72,6 +75,12 @@ def batched_optimize(x0_batch, fn: Callable, options: Options | None = None,
     solve = batched_solver(fn, options, mode, x_example, data_example)
 
     if mesh is not None:
+        if _is_fused_solver(solve):
+            from .sharded import _shard_map
+            spec = P(axis)
+            in_specs = (spec,) if data_batch is None else (spec, spec)
+            solve = _shard_map(solve, mesh=mesh, in_specs=in_specs,
+                               out_specs=spec)
         sharding = NamedSharding(mesh, P(axis))
         x0_batch = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), sharding), x0_batch)
@@ -84,3 +93,8 @@ def batched_optimize(x0_batch, fn: Callable, options: Options | None = None,
     if data_batch is None:
         return solve(x0_batch)
     return solve(x0_batch, data_batch)
+
+
+def _is_fused_solver(solve) -> bool:
+    """Whether ``batched_solver`` returned the fused whole-solve path."""
+    return getattr(solve, "_tinyopt_fused", False)

@@ -12,9 +12,12 @@ problem inputs and outputs.
 
 The user's residual function is traced *inside* the kernel body (Pallas
 kernels are ordinary JAX traces), so any residual whose ops Mosaic can
-lower — elementwise math, small matmuls — runs on-chip, differentiated by
-``jax.jvp`` over the tangent basis exactly like the XLA path
-(diff/auto.value_and_jacfwd).
+lower — elementwise math (including transcendentals), small matmuls —
+runs on-chip, differentiated by ``jax.jvp``/``jax.vjp`` exactly like the
+XLA path (diff/auto).  Known Mosaic gaps: no floating-point iota (write
+``jnp.arange(n, dtype=jnp.int32).astype(f32)``), no gathers.  A residual
+the kernel cannot lower falls back to the identical-semantics vmapped XLA
+path at first call (parallel/batched._with_vmap_fallback).
 
 Semantics are bit-compatible with the ``hessian.carry_system=False`` +
 ``hessian.solver="cg"`` configuration of the jitted while-loop

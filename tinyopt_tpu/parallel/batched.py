@@ -9,8 +9,8 @@ cross-instance communication.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+import dataclasses
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,9 @@ def batched_solver(fn: Callable, options: Options, mode: str, x_example,
         except Exception:  # pragma: no cover - backend probing never fatal
             on_tpu = False
         if on_tpu and fused_supported(options, mode, x_example):
-            return fused_batched_solver(fn, options, x_example, data_example)
+            fused = fused_batched_solver(fn, options, x_example, data_example)
+            return _with_vmap_fallback(fused, fn, options, mode, x_example,
+                                       data_example)
 
     if data_example is None:
         solve1 = build_solver(fn, options, mode, x_example)
@@ -89,12 +91,64 @@ def batched_optimize(x0_batch, fn: Callable, options: Options | None = None,
                 lambda a: jax.device_put(jnp.asarray(a), sharding),
                 data_batch)
 
+    used_fused = _is_fused_solver(solve)
     solve = jax.jit(solve)
-    if data_batch is None:
-        return solve(x0_batch)
-    return solve(x0_batch, data_batch)
+    try:
+        if data_batch is None:
+            return solve(x0_batch)
+        return solve(x0_batch, data_batch)
+    except Exception as e:  # noqa: BLE001 - Mosaic lowering/compile failure
+        if not used_fused:
+            raise
+        import warnings
+        warnings.warn(
+            "tinyopt_tpu: fused whole-solve kernel failed to compile for "
+            f"this residual ({type(e).__name__}); retrying with the "
+            "identical-semantics \"cg\" path. "
+            f"Original error: {str(e)[:200]}", RuntimeWarning)
+        options_cg = options.replace(
+            hessian=dataclasses.replace(options.hessian, solver="cg"))
+        return batched_optimize(x0_batch, fn, options_cg,
+                                data_batch=data_batch, mode=mode,
+                                mesh=mesh, axis=axis)
 
 
 def _is_fused_solver(solve) -> bool:
     """Whether ``batched_solver`` returned the fused whole-solve path."""
     return getattr(solve, "_tinyopt_fused", False)
+
+
+def _with_vmap_fallback(fused, fn, options, mode, x_example, data_example):
+    """Degrade to the vmapped XLA path if the fused kernel fails to lower.
+
+    Mosaic supports most — not all — residual programs (e.g. there is no
+    floating-point iota); a kernel that fails to compile at first call
+    falls back to the identical-semantics vmap path with a warning, so
+    ``solver="fused"`` is always safe to request.
+    """
+    state = {"solve": fused}
+
+    def call(*args):
+        try:
+            return state["solve"](*args)
+        except Exception as e:  # noqa: BLE001 - any lowering/compile failure
+            if state["solve"] is not fused:
+                raise
+            import warnings
+            warnings.warn(
+                "tinyopt_tpu: fused whole-solve kernel failed to compile "
+                f"for this residual ({type(e).__name__}); falling back to "
+                "the vmapped XLA path (identical semantics). "
+                f"Original error: {str(e)[:200]}", RuntimeWarning)
+            if data_example is None:
+                state["solve"] = jax.jit(jax.vmap(
+                    build_solver(fn, options, mode, x_example)))
+            else:
+                def solve1(x, data):
+                    return build_solver(lambda x_: fn(x_, data), options,
+                                        mode, x)(x)
+                state["solve"] = jax.jit(jax.vmap(solve1))
+            return state["solve"](*args)
+
+    call._tinyopt_fused = True
+    return call

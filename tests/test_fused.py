@@ -173,12 +173,68 @@ def test_unsupported_configs_fall_back():
     assert bool(jnp.all(out.succeeded()))
 
 
-def test_fused_rejects_manifold_params():
-    from tinyopt_tpu.manifolds import SO3
-    r = SO3.identity()
-    with pytest.raises(ValueError):
-        fused_batched_solver(lambda x: jnp.zeros((3,)),
-                             _opts(hessian=dict(solver="fused")), r)
+def test_se3_fused_parity():
+    # Batched SE(3) pose-prior refinement entirely inside the kernel:
+    # ambient parameters P=7 (quaternion+translation), tangent D=6; the
+    # kernel differentiates δ ↦ r(T·exp(δ)) at δ=0 and applies accepted
+    # steps through the group retraction.
+    from tinyopt_tpu.manifolds import SE3, SO3
+
+    B = 16
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    prior = SE3.exp(0.4 * jax.random.normal(k1, (B, 6), jnp.float32))
+    prior_inv = prior.inverse()
+    data = (prior_inv.rotation.wxyz, prior_inv.translation)
+    x0 = SE3.exp(0.2 * jax.random.normal(k2, (B, 6), jnp.float32))
+
+    def res(T, d):
+        q_inv, t_inv = d
+        return (SE3(SO3(q_inv), t_inv) @ T).log()
+
+    opts = _opts(hessian=dict(solver="fused"))
+    x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+    assert fused_supported(opts, "residuals", x_ex)
+    (xr, outr), (xf, outf) = _run_both(res, opts, x0, data)
+    np.testing.assert_allclose(np.asarray(xf.rotation.wxyz),
+                               np.asarray(xr.rotation.wxyz),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xf.translation),
+                               np.asarray(xr.translation),
+                               rtol=1e-4, atol=1e-5)
+    assert bool(jnp.all(outr.succeeded() == outf.succeeded()))
+    # converged onto the prior
+    final_err = jax.vmap(res)(xf, data)
+    assert float(jnp.max(jnp.abs(final_err))) < 1e-3
+    assert bool(jnp.all(outf.succeeded()))
+
+
+def test_mixed_manifold_euclidean_fused_parity():
+    # {SE3 pose, Euclidean bias} pytree: exercises the P≠D flat layout
+    # with interleaved manifold and array leaves.
+    from tinyopt_tpu.manifolds import SE3
+
+    B = 8
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x0 = {"T": SE3.exp(0.1 * jax.random.normal(k1, (B, 6), jnp.float32)),
+          "bias": jax.random.normal(k2, (B, 2), jnp.float32)}
+    tgt = jax.random.normal(k3, (B, 2), jnp.float32)
+
+    def res(x, d):
+        return jnp.concatenate([x["T"].log(), 2.0 * (x["bias"] - d)])
+
+    opts = _opts(hessian=dict(solver="fused"))
+    (xr, outr), (xf, outf) = _run_both(res, opts, x0, tgt)
+    np.testing.assert_allclose(np.asarray(xf["bias"]), np.asarray(xr["bias"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xf["T"].translation),
+                               np.asarray(xr["T"].translation),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xf["bias"]), np.asarray(tgt),
+                               atol=1e-3)
+    assert bool(jnp.all(outf.succeeded()))
+    assert bool(jnp.all(outr.stop_reason == outf.stop_reason))
 
 
 def test_fused_under_shard_map():

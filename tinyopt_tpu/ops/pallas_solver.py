@@ -19,6 +19,13 @@ XLA path (diff/auto).  Known Mosaic gaps: no floating-point iota (write
 the kernel cannot lower falls back to the identical-semantics vmapped XLA
 path at first call (parallel/batched._with_vmap_fallback).
 
+Manifold parameters (SO3/SE3/SE23 and any registered ``Manifold``) are
+supported natively: the kernel keeps the flat ambient parameters (P per
+instance, e.g. quaternion+translation = 7 per pose) in VMEM, differentiates
+``δ ↦ r(x ⊞ δ)`` at δ = 0 on the tangent space (D = 6 per pose), and applies
+accepted steps through the registered retraction — all traced into the same
+Mosaic program (exp/compose maps are elementwise math).
+
 Semantics are bit-compatible with the ``hessian.carry_system=False`` +
 ``hessian.solver="cg"`` configuration of the jitted while-loop
 (optimizers/loop.py): same accumulate-at-current-point build, same retry /
@@ -52,23 +59,36 @@ _I32 = jnp.int32
 
 
 class _XLayout(NamedTuple):
-    """Static layout of a flat Euclidean parameter vector."""
+    """Static layout of a flat parameter vector (possibly on a manifold).
+
+    ``dims`` counts flattened parameter scalars (P, e.g. 7 per SE3 pose:
+    quaternion + translation); ``t_dims`` counts tangent dimensions (D,
+    e.g. 6 per pose).  For pure-Euclidean parameters P == D and the
+    retraction is plain addition.  ``treedef`` is the array-level treedef:
+    unflattening it rebuilds manifold objects (they are registered
+    pytrees).
+    """
     treedef: Any
     shapes: tuple
     sizes: tuple
-    dims: int
+    dims: int                 # P: flattened parameter scalars
+    t_dims: int               # D: tangent dimension (step/gradient width)
+    spec: Any                 # mf.TangentSpec of one instance
+    has_manifold: bool
     dtype: Any
 
 
 def _x_layout(x_example) -> _XLayout | None:
-    """Flat layout of ``x`` if all leaves are plain same-dtype arrays."""
-    leaves, treedef = jax.tree_util.tree_flatten(
-        x_example, is_leaf=mf._is_manifold_leaf)
+    """Flat layout of ``x`` if all array leaves share one float dtype."""
+    x_example = mf.as_pytree(x_example)
+    leaves, treedef = jax.tree_util.tree_flatten(x_example)
+    has_manifold = any(
+        mf.manifold_for(l) is not None
+        for l in jax.tree_util.tree_flatten(
+            x_example, is_leaf=mf._is_manifold_leaf)[0])
     shapes, sizes = [], []
     dtype = None
     for leaf in leaves:
-        if mf.manifold_for(leaf) is not None:
-            return None                       # manifold leaf: XLA path only
         arr = jnp.asarray(leaf)
         if not jnp.issubdtype(arr.dtype, jnp.floating):
             return None
@@ -80,7 +100,9 @@ def _x_layout(x_example) -> _XLayout | None:
         sizes.append(int(arr.size))
     if dtype is None or sum(sizes) == 0:
         return None
-    return _XLayout(treedef, tuple(shapes), tuple(sizes), sum(sizes), dtype)
+    spec = mf.tangent_spec(x_example)
+    return _XLayout(treedef, tuple(shapes), tuple(sizes), sum(sizes),
+                    spec.dims, spec, has_manifold, dtype)
 
 
 def fused_supported(options: Options, mode: str, x_example,
@@ -128,9 +150,10 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
                    n_data: int, squeezed: tuple, n_res: int, opts: Options,
                    max_iters_total: int):
     """One batch tile, x₀ → converged x, entirely in VMEM."""
-    d = layout.dims
+    d = layout.t_dims                             # tangent width (steps, g)
+    P = layout.dims                               # flat parameter width
     dtype = layout.dtype
-    x0 = refs[0][:]                               # (BT, d)
+    x0 = refs[0][:]                               # (BT, P)
     # Rank-1 data leaves arrive lifted to (BT, 1) (Mosaic block-shape
     # constraint); squeeze them back before handing to the residual fn.
     data_vals = [r[:][:, 0] if sq else r[:]
@@ -155,17 +178,43 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
                 x_tree, jax.tree_util.tree_unflatten(data_treedef, data_i))
         return flatten_residuals(out).astype(dtype)
 
+    def ret_flat(xv, dv):
+        """Flat manifold retraction x ⊞ δ: (P,) ⊞ (d,) -> (P,).
+
+        Pure-Euclidean parameters use plain addition (P == d); manifold
+        leaves dispatch through the registry retraction (quaternion
+        exp/compose for SO3/SE3 — all Mosaic-lowerable elementwise math),
+        exactly the map the XLA path differentiates (diff/auto
+        residual_jacobian: δ ↦ r(retract(x, δ)) at δ = 0).
+        """
+        if not layout.has_manifold:
+            return xv + dv
+        x2 = mf.retract(_unflatten_x(xv, layout), dv, layout.spec)
+        parts = [jnp.ravel(jnp.asarray(a))
+                 for a in jax.tree_util.tree_leaves(x2)]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
     def vjp_apply(x, q):
-        """Batched Jᵀq at linearization point x: (BT, n_res) -> (BT, d)."""
+        """Batched Jᵀq at linearization point x: (BT, n_res) -> (BT, d).
+
+        J is the tangent-space Jacobian ∂r(x ⊞ δ)/∂δ at δ = 0.
+        """
         def one(x_i, q_i, *data_i):
-            f = lambda xv: res_flat(xv, data_i)
-            _, pull = jax.vjp(f, x_i)
+            if layout.has_manifold:
+                f = lambda dv: res_flat(ret_flat(x_i, dv), data_i)
+                _, pull = jax.vjp(f, jnp.zeros((d,), dtype))
+            else:
+                f = lambda xv: res_flat(xv, data_i)
+                _, pull = jax.vjp(f, x_i)
             return pull(q_i)[0]
         return jax.vmap(one)(x, q, *data_vals)
 
     def jvp_apply(x, p):
         """Batched J·p at linearization point x: (BT, d) -> (BT, n_res)."""
         def one(x_i, p_i, *data_i):
+            if layout.has_manifold:
+                f = lambda dv: res_flat(ret_flat(x_i, dv), data_i)
+                return jax.jvp(f, (jnp.zeros((d,), dtype),), (p_i,))[1]
             f = lambda xv: res_flat(xv, data_i)
             return jax.jvp(f, (x_i,), (p_i,))[1]
         return jax.vmap(one)(x, p, *data_vals)
@@ -205,14 +254,14 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             for i in range(K):
                 j = c * K + i                      # dynamic column index
                 e_j = (jj == j).astype(dtype)      # (1, d) one-hot
-                Jej = jvp_apply(x, jnp.broadcast_to(e_j, x.shape))
+                Jej = jvp_apply(x, jnp.broadcast_to(e_j, (BT, d)))
                 dj = jnp.sum(Jej * Jej, axis=-1)[:, None]     # (BT, 1)
                 # j >= d contributes a zero mask — padding chunks are no-ops
                 diagH = diagH + dj * e_j
             return diagH
 
         diagH = jax.lax.fori_loop(0, (d + K - 1) // K, diag_chunk,
-                                  jnp.zeros_like(x))
+                                  jnp.zeros((BT, d), dtype))
 
         err = jnp.sum(r * r, axis=-1)[:, None]
         # Cost scaling (reference solvers/base.h:41-45 order)
@@ -287,8 +336,11 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
     # while-carry layout is inferred as the natural vector layout; constant
     # inits get a fully-replicated layout and the yield→carry relayout of
     # computed values is unsupported in Mosaic.
-    zvec = x0 * dtype.type(0)                  # (BT, d) zeros, vector layout
-    zcol = zvec[:, :1]                         # (BT, 1) zeros
+    zvecP = x0 * dtype.type(0)                 # (BT, P) zeros, vector layout
+    zcol = zvecP[:, :1]                        # (BT, 1) zeros
+    # (BT, d) zeros: derived from loaded data (zcol) so the while-carry
+    # layout is the natural vector layout even when d != P.
+    zvecD = zvecP if d == P else zcol * jnp.zeros((1, d), dtype)
     zicol = zcol.astype(_I32)                  # (BT, 1) int zeros
     carry0 = (
         x0,                                    # x
@@ -297,13 +349,13 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         zcol + jnp.asarray(jnp.inf, dtype),    # final_rerr
         zcol + dtype.type(opts.lm.damping_init),   # lam
         zcol + base_bad,                       # bad_factor
-        zvec,                                  # last_dx
+        zvecD,                                 # last_dx
         zicol,                                 # has_last_dx (0/1)
         zicol,                                 # it
         zicol,                                 # num_failures
         zicol,                                 # num_consec
         zicol + int(StopReason.NONE),          # stop
-        zvec,                                  # g (final_grad)
+        zvecD,                                 # g (final_grad)
         zicol,                                 # best_num_res
     )
 
@@ -352,7 +404,7 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
 
         # dx/mask inits derived from carried values (same layout-inference
         # constraint as carry0).
-        retry0 = (x * dtype.type(0), it * 0,
+        retry0 = (last_dx * dtype.type(0), it * 0,
                   lam, bad, num_failures, num_consec, it * 0)
         dx, solved_i, lam, bad, rs_nf, rs_nc, _gu = jax.lax.while_loop(
             retry_cond, retry_body, retry0)
@@ -452,7 +504,13 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         roll = fail & has_last
         x_base = jnp.where(roll, best_x, x)
         applied = jnp.where(success | probe, dx, jnp.zeros_like(dx))
-        x_new = x_base + applied
+        # Manifold step application: x ⊞ δ rowwise; a zero δ is an exact
+        # no-op (exp(0) = identity quaternion bit-exactly), so the masked
+        # instances are unchanged just like the Euclidean x + 0.
+        if layout.has_manifold:
+            x_new = jax.vmap(ret_flat)(x_base, applied)
+        else:
+            x_new = x_base + applied
         best_x_new = jnp.where(success, x, best_x)
         last_dx_new = jnp.where(success | probe, dx, last_dx)
         # i32-valued select chain (Mosaic: no boolean-valued selects)
@@ -504,9 +562,10 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
     if layout is None or not fused_supported(options, "residuals", x_example):
         raise ValueError(
             "fused_batched_solver: configuration not supported (requires "
-            "Euclidean array parameters, residuals mode, carry_system="
+            "same-dtype float parameters, residuals mode, carry_system="
             "False, no history/save_last/logging/callbacks)")
-    d = layout.dims
+    d = layout.t_dims                          # tangent width (dx, g)
+    P = layout.dims                            # flat parameter width
     dtype = layout.dtype
     opts = options
 
@@ -541,9 +600,14 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
         # AD temporaries (~8 residual-width rows) — plus the per-tile data,
         # double-buffered across grid steps.  Bigger tiles mean fewer
         # sequential grid steps, so budget generously.
-        d_lane = ((d + 127) // 128) * 128
+        d_lane = ((max(d, P) + 127) // 128) * 128
         r_lane = ((n_res + 127) // 128) * 128
-        per_inst = (16 * d_lane + 8 * r_lane) * jnp.dtype(dtype).itemsize
+        # Manifold retraction/log traces (quaternion exp/compose/log per
+        # jvp sweep) hold several times more live rows than the plain
+        # Euclidean accumulate — scale the temporary estimate accordingly.
+        tmp_rows = 24 if layout.has_manifold else 8
+        per_inst = ((16 * d_lane + tmp_rows * r_lane)
+                    * jnp.dtype(dtype).itemsize)
         import math
         per_inst += sum(
             math.prod(l.shape[1:]) * l.dtype.itemsize for l in data_leaves)
@@ -558,7 +622,7 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             xflat = rep(xflat)
             data_leaves = [rep(l) for l in data_leaves]
 
-        in_specs = [pl.BlockSpec((blk, d), lambda i: (i, 0))]
+        in_specs = [pl.BlockSpec((blk, P), lambda i: (i, 0))]
         for l in data_leaves:
             nd = l.ndim
             in_specs.append(pl.BlockSpec(
@@ -568,13 +632,13 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
 
         col = pl.BlockSpec((blk, 1), lambda i: (i, 0))
         out_specs = [
-            pl.BlockSpec((blk, d), lambda i: (i, 0)),      # x
+            pl.BlockSpec((blk, P), lambda i: (i, 0)),      # x
             col, col, col, col, col, col, col,             # per-inst scalars
             pl.BlockSpec((blk, d), lambda i: (i, 0)),      # g
             col,                                           # nres
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((Bp, d), dtype),
+            jax.ShapeDtypeStruct((Bp, P), dtype),
             jax.ShapeDtypeStruct((Bp, 1), dtype),
             jax.ShapeDtypeStruct((Bp, 1), dtype),
             jax.ShapeDtypeStruct((Bp, 1), _I32),
@@ -591,13 +655,25 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             data_treedef=data_treedef, n_data=len(data_leaves),
             squeezed=squeezed, n_res=n_res, opts=opts,
             max_iters_total=max_iters_total)
-        (xf, cost, rerr, stop, it, nfail, nconsec, lam, g, nres) = \
-            pl.pallas_call(
-                kernel, grid=(Bp // blk,), in_specs=in_specs,
-                out_specs=out_specs, out_shape=out_shape,
-                interpret=interpret,
-                debug=bool(__import__("os").environ.get(
-                    "TINYOPT_PALLAS_DEBUG")))(xflat, *data_leaves)
+        # kernel_trace: residual/manifold code traced inside the kernel
+        # swaps Mosaic-unlowerable transcendentals (atan2 in SO3.log, …)
+        # for polynomial equivalents (ops/kernel_math.py).
+        from .kernel_math import kernel_trace
+        # The default Mosaic scoped-vmem limit (16 MB) is tight for traces
+        # with many AD temporaries; the chip has far more VMEM — raise the
+        # limit and keep the block-size budget targeting well under it.
+        params = None
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+            params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        with kernel_trace():
+            (xf, cost, rerr, stop, it, nfail, nconsec, lam, g, nres) = \
+                pl.pallas_call(
+                    kernel, grid=(Bp // blk,), in_specs=in_specs,
+                    out_specs=out_specs, out_shape=out_shape,
+                    interpret=interpret, compiler_params=params,
+                    debug=bool(__import__("os").environ.get(
+                        "TINYOPT_PALLAS_DEBUG")))(xflat, *data_leaves)
 
         sl = lambda a: a[:B, 0]                  # (Bp, 1) column outputs
         x_out_flat = xf[:B]

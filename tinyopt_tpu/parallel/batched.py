@@ -40,7 +40,22 @@ def batched_solver(fn: Callable, options: Options, mode: str, x_example,
             on_tpu = jax.default_backend() == "tpu"
         except Exception:  # pragma: no cover - backend probing never fatal
             on_tpu = False
-        if on_tpu and fused_supported(options, mode, x_example):
+        # Resolve mode="auto" before the kernel-envelope check — the fused
+        # kernel covers residual functions, and the default batched_optimize
+        # call path passes "auto".
+        fmode = mode
+        if on_tpu and fmode == "auto":
+            from .. import manifold as mf
+            from ..optimize import _detect_mode
+            f1 = fn if data_example is None \
+                else (lambda x: fn(x, data_example))
+            x_ex = mf.as_pytree(x_example)
+            try:
+                fmode = _detect_mode(f1, x_ex, options,
+                                     mf.tangent_spec(x_ex).dims)
+            except Exception:  # noqa: BLE001 - undetectable: let vmap decide
+                fmode = mode
+        if on_tpu and fused_supported(options, fmode, x_example):
             fused = fused_batched_solver(fn, options, x_example, data_example)
             return _with_vmap_fallback(fused, fn, options, mode, x_example,
                                        data_example)

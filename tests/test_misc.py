@@ -56,6 +56,27 @@ class TestWarmStart:
                 "residuals", jnp.zeros(2),
                 warm_start=(jnp.zeros(2), jnp.eye(2)))(jnp.zeros(2))
 
+    def test_gd_size1_array_cost_requires_explicit_mode(self):
+        """A size-1 *array* return is ambiguous for GD auto-dispatch (boxed
+        scalar cost vs Vec1 residual optimize different objectives); the
+        reference statically rejects non-scalars (optimize.h:59-72)."""
+        opts = to.Options(solver_type=to.GradientDescent)
+        with pytest.raises(ValueError, match="ambiguous"):
+            to.optimize(jnp.asarray([1.0]), lambda p: p * 2, opts)
+        # explicit modes resolve it either way
+        x, _ = to.optimize(jnp.asarray([1.0]), lambda p: (p - 3.0) ** 2,
+                           to.Options(solver_type=to.GradientDescent,
+                                      max_iters=2000,
+                                      gd=to.GDOptions(lr=0.1)),
+                           mode="cost")
+        assert float(x[0]) == pytest.approx(3.0, abs=1e-3)
+        x, _ = to.optimize(jnp.asarray([1.0]), lambda p: p - 2.0,
+                           to.Options(solver_type=to.GradientDescent,
+                                      max_iters=2000,
+                                      gd=to.GDOptions(lr=0.2)),
+                           mode="residuals")
+        assert float(x[0]) == pytest.approx(2.0, abs=1e-3)
+
     def test_timeout_check_final_cost_with_cost_scaling(self):
         """The timeout driver's final-cost comparison must use the same
         normalization as the loop (regression: raw-vs-normalized)."""

@@ -68,6 +68,20 @@ def _detect_mode(fn, x, options, dims: int) -> str:
         if first_scalar and grad_ok and h_ok:
             return "acc"
     if first_order:
+        # The reference statically rejects non-scalar GD costs
+        # (optimize.h:59-72, static_assert optimize_autodiff.h:101-102).
+        # A size-1 *array* is ambiguous under auto-detection — a Vec1
+        # residual and a boxed scalar cost optimize different objectives —
+        # so demand an explicit mode instead of guessing.
+        leaves = jax.tree_util.tree_leaves(out)
+        if any(getattr(l, "ndim", 0) > 0 for l in leaves):
+            if all(math.prod(l.shape) == 1 for l in leaves):
+                raise ValueError(
+                    "GradientDescent auto-dispatch: the function returns a "
+                    f"size-1 array ({out}), which is ambiguous — pass "
+                    "mode=\"cost\" (minimize the value) or "
+                    "mode=\"residuals\" (minimize its square) explicitly, "
+                    "or return a 0-d scalar (reference: optimize.h:59-72)")
         return "cost"
     return "residuals"
 

@@ -148,7 +148,7 @@ def _unflatten_x(xv: jax.Array, layout: _XLayout):
 
 def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
                    n_data: int, squeezed: tuple, n_res: int, opts: Options,
-                   max_iters_total: int):
+                   max_iters_total: int, coloring=None):
     """One batch tile, x₀ → converged x, entirely in VMEM."""
     d = layout.t_dims                             # tangent width (steps, g)
     P = layout.dims                               # flat parameter width
@@ -158,8 +158,11 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
     # constraint); squeeze them back before handing to the residual fn.
     data_vals = [r[:][:, 0] if sq else r[:]
                  for r, sq in zip(refs[1:1 + n_data], squeezed)]
+    n_extra = 2 if coloring is not None else 0
+    if coloring is not None:
+        probes_ref, recovery_ref = refs[1 + n_data:1 + n_data + 2]
     (x_ref, cost_ref, rerr_ref, stop_ref, it_ref, nfail_ref, nconsec_ref,
-     lam_ref, g_ref, nres_ref) = refs[1 + n_data:]
+     lam_ref, g_ref, nres_ref) = refs[1 + n_data + n_extra:]
 
     BT = x0.shape[0]
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
@@ -194,33 +197,35 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
                  for a in jax.tree_util.tree_leaves(x2)]
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
-    def vjp_apply(x, q):
-        """Batched Jᵀq at linearization point x: (BT, n_res) -> (BT, d).
+    def linearize_at(x):
+        """Linearize the batched tangent map δ ↦ r(x ⊞ δ) at δ = 0.
 
-        J is the tangent-space Jacobian ∂r(x ⊞ δ)/∂δ at δ = 0.
+        Returns ``(r, jvp_fn, vjp_fn)``: primal residuals (BT, n_res) and
+        tangent-only linear maps (BT, d) → (BT, n_res) and back.  The
+        primal chain (residual evaluation + manifold retraction trace) is
+        evaluated ONCE per linearization point and its intermediates are
+        shared by every subsequent application — the d diag-sweep jvps and
+        the 2·cg_iters CG matvec sweeps — instead of being recomputed
+        inside each ``jax.jvp``/``jax.vjp`` call (the dominant kernel cost
+        before this: ~135 primal+tangent evaluation units per outer
+        iteration, now ~70 tangent-only ones).  J is the tangent-space
+        Jacobian ∂r(x ⊞ δ)/∂δ at δ = 0, exactly the map the XLA path
+        differentiates (diff/auto residual_jacobian).
         """
-        def one(x_i, q_i, *data_i):
-            if layout.has_manifold:
-                f = lambda dv: res_flat(ret_flat(x_i, dv), data_i)
-                _, pull = jax.vjp(f, jnp.zeros((d,), dtype))
-            else:
-                f = lambda xv: res_flat(xv, data_i)
-                _, pull = jax.vjp(f, x_i)
-            return pull(q_i)[0]
-        return jax.vmap(one)(x, q, *data_vals)
+        def G(dmat):
+            def one(x_i, d_i, *data_i):
+                if layout.has_manifold:
+                    return res_flat(ret_flat(x_i, d_i), data_i)
+                return res_flat(x_i + d_i, data_i)
+            return jax.vmap(one)(x, dmat, *data_vals)
 
-    def jvp_apply(x, p):
-        """Batched J·p at linearization point x: (BT, d) -> (BT, n_res)."""
-        def one(x_i, p_i, *data_i):
-            if layout.has_manifold:
-                f = lambda dv: res_flat(ret_flat(x_i, dv), data_i)
-                return jax.jvp(f, (jnp.zeros((d,), dtype),), (p_i,))[1]
-            f = lambda xv: res_flat(xv, data_i)
-            return jax.jvp(f, (x_i,), (p_i,))[1]
-        return jax.vmap(one)(x, p, *data_vals)
+        zero_t = x[:, :1] * jnp.zeros((1, d), dtype)       # (BT, d) zeros
+        r, jvp_fn = jax.linearize(G, zero_t)
+        vjp_lin = jax.linear_transpose(jvp_fn, zero_t)
+        return r, jvp_fn, (lambda q: vjp_lin(q)[0])
 
-    def accumulate(x):
-        """(BT, d) -> diag(H) (BT, d), g (BT, d), err (BT, 1) — matrix-free.
+    def accumulate(x, r, jvp_fn, vjp_fn):
+        """diag(H) (BT, d), g (BT, d), err (BT, 1) — matrix-free.
 
         The normal matrix H = JᵀJ is never materialized: g = Jᵀr comes from
         one reverse-mode sweep and the CG solve applies H as p ↦ Jᵀ(J p)
@@ -232,36 +237,48 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         Mosaic vectorizes across the whole tile; explicit (BT, d, d) tiles
         lower to per-instance loops and were ~10× slower end-to-end.
         """
-        def val_one(x_i, *data_i):
-            return res_flat(x_i, data_i)
+        g = vjp_fn(r)                              # JᵀR
 
-        r = jax.vmap(val_one)(x, *data_vals)       # (BT, n_res)
-        g = vjp_apply(x, r)                        # JᵀR
+        if coloring is not None:
+            # Curtis–Powell–Reid colored probing (ops/coloring.py): one jvp
+            # sweep per color, then diag_j = Σ_i (J p_{color(j)})_i² · S_ij
+            # as a single constant one-hot contraction on the MXU
+            # (precision HIGHEST: the recovery sum must be exact f32 —
+            # colored diag equals the per-dimension diag bit-for-bit up to
+            # summation order, keeping parity with the XLA path).
+            probes = probes_ref[:]                 # (C, d)
+            sqs = []
+            for c in range(coloring.n_colors):
+                Jp = jvp_fn(jnp.broadcast_to(probes[c:c + 1, :], (BT, d)))
+                sqs.append(Jp * Jp)
+            SQ = sqs[0] if len(sqs) == 1 else jnp.concatenate(sqs, axis=-1)
+            diagH = jnp.dot(SQ, recovery_ref[:],   # (BT, C·n) @ (C·n, d)
+                            precision=jax.lax.Precision.HIGHEST)
+        else:
+            # Generic fallback: diag(H)_j = ‖J e_j‖², one 2-D jvp sweep per
+            # tangent dim, accumulated into the j-th column with a one-hot
+            # mask.  Shapes stay (BT, n) throughout: a batched basis-jvp
+            # would materialize a rank-3 (BT, d, n_res) tile, which Mosaic
+            # processes one instance (one sub-tile) at a time — measured
+            # ~10× slower end-to-end.  Sweeps run in a fori_loop over
+            # chunks of K with the chunk body unrolled: full unrolling of
+            # all d sweeps blows up Mosaic compile time, while one sweep
+            # per loop trip pays per-trip loop overhead d times.
+            jj = jax.lax.broadcasted_iota(_I32, (1, d), 1)
+            K = 8
 
-        # diag(H)_j = ‖J e_j‖², one 2-D jvp sweep per tangent dim,
-        # accumulated into the j-th column with a one-hot mask.  Shapes
-        # stay (BT, n) throughout: a batched basis-jvp would materialize a
-        # rank-3 (BT, d, n_res) tile, which Mosaic processes one instance
-        # (one sub-tile) at a time — measured ~10× slower end-to-end.
-        # Sweeps run in a fori_loop over chunks of K with the chunk body
-        # unrolled: full unrolling of all d sweeps blows up Mosaic compile
-        # time, while one sweep per loop trip pays per-trip loop overhead
-        # d times.
-        jj = jax.lax.broadcasted_iota(_I32, (1, d), 1)
-        K = 8
+            def diag_chunk(c, diagH):
+                for i in range(K):
+                    j = c * K + i                  # dynamic column index
+                    e_j = (jj == j).astype(dtype)  # (1, d) one-hot
+                    Jej = jvp_fn(jnp.broadcast_to(e_j, (BT, d)))
+                    dj = jnp.sum(Jej * Jej, axis=-1)[:, None]     # (BT, 1)
+                    # j >= d contributes a zero mask — padding no-ops
+                    diagH = diagH + dj * e_j
+                return diagH
 
-        def diag_chunk(c, diagH):
-            for i in range(K):
-                j = c * K + i                      # dynamic column index
-                e_j = (jj == j).astype(dtype)      # (1, d) one-hot
-                Jej = jvp_apply(x, jnp.broadcast_to(e_j, (BT, d)))
-                dj = jnp.sum(Jej * Jej, axis=-1)[:, None]     # (BT, 1)
-                # j >= d contributes a zero mask — padding chunks are no-ops
-                diagH = diagH + dj * e_j
-            return diagH
-
-        diagH = jax.lax.fori_loop(0, (d + K - 1) // K, diag_chunk,
-                                  jnp.zeros((BT, d), dtype))
+            diagH = jax.lax.fori_loop(0, (d + K - 1) // K, diag_chunk,
+                                      jnp.zeros((BT, d), dtype))
 
         err = jnp.sum(r * r, axis=-1)[:, None]
         # Cost scaling (reference solvers/base.h:41-45 order)
@@ -291,13 +308,13 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         """(BT, 1) bool -> scalar any(), reduced in f32."""
         return jnp.max(mask.astype(dtype)) > 0.5
 
-    def propose(x, diagH, g, lam):
+    def propose(jvp_fn, vjp_fn, diagH, g, lam):
         """Damped matrix-free PCG step: (JᵀJ + λ·diag-damping) dx = −g.
 
         Same damping semantics as solvers/step.propose_step (multiplicative
         H[i,i]·(1+λ); absolute λ for exactly-zero diagonals, ops/linalg
         damp_diagonal) and the same Jacobi-preconditioned CG formulas, with
-        the matvec applied as Jᵀ(J p) at the linearization point.
+        the matvec applied as Jᵀ(J p) through the shared linearization.
         """
         if is_lm:
             damp = jnp.where(diagH == 0, jnp.ones_like(diagH), diagH)
@@ -306,7 +323,7 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             dampl = jnp.zeros_like(diagH)
 
         def matvec(p):
-            return vjp_apply(x, jvp_apply(x, p)) + dampl * p
+            return vjp_fn(jvp_fn(p)) + dampl * p
 
         diag_d = diagH + dampl                    # diagonal of damped H
         dinv = jnp.where(diag_d > 0,
@@ -371,7 +388,8 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         has_last = has_last_i != 0
         act = active_of(stop, it)
 
-        diagH, g, err = accumulate(x)
+        r_lin, jvp_fn, vjp_fn = linearize_at(x)
+        diagH, g, err = accumulate(x, r_lin, jvp_fn, vjp_fn)
 
         # --- Inner solve-retry with λ escalation (optimizer.h:356-399) ---
         def retry_cond(s):
@@ -383,7 +401,7 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             dx, ok_i, r_lam, r_bad, nf, nc, gu_i = s
             ok, give_up = ok_i != 0, gu_i != 0
             upd = act & (~ok) & (~give_up) & (nc <= max_tries)
-            dx_new, ok_new = propose(x, diagH, g, r_lam)
+            dx_new, ok_new = propose(jvp_fn, vjp_fn, diagH, g, r_lam)
             nf2 = nf + jnp.where(upd & (~ok_new), 1, 0).astype(_I32)
             nc2 = nc + jnp.where(upd & (~ok_new), 1, 0).astype(_I32)
             gu_new = (~ok_new) & (opts.max_consec_failures > 0) & (
@@ -582,6 +600,12 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
     if n_res == 0:
         raise ValueError("fused_batched_solver: empty residuals")
 
+    coloring = None
+    if opts.hessian.diag_coloring == "auto":
+        from .coloring import detect_diag_coloring
+        coloring = detect_diag_coloring(residual_fn, x_example, data_example,
+                                        layout.spec, n_res, d, dtype)
+
     max_iters_total = opts.max_iters + 1       # +1 rollback slot
 
     def solve(x0_batch, data_batch=None):
@@ -606,13 +630,21 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
         # jvp sweep) hold several times more live rows than the plain
         # Euclidean accumulate — scale the temporary estimate accordingly.
         tmp_rows = 24 if layout.has_manifold else 8
+        if coloring is not None:
+            # + the concatenated per-color squared sweeps (BT, C·n_res)
+            tmp_rows += coloring.n_colors
         per_inst = ((16 * d_lane + tmp_rows * r_lane)
                     * jnp.dtype(dtype).itemsize)
         import math
         per_inst += sum(
             math.prod(l.shape[1:]) * l.dtype.itemsize for l in data_leaves)
+        budget = 9 * 1024 * 1024
+        if coloring is not None:
+            # The coloring constants are resident once (not per-instance)
+            crows = ((coloring.recovery.shape[0] + 7) // 8) * 8
+            budget -= 2 * crows * d_lane * jnp.dtype(dtype).itemsize
         blk = block
-        while blk > 8 and 2 * blk * per_inst > 9 * 1024 * 1024:
+        while blk > 8 and 2 * blk * per_inst > budget:
             blk //= 2
         Bp = ((B + blk - 1) // blk) * blk
         if Bp != B:
@@ -629,6 +661,13 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
                 (blk,) + l.shape[1:],
                 functools.partial(
                     lambda i, _nd: (i,) + (0,) * (_nd - 1), _nd=nd)))
+        extra_inputs = []
+        if coloring is not None:
+            probes = jnp.asarray(coloring.probes, dtype)
+            recovery = jnp.asarray(coloring.recovery, dtype)
+            in_specs.append(pl.BlockSpec(probes.shape, lambda i: (0, 0)))
+            in_specs.append(pl.BlockSpec(recovery.shape, lambda i: (0, 0)))
+            extra_inputs = [probes, recovery]
 
         col = pl.BlockSpec((blk, 1), lambda i: (i, 0))
         out_specs = [
@@ -654,7 +693,7 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             _solver_kernel, residual_fn=residual_fn, layout=layout,
             data_treedef=data_treedef, n_data=len(data_leaves),
             squeezed=squeezed, n_res=n_res, opts=opts,
-            max_iters_total=max_iters_total)
+            max_iters_total=max_iters_total, coloring=coloring)
         # kernel_trace: residual/manifold code traced inside the kernel
         # swaps Mosaic-unlowerable transcendentals (atan2 in SO3.log, …)
         # for polynomial equivalents (ops/kernel_math.py).
@@ -673,7 +712,8 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
                     out_specs=out_specs, out_shape=out_shape,
                     interpret=interpret, compiler_params=params,
                     debug=bool(__import__("os").environ.get(
-                        "TINYOPT_PALLAS_DEBUG")))(xflat, *data_leaves)
+                        "TINYOPT_PALLAS_DEBUG")))(xflat, *data_leaves,
+                                                  *extra_inputs)
 
         sl = lambda a: a[:B, 0]                  # (Bp, 1) column outputs
         x_out_flat = xf[:B]

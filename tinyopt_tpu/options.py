@@ -62,6 +62,16 @@ class HessianOptions:
     #: HBM copy/select traffic in the batched case (faster whenever
     #: rejections are rare).  Requires save_last=False.
     carry_system: bool = True
+    #: Curtis–Powell–Reid column coloring for the matrix-free diag(JᵀJ)
+    #: inside the fused whole-solve kernel: "auto" detects the Jacobian's
+    #: column sparsity at solver-build time (randomized probes of the
+    #: example instance) and computes the diagonal with one jvp sweep per
+    #: color instead of one per tangent dimension; "off" always uses the
+    #: per-dimension sweeps.  Set "off" if the residual's sparsity
+    #: STRUCTURE varies across batch instances in a way randomized probes
+    #: of the example instance cannot reveal (plain value variation,
+    #: including {0,1} masks in the data, is handled by the probes).
+    diag_coloring: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

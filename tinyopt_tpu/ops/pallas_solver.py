@@ -328,7 +328,16 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         diag_d = diagH + dampl                    # diagonal of damped H
         dinv = jnp.where(diag_d > 0,
                          1.0 / jnp.where(diag_d > 0, diag_d, 1.0), 1.0)
-        dx = pcg_core(matvec, dinv, -g, cg_iters, unroll=True)
+        if coloring is not None and coloring.n_colors == 1:
+            # One color == every pair of Jacobian columns has disjoint row
+            # support == H = JᵀJ is EXACTLY diagonal (all off-diagonal
+            # inner products are structurally zero).  The damped normal
+            # equations then solve in closed form — the entire CG loop
+            # (2·cg_iters jvp/vjp sweeps) disappears.  This is the same
+            # answer Jacobi-PCG reaches exactly on its first iteration.
+            dx = -g * dinv
+        else:
+            dx = pcg_core(matvec, dinv, -g, cg_iters, unroll=True)
         ok = all_lanes(jnp.isfinite(dx))
         return dx, ok
 

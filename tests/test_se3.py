@@ -194,3 +194,58 @@ class TestSE3RefinementModel:
                                 axis=-1)
         assert float(jnp.max(err_rot)) < 1e-5
         assert float(jnp.max(err_t)) < 1e-5
+
+
+class TestSEn3:
+    """Generic SEn3<n> (reference lieplusplus.h:17-53 supports any n;
+    manifolds/sen3.py is the from-scratch equivalent)."""
+
+    def test_exp_log_roundtrip_various_n(self):
+        from tinyopt_tpu.manifolds import SEn3
+        rng = np.random.default_rng(3)
+        for n in (1, 2, 3, 4):
+            d = jnp.asarray(rng.uniform(-1.0, 1.0, 3 * (n + 1)))
+            np.testing.assert_allclose(np.asarray(SEn3.exp(d).log()),
+                                       np.asarray(d), atol=1e-10)
+
+    def test_matches_se23(self):
+        """SEn3 with n=2 is SE23 with [ν, ρ] stacked into .vectors."""
+        from tinyopt_tpu.manifolds import SE23, SEn3
+        d = jnp.asarray(np.linspace(-0.7, 0.7, 9))
+        a = SEn3.exp(d)
+        b = SE23.exp(d)
+        np.testing.assert_allclose(np.asarray(a.rotation.wxyz),
+                                   np.asarray(b.rotation.wxyz), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.vectors[..., 0, :]),
+                                   np.asarray(b.velocity), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.vectors[..., 1, :]),
+                                   np.asarray(b.position), atol=1e-12)
+
+    def test_inverse_compose_batched(self):
+        from tinyopt_tpu.manifolds import SEn3
+        rng = np.random.default_rng(5)
+        d = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 12)))  # batch of SEn3<3>
+        X = SEn3.exp(d)
+        np.testing.assert_allclose(np.asarray((X @ X.inverse()).log()),
+                                   np.zeros((4, 12)), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray((X.inverse() @ X).log()), np.zeros((4, 12)),
+            atol=1e-12)
+
+    def test_prior_optimization_n3(self):
+        from tinyopt_tpu.manifolds import SEn3
+        rng = np.random.default_rng(11)
+        prior_inv = SEn3.exp(jnp.asarray(rng.uniform(-0.8, 0.8, 12)))
+
+        def residuals(x):
+            return (prior_inv @ x).log()
+
+        x, out = to.optimize(SEn3.identity(3, jnp.float64), residuals)
+        assert bool(out.converged())
+        assert float(jnp.linalg.norm((x @ prior_inv).log())) < 1e-5
+
+    def test_tangent_dims(self):
+        from tinyopt_tpu import manifold as mf
+        from tinyopt_tpu.manifolds import SEn3
+        assert mf.tangent_spec(SEn3.identity(3)).dims == 12
+        assert mf.tangent_spec(SEn3.identity(1, batch=(5,))).dims == 30

@@ -113,6 +113,113 @@ class TestBlockOptimize:
                                    atol=1e-8)
 
 
+class TestSparseOptimize:
+    """General-sparse Hessian path (reference tests/sparse.cpp:19-85:
+    SparseMatrix H + SimplicialLDLT → SparseSym COO + Jacobi-PCG)."""
+
+    def test_diag_problem_detected_structure(self):
+        """r_i = x_i² − i with auto-detected (diagonal) sparsity
+        (reference tests/sparse.cpp:19-61)."""
+        dims = 20
+        x, out = to.sparse_optimize(
+            jnp.ones(dims), sparse_diag_residual,
+            to.Options(max_iters=100, max_consec_failures=0))
+        assert bool(out.succeeded())
+        np.testing.assert_allclose(
+            np.asarray(x), np.sqrt(np.arange(1.0, dims + 1.0)), atol=1e-8)
+        from tinyopt_tpu.ops.sparse_sym import SparseSym
+        H = out.final_hessian
+        assert isinstance(H, SparseSym)
+        # diagonal residuals -> exactly d stored entries
+        assert H.vals.shape == (dims,)
+
+    def test_coupled_matches_dense(self):
+        """Chain problem (tridiagonal H): same optimum, same final cost,
+        same H as the dense path (sparse-vs-dense agreement,
+        tests/sparse.cpp:65-85)."""
+        def chain(x):
+            return jnp.concatenate(
+                [3.0 * (x[1:] - x[:-1] * x[:-1]),
+                 jnp.atleast_1d(x[0] - 0.7)])
+        x_sp, out_sp = to.sparse_optimize(jnp.full(6, 0.5), chain)
+        x_d, out_d = to.optimize(jnp.full(6, 0.5), chain)
+        assert bool(out_sp.converged())
+        np.testing.assert_allclose(np.asarray(x_sp), np.asarray(x_d),
+                                   atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(out_sp.final_hessian.to_dense()),
+            np.asarray(out_d.final_hessian), atol=1e-8)
+
+    def test_explicit_structure(self):
+        """Caller-supplied structure bypasses probing."""
+        dims = 6
+        structure = np.eye(dims, dtype=bool)
+        x, out = to.sparse_optimize(
+            jnp.ones(dims), sparse_diag_residual,
+            to.Options(max_iters=100, max_consec_failures=0),
+            structure=structure)
+        assert bool(out.succeeded())
+        np.testing.assert_allclose(
+            np.asarray(x), np.sqrt(np.arange(1.0, dims + 1.0)), atol=1e-8)
+
+    def test_structure_shape_mismatch_raises(self):
+        with pytest.raises(ValueError, match="structure shape"):
+            to.sparse_optimize(jnp.ones(4), sparse_diag_residual,
+                               structure=np.eye(3, dtype=bool))
+
+    def test_rejects_gradient_descent(self):
+        with pytest.raises(ValueError, match="Gauss-Newton"):
+            to.sparse_optimize(jnp.ones(3), sparse_diag_residual,
+                               to.Options(solver_type=to.GradientDescent))
+
+    def test_covariance(self):
+        """Sparse covariance recovery (reference math.h:115-137 /
+        tests/sparse.cpp InvCov usage): cov = H⁻¹ densified."""
+        dims = 5
+        x, out = to.sparse_optimize(
+            jnp.ones(dims), sparse_diag_residual,
+            to.Options(max_iters=100, max_consec_failures=0))
+        C = out.covariance()
+        np.testing.assert_allclose(
+            np.diag(np.asarray(C)),
+            1.0 / (4.0 * np.arange(1.0, dims + 1.0)), rtol=1e-5)
+
+    def test_manifold_params(self):
+        """Sparse path through a manifold retraction (SO3 prior)."""
+        from tinyopt_tpu.manifolds import SO3
+        prior_inv = SO3.exp(jnp.asarray([0.3, -0.2, 0.1]))
+        R, out = to.sparse_optimize(
+            SO3.identity(jnp.float64), lambda R: (prior_inv @ R).log())
+        assert float(jnp.linalg.norm((R @ prior_inv).log())) < 1e-7
+
+    def test_damping_is_multiplicative(self):
+        """SparseSym.damp scales the diagonal by (1+λ), the reference's
+        LM damping (lm.h:107-117)."""
+        from tinyopt_tpu.ops.sparse_sym import SparseSym
+        H = SparseSym.from_pattern(
+            np.array([0, 0, 1, 1]), np.array([0, 1, 0, 1]),
+            jnp.asarray([2.0, 0.5, 0.5, 3.0]), 2)
+        Hd = H.damp(0.1)
+        np.testing.assert_allclose(
+            np.asarray(Hd.to_dense()),
+            [[2.2, 0.5], [0.5, 3.3]], atol=1e-12)
+
+    def test_sparsesym_solve_matches_dense(self):
+        rng = np.random.default_rng(7)
+        A = rng.uniform(-1, 1, (6, 6))
+        dense = A @ A.T + 6 * np.eye(6)
+        rows, cols = np.nonzero(np.ones((6, 6), bool))
+        from tinyopt_tpu.ops.sparse_sym import SparseSym
+        H = SparseSym.from_pattern(rows, cols,
+                                   jnp.asarray(dense[rows, cols]), 6)
+        b = jnp.asarray(rng.uniform(-1, 1, 6))
+        dx, ok = H.solve(b)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(dx),
+                                   np.linalg.solve(dense, np.asarray(b)),
+                                   atol=1e-8)
+
+
 class TestMatfreeOptimize:
     def test_matches_dense_lm(self):
         """GN-CG reaches the same optimum as dense LM on Rosenbrock."""

@@ -30,7 +30,7 @@ from . import sparse
 from . import utils
 from . import implicit
 from .implicit import implicit_solver
-from .sparse import block_optimize, matfree_optimize
+from .sparse import block_optimize, matfree_optimize, sparse_optimize, sparse_optimize
 from .ops.block import BlockDiag
 from .version import __version__
 
@@ -53,7 +53,7 @@ __all__ = [
     "TangentSpec",
     "lm", "gn", "gd", "nlls", "unconstrained",
     "diff", "losses", "manifolds", "sparse", "utils",
-    "block_optimize", "matfree_optimize", "BlockDiag",
+    "block_optimize", "matfree_optimize", "sparse_optimize", "BlockDiag",
     "implicit", "implicit_solver",
     "__version__",
 ]

@@ -77,16 +77,16 @@ def _greedy_color(structure: np.ndarray) -> np.ndarray:
     return colors
 
 
-def detect_diag_coloring(residual_fn, x_example, data_example, spec,
-                         n_res: int, dims: int, dtype,
-                         *, n_probes: int = 3,
-                         max_recovery_bytes: int = 4 * 1024 * 1024
-                         ) -> DiagColoring | None:
-    """Probe the tangent Jacobian structure and color it, or ``None``.
+def probe_structure(residual_fn, x_example, data_example, spec,
+                    n_res: int, dims: int, *, n_probes: int = 3
+                    ) -> np.ndarray | None:
+    """Probe the (n_res, dims) tangent-Jacobian nonzero STRUCTURE, or
+    ``None`` if detection fails (non-finite Jacobian, untraceable fn).
 
-    Returns ``None`` when detection fails, the structure is too dense to
-    pay off (needs ≥ max(1, d/2) colors — the per-dimension sweeps are then
-    comparable), or the recovery constant would blow the VMEM budget.
+    Evaluates the dense Jacobian of the example instance at a few
+    deterministic pseudo-random points (see module docstring) and ORs the
+    nonzero patterns; shared by the diag coloring and the general-sparse
+    Hessian assembly (``sparse.sparse_optimize``).
     """
     from .. import manifold as mf
     from ..diff.auto import flatten_residuals
@@ -145,6 +145,24 @@ def detect_diag_coloring(residual_fn, x_example, data_example, spec,
     except Exception:  # noqa: BLE001 - detection is best-effort
         if _DEBUG:
             raise
+        return None
+    return structure
+
+
+def detect_diag_coloring(residual_fn, x_example, data_example, spec,
+                         n_res: int, dims: int, dtype,
+                         *, n_probes: int = 3,
+                         max_recovery_bytes: int = 4 * 1024 * 1024
+                         ) -> DiagColoring | None:
+    """Probe the tangent Jacobian structure and color it, or ``None``.
+
+    Returns ``None`` when detection fails, the structure is too dense to
+    pay off (needs ≥ max(1, d/2) colors — the per-dimension sweeps are then
+    comparable), or the recovery constant would blow the VMEM budget.
+    """
+    structure = probe_structure(residual_fn, x_example, data_example, spec,
+                                n_res, dims, n_probes=n_probes)
+    if structure is None:
         return None
 
     colors = _greedy_color(structure)

@@ -16,6 +16,7 @@ from ..options import SolverType
 from ..ops.block import BlockDiag
 from ..ops.linalg import damp_diagonal, solve_psd
 from ..ops.pallas_cg import make_cg_solver
+from ..ops.sparse_sym import SparseSym
 
 
 @functools.lru_cache(maxsize=None)
@@ -40,6 +41,11 @@ def propose_step(H, g, lam, opts):
     if isinstance(H, BlockDiag):
         Hd = H.damp(lam) if is_lm else H
         return Hd.solve(-g, use_cholesky=opts.hessian.use_ldlt)
+    if isinstance(H, SparseSym):
+        # General sparse normal equations (the reference's SimplicialLDLT
+        # path, gn.h:154-156) -> Jacobi-preconditioned CG on TPU.
+        Hd = H.damp(lam) if is_lm else H
+        return Hd.solve(-g, cg_iters=opts.hessian.cg_iters)
     Hd = damp_diagonal(H, lam) if is_lm else H
     # "fused" = whole-solve Pallas kernel when batched (ops/pallas_solver);
     # outside that path it degrades to the identical-iterates CG solve.

@@ -128,6 +128,70 @@ def bench_tpu(dims_list, batch, single: bool = False):
     return rows1, rowsN, rowsF
 
 
+def bench_sparse(batch: int, dims_list=(10, 100, 1000)):
+    """Reference benchmarks/sparse.cpp:23-61: r = 10x − 2 with a sparse
+    (diagonal) Hessian, dims {10,100,1000}.  The reference has no published
+    numbers for these rows (BASELINE.md); ours are µs per solve, batched.
+
+    Two TPU-native formulations of the same problem:
+      * block    — `block_optimize` structure (bs=1 blocks), vmapped over
+                   `batch` instances
+      * coo      — `sparse_optimize` general-sparse path (auto-detected
+                   diagonal COO pattern + Jacobi-PCG), vmapped likewise
+    """
+    import jax
+    import jax.numpy as jnp
+    import tinyopt_tpu as to
+    from tinyopt_tpu import manifold as mf
+    from tinyopt_tpu.optimizers.loop import optimize_from_acc
+    from tinyopt_tpu.ops.coloring import probe_structure
+    from tinyopt_tpu.sparse import block_nlls_system, sparse_system
+
+    opts = to.Options(max_iters=10, min_error=0.0, min_rerr_dec=1e-12,
+                      min_step_norm2=1e-16, max_consec_failures=3,
+                      save_history=False,
+                      hessian=to.HessianOptions(save_last=False,
+                                                carry_system=False))
+
+    def _time(solve, x0):
+        jax.block_until_ready(solve(x0))
+        prng = np.random.default_rng(time.time_ns())
+        ts = []
+        for _ in range(3):
+            x0i = x0 + jnp.asarray(prng.uniform(1e-7, 1e-6, x0.shape),
+                                   x0.dtype)
+            float(x0i.sum())
+            t0 = time.perf_counter()
+            _, out_i = solve(x0i)
+            float(out_i.final_cost.cost.sum())
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / batch * 1e6
+
+    rows_blk, rows_coo = {}, {}
+    prng = np.random.default_rng(5)
+    for d in dims_list:
+        x0b = jnp.asarray(prng.uniform(-1, 1, (batch, d, 1)), jnp.float32)
+        blk_fn = lambda xb: 10.0 * xb - 2.0
+        x_ex = x0b[0]
+        spec_b = mf.tangent_spec(x_ex)
+        acc_b, ev_b, _ = block_nlls_system(blk_fn, x_ex)
+        solve_b = jax.jit(jax.vmap(
+            lambda x: optimize_from_acc(x, acc_b, ev_b, opts, spec_b)))
+        rows_blk[f"sparse{d}"] = _time(solve_b, x0b)
+
+        res_fn = lambda x: 10.0 * x - 2.0
+        x_ex2 = x0b[0, :, 0]
+        spec_s = mf.tangent_spec(x_ex2)
+        structure = probe_structure(res_fn, x_ex2, None, spec_s, d, d)
+        acc_s, ev_s, _ = sparse_system(res_fn, x_ex2, spec_s, structure)
+        cg_opts = opts.replace(hessian=to.HessianOptions(
+            save_last=False, carry_system=False, cg_iters=8))
+        solve_s = jax.jit(jax.vmap(
+            lambda x: optimize_from_acc(x, acc_s, ev_s, cg_opts, spec_s)))
+        rows_coo[f"sparse{d}"] = _time(solve_s, x0b[:, :, 0])
+    return rows_blk, rows_coo
+
+
 def bench_se3(batch: int):
     """Flagship model: batched SE(3) pose refinement solves/s on TPU."""
     import jax
@@ -194,6 +258,12 @@ def main():
               f"{(ref/best if best == best else float('nan')):>6.2f}x")
 
     if not args.skip_tpu:
+        blk, coo = bench_sparse(args.batch)
+        print(f"\n{'sparse (r=10x-2)':<18} {'block µs':>9} {'coo-pcg µs':>11}"
+              "   (reference rows unpublished; batched per-solve)")
+        for k in sorted(blk, key=lambda s: int(s[6:])):
+            print(f"{k:<18} {blk[k]:>9.2f} {coo[k]:>11.2f}")
+
         sps, conv = bench_se3(args.batch)
         print(f"\nse3_refinement: {sps:,.0f} solves/s "
               f"(batch={args.batch}, 16 pts, conv={conv:.2f}) — flagship "

@@ -204,6 +204,35 @@ class TestSparseOptimize:
             np.asarray(Hd.to_dense()),
             [[2.2, 0.5], [0.5, 3.3]], atol=1e-12)
 
+    def test_vmap_batched_sparse(self):
+        """The sparse system composes with vmap: batched general-sparse
+        solves (TPU-native capability, no reference counterpart)."""
+        from tinyopt_tpu import manifold as mf
+        from tinyopt_tpu.ops.coloring import probe_structure
+        from tinyopt_tpu.sparse import sparse_system
+        from tinyopt_tpu.optimizers.loop import optimize_from_acc
+
+        def chain(x):
+            return jnp.concatenate([3.0 * (x[1:] - x[:-1] * x[:-1]),
+                                    jnp.atleast_1d(x[0] - 0.7)])
+
+        d = 6
+        x_ex = jnp.full(d, 0.5)
+        spec = mf.tangent_spec(x_ex)
+        structure = probe_structure(chain, x_ex, None, spec, d, d)
+        acc, ev, _ = sparse_system(chain, x_ex, spec, structure)
+        opts = to.Options(max_consec_failures=0, max_iters=60)
+        solve = jax.jit(jax.vmap(
+            lambda x: optimize_from_acc(x, acc, ev, opts, spec)))
+        rng = np.random.default_rng(0)
+        x0b = jnp.asarray(rng.uniform(0.3, 0.8, (8, d)))
+        xb, outb = solve(x0b)
+        assert float(np.asarray(outb.converged()).mean()) == 1.0
+        for i in range(2):
+            xd, _ = to.optimize(x0b[i], chain, opts)
+            np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xd),
+                                       atol=1e-6)
+
     def test_sparsesym_solve_matches_dense(self):
         rng = np.random.default_rng(7)
         A = rng.uniform(-1, 1, (6, 6))

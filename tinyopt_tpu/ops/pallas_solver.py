@@ -647,7 +647,8 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
         import math
         per_inst += sum(
             math.prod(l.shape[1:]) * l.dtype.itemsize for l in data_leaves)
-        budget = 9 * 1024 * 1024
+        budget = int(__import__("os").environ.get(
+            "TINYOPT_FUSED_VMEM_BUDGET", 9 * 1024 * 1024))
         if coloring is not None:
             # The coloring constants are resident once (not per-instance)
             crows = ((coloring.recovery.shape[0] + 7) // 8) * 8

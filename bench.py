@@ -43,7 +43,9 @@ from jax import lax
 REF_SOLVE_US = 56.26          # BASELINE.md: dense VecX Prior-50, per solve
 BATCH = 10_000
 DIMS = 50
-REPS = 128                    # solve-batches per dispatched program
+REPS = 512                    # solve-batches per dispatched program: large
+                              # enough that the tunnel's fixed ~26 ms
+                              # round-trip is <5% of the wall
 
 
 def main():
@@ -60,7 +62,8 @@ def main():
         min_step_norm2=1e-16, max_consec_failures=3,
         save_history=False,
         hessian=to.HessianOptions(save_last=False, solver="fused",
-                                  cg_iters=8, carry_system=False),
+                                  cg_iters=8, carry_system=False,
+                                  fused_block=512),
     )
 
     def gen(key):

@@ -429,12 +429,33 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
                     jnp.where(upd, nc2, nc),
                     jnp.where(upd, (give_up | gu_new).astype(_I32), gu_i))
 
+        # First proposal outside the loop: in the overwhelmingly common
+        # case every active instance's first solve succeeds (a damped
+        # PSD system only yields a non-finite dx when the inputs are
+        # already non-finite), and the whole retry machinery — two
+        # while-cond evaluations plus ~10 masked state selects per outer
+        # iteration — reduces to this one unmasked propose.  The slow
+        # branch replays the identical first trip (same λ, deterministic
+        # propose), so trajectories, counters and λ schedules are
+        # bit-identical to the plain loop.
+        dx1, ok1 = propose(jvp_fn, vjp_fn, diagH, g, lam)
+
         # dx/mask inits derived from carried values (same layout-inference
         # constraint as carry0).
         retry0 = (last_dx * dtype.type(0), it * 0,
                   lam, bad, num_failures, num_consec, it * 0)
-        dx, solved_i, lam, bad, rs_nf, rs_nc, _gu = jax.lax.while_loop(
-            retry_cond, retry_body, retry0)
+
+        def retry_fast(s):
+            dx0, ok_i, r_lam, r_bad, nf, nc, gu_i = s
+            return (jnp.where(act, dx1, dx0), ok1.astype(_I32),
+                    r_lam, r_bad, nf, nc, gu_i)
+
+        def retry_slow(s):
+            return jax.lax.while_loop(retry_cond, retry_body, s)
+
+        all_first_ok = ~any_inst(act & ~ok1)
+        dx, solved_i, lam, bad, rs_nf, rs_nc, _gu = jax.lax.cond(
+            all_first_ok, retry_fast, retry_slow, retry0)
         solved = solved_i != 0
 
         # --- Early failure routing (loop.py / optimizer.h:364-425) ---
@@ -524,11 +545,15 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
                                        cascade)).astype(_I32)
 
         # --- Apply / rollback / probe (loop.py, optimizer.h:266-299) ---
+        # act is folded into the apply masks so inactive instances reduce
+        # to x_new = x + 0, best_x_new = best_x, last_dx_new = last_dx —
+        # the wide (BT, P)/(BT, d) final selects below then need no
+        # separate act-gating (3 fewer wide ops on the serial chain).
         returned_dx = (~early_fail) & (~budget_fail)
-        success = accepted & returned_dx
+        success = act & accepted & returned_dx
         fail = ~success
-        probe = fail & (~has_last) & returned_dx
-        roll = fail & has_last
+        probe = act & fail & (~has_last) & returned_dx
+        roll = act & fail & has_last
         x_base = jnp.where(roll, best_x, x)
         applied = jnp.where(success | probe, dx, jnp.zeros_like(dx))
         # Manifold step application: x ⊞ δ rowwise; a zero δ is an exact
@@ -547,11 +572,11 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         def upd(new, old):
             return jnp.where(act, new, old)
 
-        return (upd(x_new, x), upd(best_x_new, best_x),
+        return (x_new, best_x_new,
                 upd(best_cost_new, best_cost),
                 upd(final_rerr_new, final_rerr),
                 upd(lam, c[4]), upd(bad, c[5]),
-                upd(last_dx_new, last_dx), upd(has_last_new, has_last_i),
+                last_dx_new, upd(has_last_new, has_last_i),
                 upd(it + 1, it).astype(_I32),
                 upd(num_failures_new, num_failures),
                 upd(num_consec_new, num_consec),
@@ -653,9 +678,14 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             # The coloring constants are resident once (not per-instance)
             crows = ((coloring.recovery.shape[0] + 7) // 8) * 8
             budget -= 2 * crows * d_lane * jnp.dtype(dtype).itemsize
-        blk = block
-        while blk > 8 and 2 * blk * per_inst > budget:
-            blk //= 2
+        if opts.hessian.fused_block > 0:
+            # Explicit tile size: used verbatim (the caller measured it);
+            # only the hard Mosaic scoped-VMEM ceiling still applies.
+            blk = opts.hessian.fused_block
+        else:
+            blk = block
+            while blk > 8 and 2 * blk * per_inst > budget:
+                blk //= 2
         Bp = ((B + blk - 1) // blk) * blk
         if Bp != B:
             pad = Bp - B

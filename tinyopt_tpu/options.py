@@ -72,6 +72,13 @@ class HessianOptions:
     #: of the example instance cannot reveal (plain value variation,
     #: including {0,1} masks in the data, is handled by the probes).
     diag_coloring: str = "auto"
+    #: Instances per grid tile of the fused whole-solve kernel (0 = auto:
+    #: 256, halved while the per-tile VMEM estimate exceeds a conservative
+    #: budget).  An explicit value is used verbatim — measured on v5e-1,
+    #: 512 is ~10% faster than 256 for ≤50-dim dense problems; larger
+    #: tiles pay more for the convergence tail (the tile runs until its
+    #: slowest instance stops) and risk exceeding VMEM.
+    fused_block: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -204,6 +204,20 @@ class TestSparseOptimize:
             np.asarray(Hd.to_dense()),
             [[2.2, 0.5], [0.5, 3.3]], atol=1e-12)
 
+    def test_no_carry_no_save_config(self):
+        """carry_system=False + save_last=False is a valid throughput
+        configuration for the sparse path (regression: save_last was
+        force-overridden to True, making this combination raise)."""
+        x, out = to.sparse_optimize(
+            jnp.ones(5), sparse_diag_residual,
+            to.Options(max_iters=100, max_consec_failures=0,
+                       hessian=to.HessianOptions(carry_system=False,
+                                                 save_last=False)))
+        assert bool(out.succeeded())
+        assert out.final_hessian is None
+        np.testing.assert_allclose(
+            np.asarray(x), np.sqrt(np.arange(1.0, 6.0)), atol=1e-8)
+
     def test_vmap_batched_sparse(self):
         """The sparse system composes with vmap: batched general-sparse
         solves (TPU-native capability, no reference counterpart)."""

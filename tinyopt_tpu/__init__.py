@@ -30,7 +30,7 @@ from . import sparse
 from . import utils
 from . import implicit
 from .implicit import implicit_solver
-from .sparse import block_optimize, matfree_optimize, sparse_optimize, sparse_optimize
+from .sparse import block_optimize, matfree_optimize, sparse_optimize
 from .ops.block import BlockDiag
 from .version import __version__
 

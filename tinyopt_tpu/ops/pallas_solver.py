@@ -453,7 +453,12 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         def retry_slow(s):
             return jax.lax.while_loop(retry_cond, retry_body, s)
 
-        all_first_ok = ~any_inst(act & ~ok1)
+        # Fast-path eligibility must match the loop's ENTRY condition too:
+        # an instance whose consecutive-failure count already exceeds
+        # max_tries is never updated by the loop (solved stays 0 ->
+        # SOLVER_FAILED), so it forces the slow branch rather than being
+        # silently marked solved.
+        all_first_ok = ~any_inst(act & ~(ok1 & (num_consec <= max_tries)))
         dx, solved_i, lam, bad, rs_nf, rs_nc, _gu = jax.lax.cond(
             all_first_ok, retry_fast, retry_slow, retry0)
         solved = solved_i != 0

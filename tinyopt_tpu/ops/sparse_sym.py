@@ -109,11 +109,16 @@ class SparseSym:
 
     def inv(self) -> _DenseCov:
         """Covariance = H⁻¹ (dense), with the reference's diagonal-shift
-        retry on numerical failure (math.h:115-137)."""
+        retry on numerical failure (math.h:115-137).  The retry solve runs
+        only when the first came back non-finite (``lax.cond``), so the
+        common path pays one O(d³) solve like the dense covariance."""
         A = self.to_dense()
         eye = jnp.eye(self.dim, dtype=A.dtype)
         cov = jnp.linalg.solve(A, eye)
         shift = jnp.asarray(4.0 * jnp.finfo(A.dtype).eps, A.dtype) * (
             1.0 + jnp.max(jnp.abs(jnp.diagonal(A))))
-        retry = jnp.linalg.solve(A + shift * eye, eye)
-        return _DenseCov(jnp.where(jnp.all(jnp.isfinite(cov)), cov, retry))
+        return _DenseCov(jax.lax.cond(
+            jnp.all(jnp.isfinite(cov)),
+            lambda c: c,
+            lambda _: jnp.linalg.solve(A + shift * eye, eye),
+            cov))

@@ -326,12 +326,10 @@ def sparse_optimize(x0, residual_fn: Callable,
             raise ValueError(
                 f"structure shape {structure.shape} != "
                 f"(n_res={n_res}, dims={spec.dims})")
-    opts = options.replace(
-        hessian=dataclasses.replace(options.hessian, save_last=True))
     acc, ev, n_res = sparse_system(residual_fn, x0, spec, structure)
 
     def solve(x):
-        return optimize_from_acc(x, acc, ev, opts, spec)
+        return optimize_from_acc(x, acc, ev, options, spec)
 
     return (jax.jit(solve) if jit else solve)(x0)
 

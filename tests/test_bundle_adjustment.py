@@ -45,7 +45,9 @@ class TestBundleAdjustment:
                                         max_consec_failures=0))
         assert bool(out.succeeded())
         rmse = float(reprojection_rmse(x, data))
-        assert rmse < 1e-8 and rmse < rmse0 * 1e-4
+        # see test_pose_graph: x is the evaluated min_error point, without
+        # the formerly-applied unevaluated trailing step.
+        assert rmse < 1e-6 and rmse < rmse0 * 1e-4
 
     def test_partial_visibility(self):
         data, x0, x_true = make_ba_problem(n_cams=5, n_pts=24,

@@ -32,7 +32,10 @@ class TestPoseGraph:
                                         max_consec_failures=0))
         assert bool(out.succeeded())
         err = float(jnp.max(_pose_errors(x, true_poses)))
-        assert err < 1e-7 and err < err0 * 1e-4
+        # x is the evaluated point whose cost passed min_error (1e-12);
+        # parameter error at that cost level is ~sqrt(min_error) — the
+        # loop no longer applies a free unevaluated trailing step.
+        assert err < 1e-6 and err < err0 * 1e-4
 
     def test_noisy_measurements_converge(self):
         data, x0, true_poses = make_pose_graph(n_poses=14, extra_loops=5,

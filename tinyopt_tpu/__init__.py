@@ -14,8 +14,9 @@ plus the TPU-native capabilities the reference lacks: batched instances via
 from .cost import Cost
 from .options import (
     Options, SolverType, HessianOptions, CostScalingOptions, LMOptions,
-    GDOptions, LogOptions,
-    LevenbergMarquardt, GaussNewton, GradientDescent,
+    GDOptions, SGDOptions, AdamOptions, LBFGSOptions, LogOptions,
+    LevenbergMarquardt, GaussNewton, GradientDescent, SGD, Adam, AdamW,
+    LBFGS,
 )
 from .output import Output
 from .stop_reasons import StopReason, stop_reason_description
@@ -39,6 +40,10 @@ from . import _methods as _m
 lm = _m.lm
 gn = _m.gn
 gd = _m.gd
+sgd = _m.sgd
+adam = _m.adam
+adamw = _m.adamw
+lbfgs = _m.lbfgs
 nlls = _m.lm
 unconstrained = _m.gd
 
@@ -47,11 +52,13 @@ __all__ = [
     "Options", "SolverType", "Output", "Cost", "StopReason",
     "stop_reason_description",
     "HessianOptions", "CostScalingOptions", "LMOptions", "GDOptions",
-    "LogOptions",
+    "SGDOptions", "AdamOptions", "LBFGSOptions", "LogOptions",
     "LevenbergMarquardt", "GaussNewton", "GradientDescent",
+    "SGD", "Adam", "AdamW", "LBFGS",
     "Manifold", "register_manifold", "tangent_spec", "retract", "local",
     "TangentSpec",
-    "lm", "gn", "gd", "nlls", "unconstrained",
+    "lm", "gn", "gd", "sgd", "adam", "adamw", "lbfgs", "nlls",
+    "unconstrained",
     "diff", "losses", "manifolds", "sparse", "utils",
     "block_optimize", "matfree_optimize", "sparse_optimize", "BlockDiag",
     "implicit", "implicit_solver",

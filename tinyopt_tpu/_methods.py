@@ -33,3 +33,9 @@ def _make(name: str, solver: SolverType) -> types.SimpleNamespace:
 lm = _make("lm", SolverType.LEVENBERG_MARQUARDT)
 gn = _make("gn", SolverType.GAUSS_NEWTON)
 gd = _make("gd", SolverType.GRADIENT_DESCENT)
+# First-order suite beyond the reference (its roadmap's "more optimizers:
+# Adam, SGD, ... lbfgs", README.md:152) — same loop, same Output contract.
+sgd = _make("sgd", SolverType.SGD)
+adam = _make("adam", SolverType.ADAM)
+adamw = _make("adamw", SolverType.ADAMW)
+lbfgs = _make("lbfgs", SolverType.LBFGS)

@@ -560,7 +560,10 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         probe = act & fail & (~has_last) & returned_dx
         roll = act & fail & has_last
         x_base = jnp.where(roll, best_x, x)
-        applied = jnp.where(success | probe, dx, jnp.zeros_like(dx))
+        # Terminal success: freeze x at the evaluated point (mirrors
+        # loop.py — no unevaluated trailing proposal in the returned x).
+        applied = jnp.where((success | probe) & (cascade == 0), dx,
+                            jnp.zeros_like(dx))
         # Manifold step application: x ⊞ δ rowwise; a zero δ is an exact
         # no-op (exp(0) = identity quaternion bit-exactly), so the masked
         # instances are unchanged just like the Euclidean x + 0.

@@ -29,7 +29,7 @@ from . import manifold as mf
 from .diff.auto import make_acc_system, make_cost_system, make_nlls_system
 from .diff.num_diff import Method, make_num_diff_system
 from .optimizers.loop import optimize_from_acc, _skipped_output
-from .options import Options, SolverType
+from .options import FIRST_ORDER_TYPES, Options, SolverType
 from .output import Output
 from .stop_reasons import StopReason
 
@@ -52,7 +52,7 @@ def _detect_mode(fn, x, options, dims: int) -> str:
     from .cost import Cost
 
     out = jax.eval_shape(fn, x)
-    first_order = options.solver_type == SolverType.GRADIENT_DESCENT
+    first_order = options.solver_type in FIRST_ORDER_TYPES
     if isinstance(out, (tuple, list)) and len(out) in (2, 3):
         first, second = out[0], out[1]
         first_scalar = (hasattr(first, "shape")
@@ -94,7 +94,7 @@ def _build_system(fn: Callable, options: Options, mode: str, x_example):
     """
     x_example = mf.as_pytree(x_example)
     spec = mf.tangent_spec(x_example)
-    first_order = options.solver_type == SolverType.GRADIENT_DESCENT
+    first_order = options.solver_type in FIRST_ORDER_TYPES
 
     if mode == "auto":
         mode = _detect_mode(fn, x_example, options, spec.dims)

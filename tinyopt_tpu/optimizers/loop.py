@@ -33,8 +33,10 @@ import jax.numpy as jnp
 
 from .. import manifold as mf
 from ..cost import Cost, normalize_cost
-from ..options import Options, SolverType
+from ..options import (FIRST_ORDER_TYPES, STATEFUL_FO_TYPES, Options,
+                       SolverType)
 from ..output import Output
+from ..solvers.first_order import fo_init, fo_on_build, fo_propose
 from ..solvers.lm import LMState, lm_init, lm_good_step, lm_bad_step, lm_failed_step
 from ..solvers.step import propose_step
 from ..stop_reasons import StopReason
@@ -71,6 +73,10 @@ def _callbacks_supported() -> bool:
 @dataclasses.dataclass
 class _Carry:
     x: Any                      # parameter pytree (current candidate)
+    fo: Any                     # first-order solver state (momentum /
+                                # moment estimates / L-BFGS curvature
+                                # pairs), () for GD/GN/LM; committed only
+                                # on ACCEPTED steps like x itself
     best_x: Any                 # last accepted parameters (exact rollback
                                 # target; the reference rolls back by
                                 # retracting -last_dx (optimizer.h:283-287),
@@ -193,7 +199,10 @@ def optimize_from_acc(
     jit/vmap/shard-friendly: all shapes static, control flow in lax.
     """
     opts = options
-    first_order = opts.solver_type == SolverType.GRADIENT_DESCENT
+    first_order = opts.solver_type in FIRST_ORDER_TYPES
+    fo_stateful = opts.solver_type in STATEFUL_FO_TYPES
+    is_lbfgs = opts.solver_type == SolverType.LBFGS
+    is_adamw = opts.solver_type == SolverType.ADAMW
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
     # carry_H=False: re-accumulate instead of carrying the (large) H
     # through the while-loop carry (see HessianOptions.carry_system).
@@ -211,6 +220,21 @@ def optimize_from_acc(
         spec = mf.tangent_spec(x0)
     d = spec.dims
     dtype = spec.dtype
+
+    # AdamW's decoupled decay pulls parameters toward the origin — only
+    # meaningful when the tangent IS the parameter vector (Euclidean).
+    flat_param_size = int(sum(
+        jnp.size(l) for l in jax.tree_util.tree_leaves(x0)))
+    if is_adamw and opts.adam.weight_decay > 0 and flat_param_size != d:
+        raise ValueError(
+            "AdamW weight decay requires pure-Euclidean parameters "
+            f"(flat size {flat_param_size} != tangent dims {d}); use "
+            "SolverType.ADAM or weight_decay=0 for manifold parameters")
+
+    def _x_flat(x):
+        parts = [jnp.ravel(jnp.asarray(l)).astype(dtype)
+                 for l in jax.tree_util.tree_leaves(x)]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     segmented = return_state or (segment_state is not None)
     if segmented:
@@ -247,7 +271,7 @@ def optimize_from_acc(
                 H0 = jax.tree_util.tree_map(
                     lambda z, w: jnp.asarray(w, z.dtype), H0, warm_start[1])
         return _Carry(
-            x=x0, best_x=x0, H=H0, g=g0,
+            x=x0, fo=fo_init(opts, d, dtype), best_x=x0, H=H0, g=g0,
             lm=lm_init(opts, dtype),
             best_cost=big, best_num_res=jnp.zeros((), _I32),
             best_inliers=jnp.ones((), jnp.float32),
@@ -310,7 +334,24 @@ def optimize_from_acc(
             diag_ok = jnp.ones((), bool)
 
         # --- Inner solve-retry loop with λ escalation ---
-        rs = _solve_with_retries(H, g, c.lm, c, diag_ok, opts, propose)
+        if fo_stateful:
+            # Stateful first-order proposal: no solve to retry (like GD,
+            # the step always "succeeds"; non-finite steps are routed by
+            # the NaN checks below exactly as for GD).  The proposed
+            # state is committed only if this step is ACCEPTED.
+            push = (c.has_last_dx & c.last_was_success
+                    & jnp.isfinite(c.best_cost))
+            fo_b = fo_on_build(opts, c.fo, push, c.last_dx, g)
+            dx, fo_new = fo_propose(opts, fo_b, g, c.lm,
+                                    _x_flat(c.x) if is_adamw else None)
+            rs = _RetryState(dx=dx, ok=jnp.ones((), bool), lm=c.lm,
+                             num_failures=c.num_failures,
+                             num_consec=c.num_consec,
+                             give_up=jnp.zeros((), bool),
+                             tried=jnp.ones((), _I32))
+        else:
+            fo_new = c.fo
+            rs = _solve_with_retries(H, g, c.lm, c, diag_ok, opts, propose)
         dx, solved = rs.dx, rs.ok
         lm_state = rs.lm
 
@@ -365,8 +406,10 @@ def optimize_from_acc(
             num_hist = jnp.zeros((), _I32)
 
         # λ schedule (lm.h:123-145); first iteration is auto-accepted but
-        # does NOT trigger GoodStep (optimizer.h:441).
-        if is_lm:
+        # does NOT trigger GoodStep (optimizer.h:441).  L-BFGS rides the
+        # same schedule: its compounding bad_factor halves the step on
+        # every consecutive rejection (solvers/first_order.fo_propose).
+        if is_lm or is_lbfgs:
             quality = rel_derr if opts.use_step_quality_approx else jnp.zeros((), dtype)
             lm_good = lm_good_step(lm_state, quality, opts)
             lm_bad = lm_bad_step(lm_state, opts)
@@ -451,7 +494,15 @@ def optimize_from_acc(
         # case (consecutive rejections: try the new λ's step from the last
         # good point) has c.x == best_x already, so one retract covers all.
         x_base = _where_tree(fail & c.has_last_dx, c.best_x, c.x)
-        applied = jnp.where(success | probe, dx, jnp.zeros_like(dx))
+        # Terminal success (cascade stop): freeze x at the point whose
+        # error satisfied the criterion instead of applying one more
+        # UNEVALUATED proposal.  The returned x then always carries
+        # final_cost — the reference evaluates after applying, so its
+        # returned x is likewise always an evaluated point.  (For GN/LM
+        # the trailing dx is ~0 at convergence and this is invisible; for
+        # first-order solvers a stale-gradient proposal can be large.)
+        applied = jnp.where((success | probe) & (cascade == 0), dx,
+                            jnp.zeros_like(dx))
         x_new = mf.retract(x_base, applied, spec)
         best_x_new = _where_tree(success, c.x, c.best_x)
         last_dx = jnp.where(success | probe, dx, c.last_dx)
@@ -492,7 +543,10 @@ def optimize_from_acc(
             jax.debug.print(fmt, ordered=False, **kw)
 
         return _Carry(
-            x=x_new, best_x=best_x_new,
+            x=x_new,
+            fo=(_where_tree(accepted, fo_new, c.fo) if fo_stateful
+                else c.fo),
+            best_x=best_x_new,
             H=H if (carry_H or first_order) else None, g=g, lm=lm_state,
             best_cost=best_cost, best_num_res=best_num_res,
             best_inliers=best_inliers, final_rerr=final_rerr,

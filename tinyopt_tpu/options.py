@@ -17,17 +17,41 @@ from typing import Any, Callable, Optional
 
 
 class SolverType(enum.Enum):
-    """Which solver drives the step proposal (options.h:24-30)."""
+    """Which solver drives the step proposal (options.h:24-30).
+
+    LM/GN/GD mirror the reference; SGD / ADAM / ADAMW / LBFGS are the
+    "more optimizers" its roadmap promises (reference README.md:152) —
+    first-order methods with per-solve state (momentum, moment estimates,
+    curvature pairs) carried through the same jitted loop, sharing the
+    full accept/reject, stop-reason, and Output machinery.
+    """
 
     LEVENBERG_MARQUARDT = 0
     GAUSS_NEWTON = 1
     GRADIENT_DESCENT = 2
+    SGD = 3                  #: gradient descent + (Nesterov) momentum
+    ADAM = 4                 #: Adam (Kingma & Ba 2015)
+    ADAMW = 5                #: Adam with decoupled weight decay
+    LBFGS = 6                #: limited-memory BFGS (two-loop recursion)
 
 
 # Short aliases
 LevenbergMarquardt = SolverType.LEVENBERG_MARQUARDT
 GaussNewton = SolverType.GAUSS_NEWTON
 GradientDescent = SolverType.GRADIENT_DESCENT
+SGD = SolverType.SGD
+Adam = SolverType.ADAM
+AdamW = SolverType.ADAMW
+LBFGS = SolverType.LBFGS
+
+#: Solver types that never build a Hessian (gradient-only loop).
+FIRST_ORDER_TYPES = frozenset({
+    SolverType.GRADIENT_DESCENT, SolverType.SGD, SolverType.ADAM,
+    SolverType.ADAMW, SolverType.LBFGS})
+
+#: First-order types with per-solve optimizer state in the loop carry.
+STATEFUL_FO_TYPES = frozenset({
+    SolverType.SGD, SolverType.ADAM, SolverType.ADAMW, SolverType.LBFGS})
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +132,46 @@ class GDOptions:
 
 
 @dataclasses.dataclass(frozen=True)
+class SGDOptions:
+    """SGD-with-momentum options (no reference counterpart — roadmap
+    "more optimizers", README.md:152).  Torch-convention defaults."""
+
+    lr: float = 1e-3
+    momentum: float = 0.9     #: v ← µ·v + g; 0 reduces to plain GD
+    nesterov: bool = False    #: step on g + µ·v instead of v
+
+
+@dataclasses.dataclass(frozen=True)
+class AdamOptions:
+    """Adam / AdamW options (Kingma & Ba 2015; Loshchilov & Hutter 2019).
+
+    ``weight_decay`` applies only for ``SolverType.ADAMW`` (decoupled:
+    dx −= lr·wd·x) and requires pure-Euclidean parameters — decay toward
+    the origin is not defined on a manifold."""
+
+    lr: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 1e-2
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSOptions:
+    """Limited-memory BFGS options (no reference counterpart).
+
+    The two-loop recursion runs over a fixed ring buffer of ``memory``
+    curvature pairs; the step is scaled by ``lr · bad_factor₀/bad_factor``
+    — the LM schedule's compounding rejection factor halves the step on
+    every consecutive rejection and resets it on acceptance, i.e.
+    geometric backtracking through the loop's own accept/reject machinery
+    instead of a separate Wolfe line search."""
+
+    memory: int = 8
+    lr: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class LogOptions:
     """Iteration logging options (options.h:113-125).
 
@@ -171,6 +235,9 @@ class Options:
     log: LogOptions = LogOptions()
     lm: LMOptions = LMOptions()
     gd: GDOptions = GDOptions()
+    sgd: SGDOptions = SGDOptions()
+    adam: AdamOptions = AdamOptions()
+    lbfgs: LBFGSOptions = LBFGSOptions()
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,188 @@
+"""Stateful first-order step proposers: SGD-momentum, Adam/AdamW, L-BFGS.
+
+The reference ships plain fixed-lr gradient descent (solvers/gd.h:131-134)
+and lists "more optimizers: Adam, SGD, Precond CG, lbfgs" as roadmap work
+(reference README.md:152); these are those optimizers, built as pure state
+transitions so they run inside the same jitted ``lax.while_loop`` as
+GD/GN/LM (optimizers/loop.py) and inherit the full accept/reject,
+failure-budget, stop-reason, history, and Output machinery.
+
+Contract with the loop:
+
+* ``fo_init(opts, d, dtype)`` -> state pytree (lives in the loop carry).
+* ``fo_on_build(opts, state, push, s, g)`` -> state with the curvature
+  pair ``(s, y = g - g_prev)`` pushed when ``push`` (L-BFGS only; identity
+  for the others).  Called once per build, BEFORE the proposal.
+* ``fo_propose(opts, state, g, lam)`` -> ``(dx, state')``.  ``state'`` is
+  committed by the loop only when the step is ACCEPTED — a rejected
+  trajectory never pollutes momentum / moment estimates / curvature
+  memory, exactly like the parameters themselves.
+
+L-BFGS uses no separate line search: the proposal is scaled by
+``lr · bad_factor₀ / bad_factor`` where ``bad_factor`` is the LM
+schedule's compounding rejection scale already in the loop carry — it
+doubles on every consecutive rejected step and resets on acceptance
+(solvers/lm.py), so the loop's own accept/reject cycle performs exact
+geometric backtracking (lr, lr/2, lr/4, …) with instant recovery.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..options import Options, SolverType
+
+_I32 = jnp.int32
+
+
+class SGDState(NamedTuple):
+    v: jax.Array            #: (d,) momentum buffer
+
+
+class AdamState(NamedTuple):
+    m: jax.Array            #: (d,) first-moment estimate
+    v: jax.Array            #: (d,) second-moment estimate
+    t: jax.Array            #: () i32 accepted-step count
+
+
+class LBFGSState(NamedTuple):
+    S: jax.Array            #: (m, d) step ring buffer
+    Y: jax.Array            #: (m, d) gradient-difference ring buffer
+    rho: jax.Array          #: (m,) 1 / (sᵀy); 0 marks an empty/invalid slot
+    head: jax.Array         #: () i32 next write slot
+    count: jax.Array        #: () i32 pairs stored (≤ m)
+    g_prev: jax.Array       #: (d,) gradient at the last proposal point
+
+
+def fo_init(opts: Options, d: int, dtype):
+    st = opts.solver_type
+    if st == SolverType.SGD:
+        return SGDState(v=jnp.zeros((d,), dtype))
+    if st in (SolverType.ADAM, SolverType.ADAMW):
+        return AdamState(m=jnp.zeros((d,), dtype),
+                         v=jnp.zeros((d,), dtype),
+                         t=jnp.zeros((), _I32))
+    if st == SolverType.LBFGS:
+        m = opts.lbfgs.memory
+        return LBFGSState(S=jnp.zeros((m, d), dtype),
+                          Y=jnp.zeros((m, d), dtype),
+                          rho=jnp.zeros((m,), dtype),
+                          head=jnp.zeros((), _I32),
+                          count=jnp.zeros((), _I32),
+                          g_prev=jnp.zeros((d,), dtype))
+    return ()
+
+
+def fo_on_build(opts: Options, state, push, s, g):
+    """Push the curvature pair (s, y = g − g_prev) into the L-BFGS ring
+    buffer when ``push``; identity for stateless-on-build methods.
+
+    The pair is rejected (slot marked empty via ρ = 0) when the curvature
+    condition sᵀy > 0 fails — standard L-BFGS positive-definiteness
+    safeguarding (the pair would break the two-loop recursion).
+    """
+    if opts.solver_type != SolverType.LBFGS:
+        return state
+    y = g - state.g_prev
+    sy = jnp.vdot(s, y)
+    dtype = g.dtype
+    curv_ok = sy > dtype.type(1e-10) * jnp.vdot(s, s)
+    do = push & curv_ok
+    idx = state.head
+    S = state.S.at[idx].set(jnp.where(do, s, state.S[idx]))
+    Y = state.Y.at[idx].set(jnp.where(do, y, state.Y[idx]))
+    rho = state.rho.at[idx].set(
+        jnp.where(do, 1.0 / jnp.where(do, sy, jnp.ones((), dtype)),
+                  state.rho[idx]))
+    m = state.rho.shape[0]
+    head = jnp.where(do, (state.head + 1) % m, state.head).astype(_I32)
+    count = jnp.where(do, jnp.minimum(state.count + 1, m),
+                      state.count).astype(_I32)
+    return LBFGSState(S=S, Y=Y, rho=rho, head=head, count=count,
+                      g_prev=state.g_prev)
+
+
+def _lbfgs_direction(state: LBFGSState, g):
+    """Two-loop recursion: r ≈ H⁻¹g from the stored pairs (Nocedal &
+    Wright, Alg. 7.4), over a ring buffer with ρ = 0 masking empty slots
+    (a zero ρ makes the slot's alpha/beta contributions vanish, so no
+    dynamic trip counts are needed — compiler-friendly fixed loops)."""
+    m = state.rho.shape[0]
+    dtype = g.dtype
+
+    def newest_to_oldest(k):
+        # k = 0 is the newest pair (head − 1), k = m − 1 the oldest.
+        return (state.head - 1 - k) % m
+
+    def loop1(k, carry):
+        q, alphas = carry
+        i = newest_to_oldest(k)
+        a = state.rho[i] * jnp.vdot(state.S[i], q)
+        q = q - a * state.Y[i]
+        return q, alphas.at[i].set(a)
+
+    q, alphas = jax.lax.fori_loop(
+        0, m, loop1, (g, jnp.zeros((m,), dtype)))
+
+    # Initial Hessian scaling γ = sᵀy / yᵀy of the newest valid pair.
+    newest = (state.head - 1) % m
+    yy = jnp.vdot(state.Y[newest], state.Y[newest])
+    sy_newest = jnp.where(state.rho[newest] != 0,
+                          1.0 / jnp.where(state.rho[newest] != 0,
+                                          state.rho[newest],
+                                          jnp.ones((), dtype)),
+                          jnp.zeros((), dtype))
+    gamma = jnp.where((state.count > 0) & (yy > 0), sy_newest / jnp.where(
+        yy > 0, yy, jnp.ones((), dtype)), jnp.ones((), dtype))
+    r = gamma * q
+
+    def loop2(k, r):
+        i = (state.head - state.count + k) % m     # oldest → newest
+        b = state.rho[i] * jnp.vdot(state.Y[i], r)
+        return r + (alphas[i] - b) * state.S[i]
+
+    return jax.lax.fori_loop(0, m, loop2, r)
+
+
+def fo_propose(opts: Options, state, g, lm_state, x_flat=None):
+    """One proposal: ``(dx, state')``.  ``state'`` is committed only on
+    acceptance (see module docstring).  ``x_flat`` is the flattened
+    parameter vector, required only by AdamW's decoupled weight decay."""
+    st = opts.solver_type
+    dtype = g.dtype
+
+    if st == SolverType.GRADIENT_DESCENT:
+        return -dtype.type(opts.gd.lr) * g, state
+
+    if st == SolverType.SGD:
+        mu = dtype.type(opts.sgd.momentum)
+        v = mu * state.v + g
+        step_g = g + mu * v if opts.sgd.nesterov else v
+        return -dtype.type(opts.sgd.lr) * step_g, SGDState(v=v)
+
+    if st in (SolverType.ADAM, SolverType.ADAMW):
+        o = opts.adam
+        b1, b2 = dtype.type(o.beta1), dtype.type(o.beta2)
+        t = state.t + 1
+        m = b1 * state.m + (1 - b1) * g
+        v = b2 * state.v + (1 - b2) * g * g
+        tf = t.astype(dtype)
+        mhat = m / (1 - b1 ** tf)
+        vhat = v / (1 - b2 ** tf)
+        upd = mhat / (jnp.sqrt(vhat) + dtype.type(o.eps))
+        if st == SolverType.ADAMW and o.weight_decay > 0:
+            # Decoupled decay (Loshchilov & Hutter): x ← x − lr(upd + wd·x)
+            upd = upd + dtype.type(o.weight_decay) * x_flat
+        return -dtype.type(o.lr) * upd, AdamState(m=m, v=v, t=t)
+
+    if st == SolverType.LBFGS:
+        r = _lbfgs_direction(state, g)
+        scale = dtype.type(opts.lbfgs.lr) * (
+            dtype.type(opts.lm.bad_factor) / lm_state.bad_factor)
+        dx = -scale * r
+        return dx, state._replace(g_prev=g)
+
+    raise ValueError(f"not a first-order solver type: {st}")

@@ -42,7 +42,7 @@ from . import manifold as mf
 from .cost import Cost
 from .diff.auto import flatten_residuals, value_and_jacfwd
 from .optimizers.loop import optimize_from_acc
-from .options import Options, SolverType
+from .options import FIRST_ORDER_TYPES, Options, SolverType
 from .ops.block import BlockDiag
 from .ops.coloring import _greedy_color, probe_structure
 from .ops.sparse_sym import SparseSym
@@ -303,10 +303,10 @@ def sparse_optimize(x0, residual_fn: Callable,
     misdetect (value-dependent branches).
     """
     options = options or Options()
-    if options.solver_type == SolverType.GRADIENT_DESCENT:
+    if options.solver_type in FIRST_ORDER_TYPES:
         raise ValueError(
             "sparse_optimize is a Gauss-Newton/LM method; use to.optimize "
-            "with GradientDescent for first-order solves")
+            "with a first-order solver type for gradient-only solves")
     x0 = mf.as_pytree(x0)
     spec = mf.tangent_spec(x0)
     n_res = int(sum(
@@ -345,10 +345,11 @@ def matfree_optimize(x0, residual_fn: Callable,
     (exact CG in exact arithmetic).  ``Output.final_hessian`` is None.
     """
     options = options or Options()
-    if options.solver_type == SolverType.GRADIENT_DESCENT:
+    if options.solver_type in FIRST_ORDER_TYPES:
         raise ValueError(
             "matfree_optimize is a Gauss-Newton/LM method; use "
-            "to.optimize with GradientDescent for first-order solves")
+            "to.optimize with a first-order solver type for gradient-only "
+            "solves")
     x0 = mf.as_pytree(x0)
     spec = mf.tangent_spec(x0)
     if cg_iters <= 0:

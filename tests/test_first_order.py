@@ -171,6 +171,22 @@ class TestLoopContract:
         assert int(out.num_hist) > 0
         assert len(out.errs_list) == int(out.num_hist)
 
+    def test_uphill_momentum_escapes(self):
+        """Regression: a momentum/Adam direction that points uphill at
+        the current point must not deadlock the solve (state frozen +
+        identical re-proposal).  The state keeps integrating the current
+        gradient across rejections until the direction turns downhill."""
+        def mse(x):  # narrow curved valley: momentum overshoots turns
+            return (x[0] - 1.0) ** 2 + 20.0 * (x[1] - x[0] ** 2) ** 2
+        x, out = to.adam.optimize(
+            jnp.array([-1.0, 1.0]), mse,
+            to.Options(max_iters=800, max_consec_failures=0,
+                       adam=to.AdamOptions(lr=0.2)))
+        # progress far beyond any single deadlock point
+        assert float(out.final_cost.cost) < 1e-2
+        # and rejections did occur along the way (the scenario is real)
+        assert int(out.num_failures) > 0
+
     def test_returned_x_carries_final_cost(self):
         """Regression: the returned x must be the point whose cost is
         final_cost — no unevaluated trailing proposal (stale-gradient
@@ -180,15 +196,32 @@ class TestLoopContract:
         np.testing.assert_allclose(float(quad(x)),
                                    float(out.final_cost.cost), atol=1e-12)
 
-    def test_rejected_steps_do_not_pollute_state(self):
-        """A huge-lr Adam run rejects most steps; state only follows the
-        accepted trajectory, so the solve still makes monotone progress
-        in best cost."""
+    def test_rejected_steps_keep_best_monotone(self):
+        """A huge-lr Adam run rejects most steps; rejected proposals are
+        never applied to x, so the best cost stays monotone even though
+        the optimizer state keeps learning from every evaluation."""
         x, out = to.adam.optimize(
             x0, quad, to.Options(max_iters=50, max_consec_failures=0,
                                  adam=to.AdamOptions(lr=2.5)))
         errs = np.asarray(out.errs_list)
         assert float(out.final_cost.cost) <= errs.min() + 1e-12
+
+    @pytest.mark.parametrize("st", ["LBFGS", "Adam"])
+    def test_vmap_batched(self, st):
+        """First-order state vmaps: batched instances, per-instance
+        momentum/memory (TPU-native capability, no reference
+        counterpart)."""
+        from tinyopt_tpu.optimize import build_solver
+        opts = to.Options(solver_type=getattr(to, st), max_iters=400,
+                          adam=to.AdamOptions(lr=0.1))
+        solver = build_solver(lambda x: jnp.sum((x - 1.0) ** 2), opts,
+                              "cost", jnp.zeros(3))
+        rng = np.random.default_rng(0)
+        x0b = jnp.asarray(rng.uniform(-3, 3, (8, 3)))
+        xb, outb = jax.jit(jax.vmap(solver))(x0b)
+        assert float(outb.succeeded().mean()) == 1.0
+        tol = 1e-8 if st == "LBFGS" else 0.3
+        assert float(jnp.abs(xb - 1.0).max()) < tol
 
     def test_warm_start_gradient(self):
         """InitWith-style warm start works for the first-order suite."""

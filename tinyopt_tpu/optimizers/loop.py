@@ -75,8 +75,10 @@ class _Carry:
     x: Any                      # parameter pytree (current candidate)
     fo: Any                     # first-order solver state (momentum /
                                 # moment estimates / L-BFGS curvature
-                                # pairs), () for GD/GN/LM; committed only
-                                # on ACCEPTED steps like x itself
+                                # pairs), () for GD/GN/LM; learns from
+                                # every evaluation (parameters move only
+                                # on accepted steps, the state is not so
+                                # constrained — see solvers/first_order)
     best_x: Any                 # last accepted parameters (exact rollback
                                 # target; the reference rolls back by
                                 # retracting -last_dx (optimizer.h:283-287),
@@ -201,7 +203,6 @@ def optimize_from_acc(
     opts = options
     first_order = opts.solver_type in FIRST_ORDER_TYPES
     fo_stateful = opts.solver_type in STATEFUL_FO_TYPES
-    is_lbfgs = opts.solver_type == SolverType.LBFGS
     is_adamw = opts.solver_type == SolverType.ADAMW
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
     # carry_H=False: re-accumulate instead of carrying the (large) H
@@ -271,7 +272,7 @@ def optimize_from_acc(
                 H0 = jax.tree_util.tree_map(
                     lambda z, w: jnp.asarray(w, z.dtype), H0, warm_start[1])
         return _Carry(
-            x=x0, fo=fo_init(opts, d, dtype), best_x=x0, H=H0, g=g0,
+            x=x0, fo=fo_init(opts, x0, spec), best_x=x0, H=H0, g=g0,
             lm=lm_init(opts, dtype),
             best_cost=big, best_num_res=jnp.zeros((), _I32),
             best_inliers=jnp.ones((), jnp.float32),
@@ -337,11 +338,15 @@ def optimize_from_acc(
         if fo_stateful:
             # Stateful first-order proposal: no solve to retry (like GD,
             # the step always "succeeds"; non-finite steps are routed by
-            # the NaN checks below exactly as for GD).  The proposed
-            # state is committed only if this step is ACCEPTED.
-            push = (c.has_last_dx & c.last_was_success
-                    & jnp.isfinite(c.best_cost))
-            fo_b = fo_on_build(opts, c.fo, push, c.last_dx, g)
+            # the NaN checks below exactly as for GD).  Secant-pair /
+            # (x_prev, g_prev) bookkeeping applies only on REBUILD
+            # iterations — eval-only iterations carry a stale gradient
+            # that must not be attributed to the current point.  The
+            # proposed state is committed unconditionally (see
+            # solvers/first_order module docstring).
+            fo_b = _where_tree(c.rebuild,
+                               fo_on_build(opts, c.fo, g, c.x, spec),
+                               c.fo)
             dx, fo_new = fo_propose(opts, fo_b, g, c.lm,
                                     _x_flat(c.x) if is_adamw else None)
             rs = _RetryState(dx=dx, ok=jnp.ones((), bool), lm=c.lm,
@@ -406,10 +411,13 @@ def optimize_from_acc(
             num_hist = jnp.zeros((), _I32)
 
         # λ schedule (lm.h:123-145); first iteration is auto-accepted but
-        # does NOT trigger GoodStep (optimizer.h:441).  L-BFGS rides the
-        # same schedule: its compounding bad_factor halves the step on
-        # every consecutive rejection (solvers/first_order.fo_propose).
-        if is_lm or is_lbfgs:
+        # does NOT trigger GoodStep (optimizer.h:441).  Stateful
+        # first-order methods ride the same schedule: the compounding
+        # bad_factor halves their step on every consecutive rejection and
+        # resets on acceptance (solvers/first_order.fo_propose) — without
+        # it a rejected fixed-lr proposal would be re-proposed verbatim
+        # forever.
+        if is_lm or fo_stateful:
             quality = rel_derr if opts.use_step_quality_approx else jnp.zeros((), dtype)
             lm_good = lm_good_step(lm_state, quality, opts)
             lm_bad = lm_bad_step(lm_state, opts)
@@ -544,8 +552,7 @@ def optimize_from_acc(
 
         return _Carry(
             x=x_new,
-            fo=(_where_tree(accepted, fo_new, c.fo) if fo_stateful
-                else c.fo),
+            fo=fo_new,
             best_x=best_x_new,
             H=H if (carry_H or first_order) else None, g=g, lm=lm_state,
             best_cost=best_cost, best_num_res=best_num_res,

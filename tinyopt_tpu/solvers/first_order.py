@@ -9,21 +9,30 @@ failure-budget, stop-reason, history, and Output machinery.
 
 Contract with the loop:
 
-* ``fo_init(opts, d, dtype)`` -> state pytree (lives in the loop carry).
-* ``fo_on_build(opts, state, push, s, g)`` -> state with the curvature
-  pair ``(s, y = g - g_prev)`` pushed when ``push`` (L-BFGS only; identity
-  for the others).  Called once per build, BEFORE the proposal.
-* ``fo_propose(opts, state, g, lam)`` -> ``(dx, state')``.  ``state'`` is
-  committed by the loop only when the step is ACCEPTED — a rejected
-  trajectory never pollutes momentum / moment estimates / curvature
-  memory, exactly like the parameters themselves.
+* ``fo_init(opts, x0, spec)`` -> state pytree (lives in the loop carry).
+* ``fo_on_build(opts, state, g, x, spec)`` -> state with the curvature
+  pair between the previous and current BUILD points pushed (L-BFGS
+  only; identity for the others).  The loop applies it gated on its
+  ``rebuild`` flag, so ``(x_prev, g_prev)`` always refer to the last
+  point whose gradient was actually computed; ``s = x ⊟ x_prev`` and
+  ``y = g − g_prev`` are therefore a valid secant pair by construction,
+  whatever path of rollbacks/probes connected the two builds.
+* ``fo_propose(opts, state, g, lm_state, x_flat)`` -> ``(dx, state')``.
+  ``state'`` is committed UNCONDITIONALLY: the parameters only move on
+  accepted steps, but the optimizer state learns from every evaluation —
+  a momentum/Adam direction that points uphill at the current point
+  would otherwise be frozen by rejection and re-proposed forever, while
+  integrating the same gradient a few more times turns it back into a
+  descent direction.
 
-L-BFGS uses no separate line search: the proposal is scaled by
+No separate line search anywhere: every stateful proposal is scaled by
 ``lr · bad_factor₀ / bad_factor`` where ``bad_factor`` is the LM
 schedule's compounding rejection scale already in the loop carry — it
 doubles on every consecutive rejected step and resets on acceptance
 (solvers/lm.py), so the loop's own accept/reject cycle performs exact
 geometric backtracking (lr, lr/2, lr/4, …) with instant recovery.
+Without it a rejected fixed-lr proposal would be re-proposed verbatim
+forever (plain GD keeps the reference's behavior, solvers/gd.h).
 """
 
 from __future__ import annotations
@@ -54,11 +63,13 @@ class LBFGSState(NamedTuple):
     rho: jax.Array          #: (m,) 1 / (sᵀy); 0 marks an empty/invalid slot
     head: jax.Array         #: () i32 next write slot
     count: jax.Array        #: () i32 pairs stored (≤ m)
-    g_prev: jax.Array       #: (d,) gradient at the last proposal point
+    g_prev: jax.Array       #: (d,) gradient at the last BUILD point
+    x_prev: tuple           #: parameter pytree of the last BUILD point
 
 
-def fo_init(opts: Options, d: int, dtype):
+def fo_init(opts: Options, x0, spec):
     st = opts.solver_type
+    d, dtype = spec.dims, spec.dtype
     if st == SolverType.SGD:
         return SGDState(v=jnp.zeros((d,), dtype))
     if st in (SolverType.ADAM, SolverType.ADAMW):
@@ -72,25 +83,31 @@ def fo_init(opts: Options, d: int, dtype):
                           rho=jnp.zeros((m,), dtype),
                           head=jnp.zeros((), _I32),
                           count=jnp.zeros((), _I32),
-                          g_prev=jnp.zeros((d,), dtype))
+                          g_prev=jnp.zeros((d,), dtype),
+                          x_prev=x0)
     return ()
 
 
-def fo_on_build(opts: Options, state, push, s, g):
-    """Push the curvature pair (s, y = g − g_prev) into the L-BFGS ring
-    buffer when ``push``; identity for stateless-on-build methods.
+def fo_on_build(opts: Options, state, g, x, spec):
+    """Push the secant pair between the previous and current build points
+    (s = x ⊟ x_prev, y = g − g_prev) and advance (x_prev, g_prev);
+    identity for non-L-BFGS methods.
 
-    The pair is rejected (slot marked empty via ρ = 0) when the curvature
-    condition sᵀy > 0 fails — standard L-BFGS positive-definiteness
-    safeguarding (the pair would break the two-loop recursion).
+    Both endpoints carry freshly-computed gradients by construction (the
+    loop applies this only on rebuild iterations), so the pair is valid
+    regardless of the rollback/probe path between the two builds.  The
+    pair is dropped (slot untouched) when s = 0 (no movement — e.g. a
+    rebuild at the rolled-back point) or the curvature condition
+    sᵀy > ε·sᵀs fails — standard positive-definiteness safeguarding.
     """
     if opts.solver_type != SolverType.LBFGS:
         return state
+    from .. import manifold as mf
+    s = mf.local(state.x_prev, x, spec)
     y = g - state.g_prev
     sy = jnp.vdot(s, y)
     dtype = g.dtype
-    curv_ok = sy > dtype.type(1e-10) * jnp.vdot(s, s)
-    do = push & curv_ok
+    do = sy > dtype.type(1e-10) * jnp.vdot(s, s)
     idx = state.head
     S = state.S.at[idx].set(jnp.where(do, s, state.S[idx]))
     Y = state.Y.at[idx].set(jnp.where(do, y, state.Y[idx]))
@@ -102,7 +119,7 @@ def fo_on_build(opts: Options, state, push, s, g):
     count = jnp.where(do, jnp.minimum(state.count + 1, m),
                       state.count).astype(_I32)
     return LBFGSState(S=S, Y=Y, rho=rho, head=head, count=count,
-                      g_prev=state.g_prev)
+                      g_prev=g, x_prev=x)
 
 
 def _lbfgs_direction(state: LBFGSState, g):
@@ -157,11 +174,18 @@ def fo_propose(opts: Options, state, g, lm_state, x_flat=None):
     if st == SolverType.GRADIENT_DESCENT:
         return -dtype.type(opts.gd.lr) * g, state
 
+    # Rejection backoff shared by every stateful method: a fixed-lr
+    # proposal is deterministic, so a rejected step would otherwise be
+    # re-proposed verbatim forever (livelock under max_consec_failures=0).
+    # bad_factor doubles per consecutive rejection and resets on
+    # acceptance (solvers/lm.py), giving lr, lr/2, lr/4, … backtracking.
+    backoff = dtype.type(opts.lm.bad_factor) / lm_state.bad_factor
+
     if st == SolverType.SGD:
         mu = dtype.type(opts.sgd.momentum)
         v = mu * state.v + g
         step_g = g + mu * v if opts.sgd.nesterov else v
-        return -dtype.type(opts.sgd.lr) * step_g, SGDState(v=v)
+        return -dtype.type(opts.sgd.lr) * backoff * step_g, SGDState(v=v)
 
     if st in (SolverType.ADAM, SolverType.ADAMW):
         o = opts.adam
@@ -176,13 +200,13 @@ def fo_propose(opts: Options, state, g, lm_state, x_flat=None):
         if st == SolverType.ADAMW and o.weight_decay > 0:
             # Decoupled decay (Loshchilov & Hutter): x ← x − lr(upd + wd·x)
             upd = upd + dtype.type(o.weight_decay) * x_flat
-        return -dtype.type(o.lr) * upd, AdamState(m=m, v=v, t=t)
+        return -dtype.type(o.lr) * backoff * upd, AdamState(m=m, v=v, t=t)
 
     if st == SolverType.LBFGS:
+        # (x_prev, g_prev) bookkeeping lives in fo_on_build (rebuild-gated
+        # by the loop); the proposal itself is stateless.
         r = _lbfgs_direction(state, g)
-        scale = dtype.type(opts.lbfgs.lr) * (
-            dtype.type(opts.lm.bad_factor) / lm_state.bad_factor)
-        dx = -scale * r
-        return dx, state._replace(g_prev=g)
+        dx = -dtype.type(opts.lbfgs.lr) * backoff * r
+        return dx, state
 
     raise ValueError(f"not a first-order solver type: {st}")

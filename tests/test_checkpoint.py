@@ -1,0 +1,77 @@
+"""Checkpoint / resume (tinyopt_tpu.checkpoint).
+
+No reference counterpart (SURVEY.md §5.4: the reference's solves are
+µs-scale and have no checkpointing); the contract tested here is EXACT
+continuation: N segments of k iterations — with an orbax save/load round
+trip in the middle — follow the identical trajectory to one unchunked
+solve of the same total iteration count.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu import checkpoint as ck
+from tinyopt_tpu.models.problems import rosenbrock_residuals
+
+x0 = jnp.array([-1.2, 1.0])
+
+
+class TestSegmentSolver:
+    def test_exact_continuation(self, tmp_path):
+        """3 × 10 segment iterations + orbax round trip == one 30-iteration
+        trajectory (unchunked max_iters=29 runs 29+1 = 30 total)."""
+        x_ref, out_ref = to.optimize(
+            x0, rosenbrock_residuals,
+            to.Options(max_iters=29, max_consec_failures=0))
+
+        solver = ck.segment_solver(
+            rosenbrock_residuals,
+            to.Options(max_consec_failures=0), x0, iters_per_segment=10)
+        x, out, st = solver.start(x0)
+        p = os.path.join(str(tmp_path), "ck")
+        ck.save_state(p, st)
+        st = ck.load_state(p, solver.abstract_state())
+        x, out, st = solver.resume(st)
+        x, out, st = solver.resume(st)
+
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   rtol=0, atol=0)
+        assert float(out.final_cost.cost) == float(out_ref.final_cost.cost)
+
+    def test_run_until_convergence(self):
+        solver = ck.segment_solver(
+            lambda x: x * x - 2.0, to.Options(), jnp.array(1.0),
+            iters_per_segment=2)
+        x, out, _ = solver.run(jnp.array(1.0))
+        assert bool(out.converged())
+        assert abs(float(x) - 2 ** 0.5) < 1e-7
+
+    def test_first_order_state_survives(self, tmp_path):
+        """Adam moment estimates live in the segment state: resumed
+        segments continue the same momentum trajectory."""
+        opts = to.Options(solver_type=to.Adam, max_consec_failures=0,
+                          adam=to.AdamOptions(lr=0.1))
+        cost = lambda x: jnp.sum((x - 1.0) ** 2)
+        x_ref, out_ref = to.optimize(
+            jnp.array([3.0, -2.0]), cost,
+            opts.replace(max_iters=19), mode="cost")
+
+        solver = ck.segment_solver(cost, opts, jnp.array([3.0, -2.0]),
+                                   mode="cost", iters_per_segment=5)
+        x, out, st = solver.start(jnp.array([3.0, -2.0]))
+        p = os.path.join(str(tmp_path), "ck")
+        ck.save_state(p, st)
+        st = ck.load_state(p, solver.abstract_state())
+        for _ in range(3):
+            x, out, st = solver.resume(st)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   rtol=0, atol=0)
+
+    def test_requires_x_example(self):
+        with pytest.raises(ValueError, match="x_example"):
+            ck.segment_solver(lambda x: x, to.Options())

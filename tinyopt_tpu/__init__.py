@@ -30,6 +30,7 @@ from . import manifolds
 from . import sparse
 from . import utils
 from . import implicit
+from . import checkpoint
 from .implicit import implicit_solver
 from .sparse import block_optimize, matfree_optimize, sparse_optimize
 from .ops.block import BlockDiag
@@ -59,7 +60,7 @@ __all__ = [
     "TangentSpec",
     "lm", "gn", "gd", "sgd", "adam", "adamw", "lbfgs", "nlls",
     "unconstrained",
-    "diff", "losses", "manifolds", "sparse", "utils",
+    "diff", "losses", "manifolds", "sparse", "utils", "checkpoint",
     "block_optimize", "matfree_optimize", "sparse_optimize", "BlockDiag",
     "implicit", "implicit_solver",
     "__version__",

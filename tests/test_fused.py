@@ -87,6 +87,27 @@ def test_prior_batch_parity_gn():
     _assert_parity(*_run_both(prior_residual, opts, x0, data))
 
 
+def test_robust_whitened_parity():
+    """Robust (Huber-whitened) residuals trace into the fused kernel —
+    the loss library composes with the whole-solve path (sqrt/where are
+    Mosaic-lowerable) and matches the XLA path instance by instance."""
+    from tinyopt_tpu.losses.robust_norms import huber, robust_whiten
+
+    def robust_prior(x, data):
+        r = (x - data.y) * data.inv_std
+        return jax.vmap(lambda ri: robust_whiten(ri[None], huber, 0.5))(r)
+
+    data, x0 = make_prior_batch(24, 6, dtype=jnp.float32, seed=11)
+    opts = _opts(hessian=dict(solver="fused"))
+    assert fused_supported(opts, "residuals",
+                           jax.tree_util.tree_map(lambda a: a[0], x0))
+    # f32 association-order differences compound through the robust
+    # sqrt-whitening chain — slightly wider cost tolerance than the
+    # plain-prior tests.
+    _assert_parity(*_run_both(robust_prior, opts, x0, data), rtol=1e-4,
+                   atol=1e-5)
+
+
 def test_rejection_heavy_parity():
     # Jennrich-Sampson from aggressive starts: rejected steps, rollback,
     # probe re-steps and compounded λ escalation all get exercised.

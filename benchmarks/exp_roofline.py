@@ -8,7 +8,8 @@ measures achieved FLOP/s of
   * L = cholesky(H+λI) (batched, the solve path of solvers/step.py)
 
 for f32 and bf16 inputs across problem shapes, against v5e peak
-(197 TFLOP/s bf16; f32 ≈ peak/4 on the MXU).
+(197 TFLOP/s bf16; true-f32 via Precision.HIGHEST ≈ peak/6 — the 6-pass
+bf16 decomposition).
 
 Methodology (the tunnel's fixed ~26 ms round-trip and execution cache
 make naive timing lie, CLAUDE.md):

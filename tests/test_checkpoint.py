@@ -72,6 +72,42 @@ class TestSegmentSolver:
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                    rtol=0, atol=0)
 
+    def test_run_honors_total_budget(self):
+        """run() stops at the ORIGINAL options' max_iters (+1 rollback
+        slot) even when no stop criterion ever fires (regression: it
+        looped as long as segments returned MAX_ITERS)."""
+        opts = to.Options(solver_type=to.GradientDescent, max_iters=12,
+                          min_error=0.0, min_rerr_dec=0.0,
+                          min_step_norm2=0.0, min_grad_norm2=0.0,
+                          max_consec_failures=0,
+                          gd=to.GDOptions(lr=1e-6))
+        solver = ck.segment_solver(lambda x: jnp.sum(x * x), opts,
+                                   jnp.array([1.0]), mode="cost",
+                                   iters_per_segment=5)
+        x, out, _ = solver.run(jnp.array([1.0]))
+        assert int(out.num_iters) >= 13  # 12 + 1, reached in 5-chunks
+        assert int(out.num_iters) <= 15  # and not unbounded
+
+    def test_run_aggregates_history(self):
+        opts = to.Options(max_iters=29, max_consec_failures=0)
+        solver = ck.segment_solver(rosenbrock_residuals, opts, x0,
+                                   iters_per_segment=10)
+        x, out, _ = solver.run(x0)
+        assert int(out.num_iters) == int(out.num_hist) == len(out.errs_list)
+        assert int(out.num_iters) > 10  # spans multiple segments
+
+    def test_check_final_cost_fallback(self):
+        """check_final_cost falls back to best_x when the final point
+        regressed (options.h:43 semantics, as in the timeout driver)."""
+        opts = to.Options(check_final_cost=True, max_iters=20,
+                          max_consec_failures=0)
+        solver = ck.segment_solver(rosenbrock_residuals, opts, x0,
+                                   iters_per_segment=7)
+        x, out, st = solver.run(x0)
+        import tinyopt_tpu.diff.auto as da
+        r = da.flatten_residuals(rosenbrock_residuals(x))
+        assert float(jnp.vdot(r, r)) <= float(out.final_cost.cost) + 1e-12
+
     def test_requires_x_example(self):
         with pytest.raises(ValueError, match="x_example"):
             ck.segment_solver(lambda x: x, to.Options())

@@ -224,9 +224,23 @@ class TestLoopContract:
         assert float(jnp.abs(xb - 1.0).max()) < tol
 
     def test_warm_start_gradient(self):
-        """InitWith-style warm start works for the first-order suite."""
+        """InitWith-style warm start actually passes warm_start and must
+        not degrade the trajectory (regression: L-BFGS paired the first
+        build's gradient with the zeros-initialized g_prev, storing a
+        corrupt secant pair y = g1 − 0 that made the cost oscillate)."""
         from tinyopt_tpu.optimize import build_solver
-        solver = build_solver(quad, to.Options(solver_type=to.Adam),
-                              "cost", x0)
-        x, out = solver(x0)
-        assert bool(out.succeeded())
+        g0 = jax.grad(quad)(x0)
+        warm = build_solver(quad, to.Options(solver_type=to.LBFGS),
+                            "cost", x0, warm_start=(g0,))
+        cold = build_solver(quad, to.Options(solver_type=to.LBFGS),
+                            "cost", x0)
+        xw, outw = warm(x0)
+        xc, outc = cold(x0)
+        assert bool(outw.converged())
+        np.testing.assert_allclose(np.asarray(xw), [1.0, 1.0], atol=1e-7)
+        # warm start skips one accumulation; it must not cost extra
+        # iterations
+        assert int(outw.num_iters) <= int(outc.num_iters) + 1
+        # monotone best cost (no oscillation back to the start value)
+        errs = np.asarray(outw.errs_list)
+        assert errs[-1] <= errs[0]

@@ -5,7 +5,8 @@ SURVEY.md §5.4) — its closest analogues are the ``InitWith`` warm start
 and the per-iteration history.  At TPU batch scale a solve can run long
 enough to be worth checkpointing, so this module exposes the segmented
 loop execution (the same machinery as the ``max_duration_ms`` timeout
-driver, optimize.py) as a public API plus orbax persistence:
+driver — both build on ``optimize._segment_pair``) as a public API plus
+orbax persistence:
 
     solver = segment_solver(fn, options, x_example, iters_per_segment=10)
     x, out, st = solver.start(x0)           # first 10 iterations
@@ -19,6 +20,11 @@ budgets, first-order optimizer state, Rebuild(false) flags), so N
 segments of k iterations follow the identical trajectory to one N·k
 iteration solve (the contract pinned by optimize._optimize_with_timeout
 and tests/test_checkpoint.py).
+
+``SegmentSolver.run`` honors the ORIGINAL ``options``: it stops after
+``options.max_iters`` (+1 rollback slot) total iterations, applies the
+``check_final_cost`` fallback, and aggregates iteration counts and
+history across segments — same Output contract as ``to.optimize``.
 """
 
 from __future__ import annotations
@@ -30,8 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import manifold as mf
-from .optimize import _build_system
-from .optimizers.loop import optimize_from_acc
+from .optimize import _segment_pair
 from .options import Options
 from .stop_reasons import StopReason
 
@@ -43,7 +48,8 @@ class SegmentSolver:
 
     start: Callable     #: x0 -> (x, Output, state)
     resume: Callable    #: state -> (x, Output, state)
-    options: Options
+    options: Options    #: the ORIGINAL options (total budgets live here)
+    _evaluate: Callable
     _x_example: Any
 
     def abstract_state(self, x_example=None):
@@ -54,17 +60,56 @@ class SegmentSolver:
         return jax.eval_shape(self.start, x)[2]
 
     def run(self, x0, *, max_segments: int | None = None):
-        """Drive segments until a terminal stop reason (anything but
-        MAX_ITERS) or ``max_segments``.  Returns ``(x, Output, state)``."""
+        """Drive segments until a terminal stop reason or the original
+        options' total iteration budget (``max_iters`` + 1 rollback slot,
+        + 1 with ``check_final_cost`` — the same allowance as the
+        unchunked loop).  Aggregates ``num_iters`` and history across
+        segments and applies the ``check_final_cost`` fallback.  Returns
+        ``(x, Output, state)``."""
+        import numpy as np
+
+        budget = self.options.max_iters + 1 \
+            + (1 if self.options.check_final_cost else 0)
         x0 = mf.as_pytree(x0)
-        x, out, st = self.start(x0)
-        n = 1
-        while int(out.stop_reason) in (int(StopReason.MAX_ITERS),
-                                       int(StopReason.NONE)):
-            if max_segments is not None and n >= max_segments:
+        total = 0
+        n_seg = 0
+        hist_e, hist_d, hist_s = [], [], []
+        st = None
+        while True:
+            x, out, st = (self.start(x0) if st is None
+                          else self.resume(st))
+            total += int(out.num_iters)
+            n_seg += 1
+            if self.options.save_history:
+                n = int(out.num_hist)
+                hist_e += list(np.asarray(out.errs[:n]))
+                hist_d += list(np.asarray(out.deltas2[:n]))
+                hist_s += list(np.asarray(out.successes[:n]))
+            if int(out.stop_reason) not in (int(StopReason.MAX_ITERS),
+                                            int(StopReason.NONE)):
                 break
-            x, out, st = self.resume(st)
-            n += 1
+            if total >= budget:
+                break
+            if max_segments is not None and n_seg >= max_segments:
+                break
+
+        # check_final_cost: fall back to the best accepted point when the
+        # final x regressed (options.h:43 semantics, matching
+        # optimize._optimize_with_timeout).
+        if self.options.check_final_cost:
+            if float(self._evaluate(x)) >= float(st.best_cost):
+                x = st.best_x
+
+        out.num_iters = jnp.asarray(total, jnp.int32)
+        if self.options.save_history:
+            dt = np.asarray(out.errs).dtype
+            out.errs = jnp.asarray(np.asarray(hist_e, dt)
+                                   if hist_e else np.zeros((0,), dt))
+            out.deltas2 = jnp.asarray(np.asarray(hist_d, dt)
+                                      if hist_d else np.zeros((0,), dt))
+            out.successes = jnp.asarray(np.asarray(hist_s, bool)
+                                        if hist_s else np.zeros((0,), bool))
+            out.num_hist = jnp.asarray(len(hist_e), jnp.int32)
         return x, out, st
 
 
@@ -77,20 +122,10 @@ def segment_solver(fn: Callable, options: Options | None = None,
     if x_example is None:
         raise ValueError("segment_solver requires x_example")
     x_example = mf.as_pytree(x_example)
-    seg_opts = options.replace(max_iters=iters_per_segment,
-                               max_duration_ms=0.0,
-                               check_final_cost=False)
-    acc, ev, _n_res, spec, num_diff_used, mode = _build_system(
-        fn, seg_opts, mode, x_example)
-
-    start = jax.jit(lambda x0: optimize_from_acc(
-        x0, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
-        return_state=True))
-    resume = jax.jit(lambda st: optimize_from_acc(
-        st.x, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
-        segment_state=st, return_state=True))
+    start, resume, evaluate, _spec, _ndu, mode, _n_res = _segment_pair(
+        fn, options, mode, x_example, iters_per_segment)
     return SegmentSolver(start=start, resume=resume, options=options,
-                         _x_example=x_example)
+                         _evaluate=evaluate, _x_example=x_example)
 
 
 def save_state(path: str, state) -> None:

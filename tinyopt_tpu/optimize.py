@@ -218,6 +218,31 @@ def optimize(x, fn: Callable, options: Options | None = None, *,
     return x_opt, out
 
 
+def _segment_pair(fn, options, mode, x_example, iters_per_segment: int):
+    """Jitted segment-execution triple shared by the timeout driver and
+    ``checkpoint.segment_solver``: ``(start, resume, evaluate, spec,
+    num_diff_used, mode, n_res)`` where ``start(x0)`` / ``resume(state)``
+    run exactly ``iters_per_segment`` loop iterations with the full carry
+    as a runtime input, and ``evaluate(x)`` returns the (normalized) cost
+    for the check_final_cost fallback."""
+    from .cost import normalize_cost
+
+    seg_opts = options.replace(max_iters=iters_per_segment,
+                               max_duration_ms=0.0,
+                               check_final_cost=False)
+    acc, ev, n_res, spec, num_diff_used, mode = _build_system(
+        fn, seg_opts, mode, x_example)
+    start = jax.jit(lambda x0: optimize_from_acc(
+        x0, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
+        return_state=True))
+    resume = jax.jit(lambda st: optimize_from_acc(
+        st.x, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
+        segment_state=st, return_state=True))
+    evaluate = jax.jit(
+        lambda xv: normalize_cost(ev(xv), seg_opts.cost).cost)
+    return start, resume, evaluate, spec, num_diff_used, mode, n_res
+
+
 def _optimize_with_timeout(x, fn, options, mode):
     """Host-chunked solve honoring ``max_duration_ms``.
 
@@ -237,8 +262,13 @@ def _optimize_with_timeout(x, fn, options, mode):
     x = mf.as_pytree(x)
     seg_opts = options.replace(max_duration_ms=0.0, max_iters=1,
                                check_final_cost=False)
-    acc, ev, n_res, spec, num_diff_used, mode = _build_system(
-        fn, seg_opts, mode, x)
+    key = _cache_key(fn, seg_opts, mode, x)
+    pair = _CACHE.get(("timeout", key))
+    if pair is None:
+        pair = _segment_pair(fn, options, mode, x, 1)
+        _CACHE[("timeout", key)] = pair
+    start, resume, evaluate, spec, num_diff_used, mode, n_res = pair
+
     if n_res == 0 or spec.dims == 0:
         cap = (options.max_iters + 1
                + (1 if options.check_final_cost else 0)
@@ -246,24 +276,6 @@ def _optimize_with_timeout(x, fn, options, mode):
         out = _skipped_output(cap, spec.dtype, num_diff_used)
         out.duration_ms = jnp.float32((time.perf_counter() - t0) * 1e3)
         return x, out
-
-    key = _cache_key(fn, seg_opts, mode, x)
-    pair = _CACHE.get(("timeout", key))
-    if pair is None:
-        start = jax.jit(lambda x0: optimize_from_acc(
-            x0, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
-            return_state=True))
-        resume = jax.jit(lambda st: optimize_from_acc(
-            st.x, acc, ev, seg_opts, spec, num_diff_used=num_diff_used,
-            segment_state=st, return_state=True))
-        # Normalize like the loop does, so the comparison against the
-        # (normalized) best_cost is apples-to-apples.
-        from .cost import normalize_cost
-        evaluate = jax.jit(
-            lambda xv: normalize_cost(ev(xv), seg_opts.cost).cost)
-        pair = (start, resume, evaluate)
-        _CACHE[("timeout", key)] = pair
-    start, resume, evaluate = pair
 
     # The reference grants max_iters + 1 iterations (one rollback slot,
     # optimizer.h:249) + 1 more with check_final_cost.

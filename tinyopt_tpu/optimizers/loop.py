@@ -223,14 +223,16 @@ def optimize_from_acc(
     dtype = spec.dtype
 
     # AdamW's decoupled decay pulls parameters toward the origin — only
-    # meaningful when the tangent IS the parameter vector (Euclidean).
-    flat_param_size = int(sum(
-        jnp.size(l) for l in jax.tree_util.tree_leaves(x0)))
-    if is_adamw and opts.adam.weight_decay > 0 and flat_param_size != d:
-        raise ValueError(
-            "AdamW weight decay requires pure-Euclidean parameters "
-            f"(flat size {flat_param_size} != tangent dims {d}); use "
-            "SolverType.ADAM or weight_decay=0 for manifold parameters")
+    # meaningful when the tangent IS the parameter vector (Euclidean),
+    # so reject any registered-manifold leaf exactly (not by a size
+    # heuristic: a manifold can have ambient size == tangent dims).
+    if is_adamw and opts.adam.weight_decay > 0:
+        leaves, _ = mf._leaves(x0)
+        if any(mf._is_manifold_leaf(l) for l in leaves):
+            raise ValueError(
+                "AdamW weight decay requires pure-Euclidean parameters "
+                "(decay toward the origin is undefined on a manifold); "
+                "use SolverType.ADAM or weight_decay=0")
 
     def _x_flat(x):
         parts = [jnp.ravel(jnp.asarray(l)).astype(dtype)

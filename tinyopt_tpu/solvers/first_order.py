@@ -54,7 +54,11 @@ class SGDState(NamedTuple):
 class AdamState(NamedTuple):
     m: jax.Array            #: (d,) first-moment estimate
     v: jax.Array            #: (d,) second-moment estimate
-    t: jax.Array            #: () i32 accepted-step count
+    t: jax.Array            #: () i32 PROPOSAL count (bias correction);
+                            #: advances on every evaluation, including
+                            #: rejected ones — a deliberate deviation
+                            #: from textbook Adam (which never rejects),
+                            #: consistent with the always-learning state
 
 
 class LBFGSState(NamedTuple):
@@ -65,6 +69,10 @@ class LBFGSState(NamedTuple):
     count: jax.Array        #: () i32 pairs stored (≤ m)
     g_prev: jax.Array       #: (d,) gradient at the last BUILD point
     x_prev: tuple           #: parameter pytree of the last BUILD point
+    have_prev: jax.Array    #: () i32: (x_prev, g_prev) hold a real build
+                            #: (0 until the first rebuild — a warm start
+                            #: skips iteration 0's build, so the zeros
+                            #: init must never form a secant pair)
 
 
 def fo_init(opts: Options, x0, spec):
@@ -84,7 +92,8 @@ def fo_init(opts: Options, x0, spec):
                           head=jnp.zeros((), _I32),
                           count=jnp.zeros((), _I32),
                           g_prev=jnp.zeros((d,), dtype),
-                          x_prev=x0)
+                          x_prev=x0,
+                          have_prev=jnp.zeros((), _I32))
     return ()
 
 
@@ -107,7 +116,12 @@ def fo_on_build(opts: Options, state, g, x, spec):
     y = g - state.g_prev
     sy = jnp.vdot(s, y)
     dtype = g.dtype
-    do = sy > dtype.type(1e-10) * jnp.vdot(s, s)
+    # have_prev guards the warm-start case: with warm_start=(g0,) the
+    # loop's first iteration is eval-only, so the first BUILD happens at
+    # x1 while (x_prev, g_prev) still hold the x0/zeros init — pairing
+    # them would store y = g1 − 0 (reproduced: cost oscillation).
+    do = (state.have_prev != 0) & (
+        sy > dtype.type(1e-10) * jnp.vdot(s, s))
     idx = state.head
     S = state.S.at[idx].set(jnp.where(do, s, state.S[idx]))
     Y = state.Y.at[idx].set(jnp.where(do, y, state.Y[idx]))
@@ -119,7 +133,7 @@ def fo_on_build(opts: Options, state, g, x, spec):
     count = jnp.where(do, jnp.minimum(state.count + 1, m),
                       state.count).astype(_I32)
     return LBFGSState(S=S, Y=Y, rho=rho, head=head, count=count,
-                      g_prev=g, x_prev=x)
+                      g_prev=g, x_prev=x, have_prev=jnp.ones((), _I32))
 
 
 def _lbfgs_direction(state: LBFGSState, g):
@@ -165,9 +179,11 @@ def _lbfgs_direction(state: LBFGSState, g):
 
 
 def fo_propose(opts: Options, state, g, lm_state, x_flat=None):
-    """One proposal: ``(dx, state')``.  ``state'`` is committed only on
-    acceptance (see module docstring).  ``x_flat`` is the flattened
-    parameter vector, required only by AdamW's decoupled weight decay."""
+    """One proposal: ``(dx, state')``.  ``state'`` is committed by the
+    loop UNCONDITIONALLY — the state learns from every evaluation, only
+    the parameters are gated on acceptance (see module docstring).
+    ``x_flat`` is the flattened parameter vector, required only by
+    AdamW's decoupled weight decay."""
     st = opts.solver_type
     dtype = g.dtype
 

@@ -464,16 +464,15 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         solved = solved_i != 0
 
         # --- Early failure routing (loop.py / optimizer.h:364-425) ---
-        err_bad = (jnp.isnan(err) | jnp.isinf(err)
-                   | ~all_lanes(jnp.isfinite(g)))
+        err_bad = (~jnp.isfinite(err)) | ~all_lanes(jnp.isfinite(g))
+        # Algebraically identical to the nested solved/err_bad selects
+        # (err_bad wins in both branches) with one fewer op on the chain.
         stop_early = jnp.where(
-            solved,
-            jnp.where(err_bad, int(StopReason.SYSTEM_HAS_NAN_OR_INF),
-                      int(StopReason.NONE)),
-            jnp.where(err_bad, int(StopReason.SYSTEM_HAS_NAN_OR_INF),
+            err_bad, int(StopReason.SYSTEM_HAS_NAN_OR_INF),
+            jnp.where(solved, int(StopReason.NONE),
                       int(StopReason.SOLVER_FAILED))).astype(_I32)
         dx_norm2 = jnp.sum(dx * dx, axis=-1)[:, None]
-        dxn_bad = jnp.isnan(dx_norm2) | jnp.isinf(dx_norm2)
+        dxn_bad = ~jnp.isfinite(dx_norm2)
         stop_early = jnp.where(
             (stop_early == 0) & dxn_bad,
             int(StopReason.SYSTEM_HAS_NAN_OR_INF), stop_early).astype(_I32)
@@ -524,26 +523,38 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         budget_fail = (stop_early == 0) & (budget_stop != 0)
 
         # --- Stop cascade (optimizer.h:518-534) ---
+        # Priority encoding: the codes MIN_ERROR(1) < MIN_REL_ERROR(2) <
+        # MIN_DELTA_NORM(3) < MIN_GRAD_NORM(4) ascend in exactly the
+        # cascade's first-match order, so "minimum fired code" equals the
+        # reference's sequential set-if chain — with the four predicates
+        # evaluated in parallel (2-level min tree) instead of serially.
         grad_norm2 = jnp.sum(g * g, axis=-1)[:, None]
-        cascade = jnp.zeros((BT, 1), _I32)
+        NOHIT = jnp.asarray(127, _I32)
+        cands = []
 
-        def set_if(cascade, pred, code):
-            return jnp.where((cascade == 0) & pred, code, cascade).astype(_I32)
+        def cand(pred, code):
+            cands.append(jnp.where(pred, code, NOHIT).astype(_I32))
 
         if opts.min_error > 0:
-            cascade = set_if(cascade, err < opts.min_error,
-                             int(StopReason.MIN_ERROR))
+            cand(err < opts.min_error, int(StopReason.MIN_ERROR))
         if opts.min_rerr_dec > 0:
             noise = dtype.type(8) * jnp.finfo(dtype).eps
-            cascade = set_if(cascade,
-                             (rel_derr > noise) & (rel_derr < opts.min_rerr_dec),
-                             int(StopReason.MIN_REL_ERROR))
+            cand((rel_derr > noise) & (rel_derr < opts.min_rerr_dec),
+                 int(StopReason.MIN_REL_ERROR))
         if opts.min_step_norm2 > 0:
-            cascade = set_if(cascade, dx_norm2 < opts.min_step_norm2,
-                             int(StopReason.MIN_DELTA_NORM))
+            cand(dx_norm2 < opts.min_step_norm2,
+                 int(StopReason.MIN_DELTA_NORM))
         if opts.min_grad_norm2 > 0:
-            cascade = set_if(cascade, grad_norm2 < opts.min_grad_norm2,
-                             int(StopReason.MIN_GRAD_NORM))
+            cand(grad_norm2 < opts.min_grad_norm2,
+                 int(StopReason.MIN_GRAD_NORM))
+        if cands:
+            while len(cands) > 1:
+                cands = [jnp.minimum(a, b)
+                         for a, b in zip(cands[::2], cands[1::2])] + (
+                    [cands[-1]] if len(cands) % 2 else [])
+            cascade = jnp.where(cands[0] == NOHIT, 0, cands[0]).astype(_I32)
+        else:
+            cascade = jnp.zeros((BT, 1), _I32)
 
         stop_new = jnp.where(stop_early != 0, stop_early,
                              jnp.where(budget_stop != 0, budget_stop,

@@ -43,9 +43,10 @@ from jax import lax
 REF_SOLVE_US = 56.26          # BASELINE.md: dense VecX Prior-50, per solve
 BATCH = 10_000
 DIMS = 50
-REPS = 1024                   # solve-batches per dispatched program: large
+REPS = 2048                   # solve-batches per dispatched program: large
                               # enough that the tunnel's fixed ~26 ms
-                              # round-trip is <5% of the wall
+                              # round-trip is ~2% of the wall (throughput
+                              # approaches the kernel's marginal rate)
 
 
 def main():

@@ -53,6 +53,13 @@ class DiagColoring:
     probes: np.ndarray      # (C, d) f32: probe tangent per color
     recovery: np.ndarray    # (C * n_res, d) f32: one-hot diag recovery
     n_colors: int
+    #: The structure is exactly the identity (J diagonal with row i ↔
+    #: dim i): diag recovery reduces to squaring the single probe sweep
+    #: and slicing its first d lanes — the kernel skips the (BT, C·n) @
+    #: (C·n, d) HIGHEST-precision recovery matmul entirely (it costs
+    #: ~6 MXU passes per outer iteration, a measurable slice of the
+    #: latency-bound kernel's budget).
+    identity: bool = False
 
 
 def _greedy_color(structure: np.ndarray) -> np.ndarray:
@@ -178,6 +185,10 @@ def detect_diag_coloring(residual_fn, x_example, data_example, spec,
         c = int(colors[j])
         probes[c, j] = 1.0
         recovery[c, :, j] = structure[:, j]
+    identity = bool(
+        n_colors == 1 and n_res >= dims
+        and np.array_equal(structure[:dims], np.eye(dims, dtype=bool))
+        and not structure[dims:].any())
     return DiagColoring(probes=probes,
                         recovery=recovery.reshape(n_colors * n_res, dims),
-                        n_colors=n_colors)
+                        n_colors=n_colors, identity=identity)

@@ -251,9 +251,16 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             for c in range(coloring.n_colors):
                 Jp = jvp_fn(jnp.broadcast_to(probes[c:c + 1, :], (BT, d)))
                 sqs.append(Jp * Jp)
-            SQ = sqs[0] if len(sqs) == 1 else jnp.concatenate(sqs, axis=-1)
-            diagH = jnp.dot(SQ, recovery_ref[:],   # (BT, C·n) @ (C·n, d)
-                            precision=jax.lax.Precision.HIGHEST)
+            if coloring.identity:
+                # J is exactly diagonal (row i ↔ dim i): the recovery
+                # contraction is the identity on the first d lanes — skip
+                # the 6-pass HIGHEST matmul per outer iteration.
+                diagH = sqs[0][:, :d]
+            else:
+                SQ = (sqs[0] if len(sqs) == 1
+                      else jnp.concatenate(sqs, axis=-1))
+                diagH = jnp.dot(SQ, recovery_ref[:],  # (BT, C·n) @ (C·n, d)
+                                precision=jax.lax.Precision.HIGHEST)
         else:
             # Generic fallback: diag(H)_j = ‖J e_j‖², one 2-D jvp sweep per
             # tangent dim, accumulated into the j-th column with a one-hot

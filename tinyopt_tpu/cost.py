@@ -22,13 +22,20 @@ class Cost:
     cost: jax.Array                 #: scalar cost value
     num_residuals: jax.Array        #: number of residuals (int32)
     inlier_ratio: jax.Array         #: ratio of inlier residuals in [0, 1]
+    #: user-extensible log suffix (reference cost.h:96 ``log_str``);
+    #: static (a Python string cannot be traced), so it must be the same
+    #: for every instance of a jitted solve
+    log_str: str = dataclasses.field(default="",
+                                     metadata=dict(static=True))
 
     @staticmethod
-    def make(cost, num_residuals=1, inlier_ratio=1.0) -> "Cost":
+    def make(cost, num_residuals=1, inlier_ratio=1.0,
+             log_str: str = "") -> "Cost":
         return Cost(
             cost=jnp.asarray(cost),
             num_residuals=jnp.asarray(num_residuals, jnp.int32),
             inlier_ratio=jnp.asarray(inlier_ratio, jnp.float32),
+            log_str=log_str,
         )
 
     @staticmethod
@@ -45,7 +52,8 @@ class Cost:
         ratio = jnp.where(n > 0, inl / jnp.maximum(n, 1).astype(jnp.float32),
                           jnp.float32(1.0))
         return Cost(cost=self.cost + other.cost, num_residuals=n,
-                    inlier_ratio=ratio)
+                    inlier_ratio=ratio,
+                    log_str=self.log_str + other.log_str)
 
     def is_valid(self):
         """n > 0 and cost below the float max sentinel (cost.h:83)."""
@@ -67,6 +75,8 @@ class Cost:
             s += f", √{label}/n:{float(jnp.sqrt(self.cost / n)):.2e}"
         if print_inliers:
             s += f", in:{float(self.inlier_ratio) * 100:.2f}% ({int(self.num_inliers())})"
+        if self.log_str:
+            s += " " + self.log_str
         return s
 
 

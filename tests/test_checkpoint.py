@@ -22,23 +22,39 @@ x0 = jnp.array([-1.2, 1.0])
 
 
 class TestSegmentSolver:
-    def test_exact_continuation(self, tmp_path):
-        """3 × 10 segment iterations + orbax round trip == one 30-iteration
-        trajectory (unchunked max_iters=29 runs 29+1 = 30 total)."""
-        x_ref, out_ref = to.optimize(
-            x0, rosenbrock_residuals,
-            to.Options(max_iters=29, max_consec_failures=0))
+    def test_disk_round_trip_is_invisible(self, tmp_path):
+        """Segments with an orbax save/load in the middle are bit-identical
+        to segments without it."""
+        opts = to.Options(max_consec_failures=0)
+        solver = ck.segment_solver(rosenbrock_residuals, opts, x0,
+                                   iters_per_segment=10)
 
-        solver = ck.segment_solver(
-            rosenbrock_residuals,
-            to.Options(max_consec_failures=0), x0, iters_per_segment=10)
-        x, out, st = solver.start(x0)
-        p = os.path.join(str(tmp_path), "ck")
-        ck.save_state(p, st)
-        st = ck.load_state(p, solver.abstract_state())
-        x, out, st = solver.resume(st)
-        x, out, st = solver.resume(st)
+        def run3(with_disk):
+            x, out, st = solver.start(x0)
+            if with_disk:
+                p = os.path.join(str(tmp_path), "ck")
+                ck.save_state(p, st)
+                st = ck.load_state(p, solver.abstract_state())
+            x, out, st = solver.resume(st)
+            x, out, st = solver.resume(st)
+            return x, out, st
 
+        xa, outa, sta = run3(True)
+        xb, outb, stb = run3(False)
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(sta.best_x),
+                                      np.asarray(stb.best_x))
+        assert float(outa.final_cost.cost) == float(outb.final_cost.cost)
+
+    def test_run_matches_unchunked(self):
+        """run() == one unchunked solve with the same total budget: the
+        driver's host-side final evaluation reproduces the unchunked
+        loop's gated final iteration exactly."""
+        opts = to.Options(max_iters=29, max_consec_failures=0)
+        x_ref, out_ref = to.optimize(x0, rosenbrock_residuals, opts)
+        solver = ck.segment_solver(rosenbrock_residuals, opts, x0,
+                                   iters_per_segment=10)
+        x, out, _ = solver.run(x0)
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                    rtol=0, atol=0)
         assert float(out.final_cost.cost) == float(out_ref.final_cost.cost)
@@ -61,16 +77,19 @@ class TestSegmentSolver:
             jnp.array([3.0, -2.0]), cost,
             opts.replace(max_iters=19), mode="cost")
 
-        solver = ck.segment_solver(cost, opts, jnp.array([3.0, -2.0]),
+        solver = ck.segment_solver(cost, opts.replace(max_iters=19),
+                                   jnp.array([3.0, -2.0]),
                                    mode="cost", iters_per_segment=5)
         x, out, st = solver.start(jnp.array([3.0, -2.0]))
         p = os.path.join(str(tmp_path), "ck")
         ck.save_state(p, st)
         st = ck.load_state(p, solver.abstract_state())
-        for _ in range(3):
+        for _ in range(3):                   # 20 iterations total
             x, out, st = solver.resume(st)
-        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
-                                   rtol=0, atol=0)
+        # non-terminal exit: the unchunked loop's gated final apply makes
+        # its x the best accepted point, which the segments track exactly
+        np.testing.assert_allclose(np.asarray(st.best_x),
+                                   np.asarray(x_ref), rtol=0, atol=0)
 
     def test_run_honors_total_budget(self):
         """run() stops at the ORIGINAL options' max_iters (+1 rollback

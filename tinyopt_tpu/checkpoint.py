@@ -93,12 +93,15 @@ class SegmentSolver:
             if max_segments is not None and n_seg >= max_segments:
                 break
 
-        # check_final_cost: fall back to the best accepted point when the
-        # final x regressed (options.h:43 semantics, matching
-        # optimize._optimize_with_timeout).
-        if self.options.check_final_cost:
-            if float(self._evaluate(x)) >= float(st.best_cost):
-                x = st.best_x
+        # Non-terminal exit: x carries the last segment's applied-but-
+        # unevaluated proposal (segment continuation needs every iteration
+        # applied); the unchunked loop's gated final apply makes its
+        # returned x the best accepted point — st.best_x holds exactly
+        # that, bit-for-bit (mirrors optimize._optimize_with_timeout and
+        # subsumes check_final_cost, options.h:43).
+        if int(out.stop_reason) in (int(StopReason.MAX_ITERS),
+                                    int(StopReason.NONE)):
+            x = st.best_x
 
         out.num_iters = jnp.asarray(total, jnp.int32)
         if self.options.save_history:

@@ -85,6 +85,16 @@ def implicit_solver(residual_fn: Callable, options: Options | None = None,
                                  spec)
         H = jnp.matmul(J.T, J, preferred_element_type=spec.dtype)
         lam = jnp.linalg.solve(H, v_flat)
+        # Rank-deficient H (over-parameterized / gauge-free inner
+        # problems) makes the plain solve NaN; fall back to the
+        # minimum-norm least-squares solution — the standard IFT
+        # pseudo-inverse convention — only when needed (lax.cond keeps
+        # the common path one O(d³) solve).
+        lam = jax.lax.cond(
+            jnp.all(jnp.isfinite(lam)),
+            lambda l: l,
+            lambda _: jnp.linalg.lstsq(H, v_flat)[0],
+            lam)
         # θ-cotangent: −(∂g/∂θ)ᵀ λ via one reverse-mode pass through g.
         _, vjp_theta = jax.vjp(lambda th: _grad_fn(x_opt, th), theta)
         (theta_bar,) = vjp_theta(lam)

@@ -14,27 +14,19 @@ import jax
 import jax.numpy as jnp
 
 from ..manifold import Manifold, register_manifold
-from .so3 import SO3, _exp_quat, _qmul, _small
+from .so3 import SO3, _exp_quat, _qmul
+
+# The Taylor-guarded SO(3) left-Jacobian V(ω)·ρ / V(ω)⁻¹·t is shared with
+# SE₂(3) and SEn3 — ONE numerical implementation to keep in sync
+# (se23.py; no import cycle: se23 only imports so3).
+from .se23 import _V_apply, _V_inv_apply
 
 
 def _se3_exp(delta):
     """se(3) tangent (..., 6) -> (SO3, t), NaN-safe under AD at δ=0."""
     rho = delta[..., :3]
     omega = delta[..., 3:]
-    theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
-    small = _small(theta2)
-    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
-    q = _exp_quat(omega)
-    # V = I + (1-cosθ)/θ² [ω]ₓ + (θ-sinθ)/θ³ [ω]ₓ²  (Taylor near 0)
-    a = jnp.where(small, 0.5 - theta2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
-    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta))
-                  / jnp.where(small, 1.0, theta2 * theta))
-    wx = jnp.cross(omega, rho)
-    wwx = jnp.cross(omega, wx)
-    t = rho + a * wx + b * wwx
-    return SO3(q), t
+    return SO3(_exp_quat(omega)), _V_apply(omega, rho)
 
 
 @jax.tree_util.register_dataclass
@@ -54,18 +46,7 @@ class SE3:
 
     def log(self):
         omega = self.rotation.log()
-        theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
-        small = _small(theta2)
-        theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
-        # V⁻¹ = I − ½[ω]ₓ + c·[ω]ₓ², c = (1 − ½θ·cot(½θ))/θ²,
-        # Taylor c → 1/12 + θ²/720 near 0.
-        half = 0.5 * theta
-        cot = jnp.cos(half) / jnp.sin(half)
-        c = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
-                      (1.0 - half * cot) / jnp.where(small, 1.0, theta2))
-        wt = jnp.cross(omega, self.translation)
-        wwt = jnp.cross(omega, wt)
-        rho = self.translation - 0.5 * wt + c * wwt
+        rho = _V_inv_apply(omega, self.translation)
         return jnp.concatenate([rho, omega], axis=-1)
 
     def apply(self, p):

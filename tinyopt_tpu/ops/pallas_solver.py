@@ -578,9 +578,11 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         probe = act & fail & (~has_last) & returned_dx
         roll = act & fail & has_last
         x_base = jnp.where(roll, best_x, x)
-        # Terminal success: freeze x at the evaluated point (mirrors
-        # loop.py — no unevaluated trailing proposal in the returned x).
-        applied = jnp.where((success | probe) & (cascade == 0), dx,
+        # Terminal success or the instance's final iteration: freeze x at
+        # the evaluated point (mirrors loop.py — no unevaluated trailing
+        # proposal in the returned x).
+        applied = jnp.where((success | probe) & (cascade == 0)
+                            & (it + 1 < max_iters_total), dx,
                             jnp.zeros_like(dx))
         # Manifold step application: x ⊞ δ rowwise; a zero δ is an exact
         # no-op (exp(0) = identity quaternion bit-exactly), so the masked

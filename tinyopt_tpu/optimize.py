@@ -34,7 +34,24 @@ from .output import Output
 from .stop_reasons import StopReason
 
 
-_CACHE: dict = {}
+class _BoundedCache(dict):
+    """FIFO-bounded solver cache.
+
+    Keys include the user's residual function object: fresh lambdas never
+    hit, so an unbounded dict would retain every compiled solve and its
+    closure forever in long-running processes.  Eviction only drops OUR
+    reference — jit executables stay alive while the caller holds one.
+    """
+
+    MAX = 128
+
+    def __setitem__(self, key, value):
+        if len(self) >= self.MAX and key not in self:
+            del self[next(iter(self))]
+        super().__setitem__(key, value)
+
+
+_CACHE: dict = _BoundedCache()
 
 
 def _detect_mode(fn, x, options, dims: int) -> str:
@@ -306,12 +323,17 @@ def _optimize_with_timeout(x, fn, options, mode):
             break
 
     x_final = state.x
-    # check_final_cost: re-evaluate the final point; if it regressed, fall
-    # back to the best accepted point (options.h:43 semantics).
-    if options.check_final_cost and not timed_out:
-        final_c = evaluate(x_final)
-        if float(final_c) >= float(state.best_cost):
-            x_final = state.best_x
+    # Non-terminal exit (budget exhausted / timed out): segment mode
+    # applies every iteration's proposal (continuation needs it), so
+    # state.x carries one UNEVALUATED trailing step.  The unchunked loop
+    # gates its final apply, which makes its returned x the best accepted
+    # point after the last evaluation — state.best_x holds exactly that
+    # (the two runs share all evaluations 1..N bit-for-bit), so return it.
+    # This is also the check_final_cost fallback (options.h:43): the +1
+    # budget iteration evaluated the extra point into best_x if accepted.
+    if int(out.stop_reason) in (int(StopReason.MAX_ITERS),
+                                int(StopReason.NONE)):
+        x_final = state.best_x
 
     stop = (jnp.asarray(int(StopReason.TIMED_OUT), jnp.int32) if timed_out
             else jnp.where(

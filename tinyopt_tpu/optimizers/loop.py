@@ -504,15 +504,23 @@ def optimize_from_acc(
         # case (consecutive rejections: try the new λ's step from the last
         # good point) has c.x == best_x already, so one retract covers all.
         x_base = _where_tree(fail & c.has_last_dx, c.best_x, c.x)
-        # Terminal success (cascade stop): freeze x at the point whose
-        # error satisfied the criterion instead of applying one more
-        # UNEVALUATED proposal.  The returned x then always carries
-        # final_cost — the reference evaluates after applying, so its
-        # returned x is likewise always an evaluated point.  (For GN/LM
-        # the trailing dx is ~0 at convergence and this is invisible; for
+        # Terminal success (cascade stop) OR the final iteration: freeze x
+        # at the point whose error was just evaluated instead of applying
+        # one more UNEVALUATED proposal.  The returned x then always
+        # carries an evaluated cost consistent with Output.final_cost —
+        # the reference evaluates after applying, so its returned x is
+        # likewise always an evaluated point; its check_final_cost
+        # (options.h:43) is exactly this final evaluate-and-roll-back,
+        # which the accept/reject of the last iteration performs here.
+        # (For GN/LM the trailing dx is ~0 at convergence; for
         # first-order solvers a stale-gradient proposal can be large.)
-        applied = jnp.where((success | probe) & (cascade == 0), dx,
-                            jnp.zeros_like(dx))
+        # Segment mode is exempt: a segment boundary is not a stop, the
+        # trailing proposal is evaluated by the next segment, and the
+        # segment DRIVER performs the final evaluation host-side.
+        last_it = jnp.zeros((), bool) if segmented \
+            else (it + 1) >= max_iters_total
+        applied = jnp.where((success | probe) & (cascade == 0) & ~last_it,
+                            dx, jnp.zeros_like(dx))
         x_new = mf.retract(x_base, applied, spec)
         best_x_new = _where_tree(success, c.x, c.best_x)
         last_dx = jnp.where(success | probe, dx, c.last_dx)

@@ -141,28 +141,49 @@ def _with_vmap_fallback(fused, fn, options, mode, x_example, data_example):
     falls back to the identical-semantics vmap path with a warning, so
     ``solver="fused"`` is always safe to request.
     """
-    state = {"solve": fused}
+    state = {"solve": fused, "verified": False}
+
+    def _fallback(e):
+        import warnings
+        warnings.warn(
+            "tinyopt_tpu: fused whole-solve kernel failed to compile "
+            f"for this residual ({type(e).__name__}); falling back to "
+            "the vmapped XLA path (identical semantics). "
+            f"Original error: {str(e)[:200]}", RuntimeWarning)
+        if data_example is None:
+            state["solve"] = jax.jit(jax.vmap(
+                build_solver(fn, options, mode, x_example)))
+        else:
+            def solve1(x, data):
+                return build_solver(lambda x_: fn(x_, data), options,
+                                    mode, x)(x)
+            state["solve"] = jax.jit(jax.vmap(solve1))
 
     def call(*args):
+        # Under an OUTER jit trace, the Mosaic compile of the fused
+        # pallas_call happens when the outer program compiles — after
+        # this frame returned, where the except below can't catch it.
+        # Force the verdict now by compiling the fused executable once
+        # with the (abstract) call shapes; the result is cached by jax's
+        # jit, so the happy path pays one extra inner compile total.
+        leaves = jax.tree_util.tree_leaves(args)
+        tracing = any(isinstance(l, jax.core.Tracer) for l in leaves)
+        if tracing and not state["verified"] and state["solve"] is fused:
+            try:
+                shapes = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                                   jnp.result_type(a)),
+                    args)
+                jax.jit(fused).lower(*shapes).compile()
+                state["verified"] = True
+            except Exception as e:  # noqa: BLE001 - lowering/compile
+                _fallback(e)
         try:
             return state["solve"](*args)
         except Exception as e:  # noqa: BLE001 - any lowering/compile failure
             if state["solve"] is not fused:
                 raise
-            import warnings
-            warnings.warn(
-                "tinyopt_tpu: fused whole-solve kernel failed to compile "
-                f"for this residual ({type(e).__name__}); falling back to "
-                "the vmapped XLA path (identical semantics). "
-                f"Original error: {str(e)[:200]}", RuntimeWarning)
-            if data_example is None:
-                state["solve"] = jax.jit(jax.vmap(
-                    build_solver(fn, options, mode, x_example)))
-            else:
-                def solve1(x, data):
-                    return build_solver(lambda x_: fn(x_, data), options,
-                                        mode, x)(x)
-                state["solve"] = jax.jit(jax.vmap(solve1))
+            _fallback(e)
             return state["solve"](*args)
 
     call._tinyopt_fused = True

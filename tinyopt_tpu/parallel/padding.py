@@ -57,7 +57,12 @@ def masked_residuals(r: jax.Array, mask: jax.Array) -> jax.Array:
     """Zero out padded residual rows (apply inside the residual fn).
 
     ``r``: (n_max, ...) per-instance residuals, ``mask``: (n_max,).
+
+    Implemented with ``where`` rather than multiplication: a residual
+    function that divides/logs/sqrts its data produces inf/NaN on the
+    pad_value rows, and NaN · 0 = NaN would poison the whole instance —
+    ``where`` discards the padded rows' values AND their AD tangents.
     """
     r = jnp.asarray(r)
-    return r * mask.reshape((mask.shape[0],) + (1,) * (r.ndim - 1)).astype(
-        r.dtype)
+    m = mask.reshape((mask.shape[0],) + (1,) * (r.ndim - 1)) > 0
+    return jnp.where(m, r, jnp.zeros((), r.dtype))

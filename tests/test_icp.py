@@ -63,6 +63,20 @@ class TestICP:
         assert float(errs.max()) < 1e-3
         assert bool(outs.succeeded().all())
 
+    def test_multi_start_escapes_local_minimum(self):
+        """A far pose that identity-start ICP cannot reach: multi-start
+        picks the basin with the lowest final cost."""
+        from tinyopt_tpu.models.icp import icp_multi_start
+        prob = make_icp_problem(n_src=80, n_dst=100, noise=1e-4,
+                                pose_scale=1.2, seed=7)
+        pose1, out1 = jax.jit(lambda s, d: icp(s, d, n_outer=12))(
+            prob.src, prob.dst)
+        posem, outm = jax.jit(
+            lambda s, d: icp_multi_start(s, d, n_starts=12, n_outer=12,
+                                         spread=1.0))(prob.src, prob.dst)
+        assert float(outm.final_cost.cost) <= float(out1.final_cost.cost)
+        assert _pose_err(posem, prob.true_pose) < 0.02
+
     def test_custom_options_and_start(self):
         from tinyopt_tpu.manifolds import SE3
         prob = make_icp_problem(n_src=64, n_dst=80, noise=1e-4, seed=3)

@@ -76,8 +76,8 @@ def icp(src: jax.Array, dst: jax.Array, pose0: SE3 | None = None,
     ICP is non-convex: a far initial pose can land in a correspondence
     local minimum (measured on v5e: 491/512 random 0.3-scale poses
     register to <0.01 from identity; the rest need a better start).
-    Compose with ``optimize.multi_start_optimize``-style restarts or a
-    global initializer when the prior pose is weak.
+    Use :func:`icp_multi_start` or a global initializer when the prior
+    pose is weak.
     """
     options = options or Options(max_iters=8, max_consec_failures=0)
     if pose0 is None:
@@ -98,6 +98,31 @@ def icp(src: jax.Array, dst: jax.Array, pose0: SE3 | None = None,
     pose = jax.lax.fori_loop(0, max(n_outer - 1, 0), outer_body, pose0)
     idx = nearest_neighbors(_transform(pose, src), dst)
     return inner_solve(pose, dst[idx])
+
+
+def icp_multi_start(src: jax.Array, dst: jax.Array, n_starts: int = 8,
+                    options: Options | None = None, *, n_outer: int = 10,
+                    robust_th: float | None = None, spread: float = 0.5,
+                    seed: int = 0):
+    """ICP from ``n_starts`` rotated initial poses, keeping the lowest
+    final cost — the standard escape from correspondence local minima
+    when no pose prior exists.  All starts run concurrently under one
+    vmapped XLA program (to.multi_start_optimize's pattern applied to
+    the alternation).  Returns ``(pose, Output)`` of the winner."""
+    dtype = jnp.result_type(src.dtype, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    w = spread * jax.random.normal(key, (n_starts - 1, 6), dtype)
+    w = jnp.concatenate([jnp.zeros((1, 6), dtype), w])   # identity first
+
+    def one(wi):
+        return icp(src, dst, SE3.exp(wi), options, n_outer=n_outer,
+                   robust_th=robust_th)
+
+    poses, outs = jax.vmap(one)(w)
+    best = jnp.argmin(outs.final_cost.cost)
+    pose = jax.tree_util.tree_map(lambda a: a[best], poses)
+    out = jax.tree_util.tree_map(lambda a: a[best], outs)
+    return pose, out
 
 
 class ICPProblem(NamedTuple):

@@ -40,9 +40,12 @@ def check_gradient(x, acc: Callable, eps: float = 1e-5,
     g_user = jnp.ravel(jnp.asarray(out[1])).astype(spec.dtype)
 
     def cost_only(y):
+        from .auto import _as_cost
         o = acc(y)
-        return jnp.reshape(jnp.asarray(o[0] if isinstance(o, (tuple, list))
-                                       else o), ())
+        # The acc contract allows the cost slot to be a scalar, a
+        # (cost, n) pair, or a Cost object (diff/auto._as_cost).
+        return jnp.reshape(
+            _as_cost(o[0] if isinstance(o, (tuple, list)) else o).cost, ())
 
     g_num = jnp.ravel(
         estimate_num_jac(cost_only, x, method, eps / 10.0, spec))

@@ -51,7 +51,8 @@ kFastCentral = Method.FAST_CENTRAL
 
 def default_step(dtype) -> float:
     """FloatEpsilon: 1e-4 (f32 and below) / 1e-7 (f64) (math.h:297-301)."""
-    return 1e-7 if jnp.dtype(dtype).itemsize >= 8 else 1e-4
+    from ..utils import float_epsilon
+    return float_epsilon(dtype)
 
 
 def num_eval(f: Callable, x, method: Method = Method.CENTRAL,

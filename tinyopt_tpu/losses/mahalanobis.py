@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 def _float_eps(dtype) -> float:
     """FloatEpsilon (reference: math.h:297-301)."""
-    return 1e-7 if jnp.dtype(dtype).itemsize >= 8 else 1e-4
+    from ..utils import float_epsilon
+    return float_epsilon(dtype)
 
 
 def _apply_inv_cov(x: jax.Array, cov_or_var) -> jax.Array:

@@ -19,9 +19,16 @@ def squared_l2(x, add_scale: bool = False):
 
 
 def l2(x, eps: float = 1e-12):
-    """‖x‖ with an ε-guarded gradient at 0 (norms.h:52-81)."""
+    """‖x‖, exact in VALUE with an ε-guarded gradient at 0 (norms.h:52-81
+    returns the exact norm and guards only the Jacobian; adding ε inside
+    the sqrt would bias small norms — e.g. ‖x‖ = 1e-7 by 10×, exactly the
+    near-convergence regime).  Double-where keeps the AD tangent finite
+    at 0."""
     x = jnp.ravel(x)
-    return jnp.sqrt(jnp.vdot(x, x) + eps)
+    n2 = jnp.vdot(x, x)
+    pos = n2 > eps
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, n2, 1.0)),
+                     n2 / jnp.sqrt(jnp.asarray(eps, n2.dtype)))
 
 
 def l1(x):
@@ -40,9 +47,11 @@ def squared_l2_with_jac(x):
 
 
 def l2_with_jac(x, eps: float = 1e-12):
+    """Exact ‖x‖ with the reference's ε-guarded Jacobian xᵀ/max(‖x‖, ε)
+    (norms.h:52-81)."""
     x = jnp.ravel(x)
-    n = jnp.sqrt(jnp.vdot(x, x) + eps)
-    return n, (x / n)[None, :]
+    n = l2(x, eps)
+    return n, (x / jnp.maximum(n, jnp.asarray(eps, n.dtype)))[None, :]
 
 
 def l1_with_jac(x):

@@ -32,7 +32,11 @@ def huber(n2, th2):
 
 
 def tukey(n2, th2):
-    """Tukey biweight (robust_norms.h:122-152)."""
+    """Tukey biweight — DELIBERATELY renormalized ×⅓ vs the cited
+    reference (robust_norms.h:122-152 uses loss th²(1−u³), scale 3u²):
+    the ⅓ restores the loss≈n², scale≈1 inlier contract every other
+    M-estimator here honors (pinned by test_losses.test_inlier_identity);
+    the outlier plateau is therefore th²/3, not th²."""
     inlier = n2 <= th2
     u = 1.0 - n2 / th2
     loss = jnp.where(inlier, th2 / 3.0 * (1.0 - u * u * u), th2 / 3.0)
@@ -65,7 +69,7 @@ def geman_mcclure(n2, th2):
     return loss, scale
 
 
-def blake_zisserman(n2, th2, c: float = 1.0):
+def blake_zisserman(n2, th2):
     """Blake-Zisserman (robust_norms.h:282-303)."""
     eps = jnp.exp(-th2)
     loss = -jnp.log(jnp.exp(-n2) + eps)

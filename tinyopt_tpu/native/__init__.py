@@ -75,11 +75,19 @@ def _build() -> str:
     if (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return _LIB_PATH
-    tmp = tempfile.mktemp(suffix=".so", dir=_HERE)
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           "-march=native", _SRC, "-o", tmp]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp, _LIB_PATH)
+    # mkstemp (not mktemp): the name is created-and-reserved atomically,
+    # so two processes compiling concurrently cannot write the same temp
+    # file and publish a torn .so via os.replace.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    try:
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+               "-march=native", _SRC, "-o", tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return _LIB_PATH
 
 

@@ -205,9 +205,12 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
   // Two system buffers with pointer swapping on accept: the accepted
   // (H, g) is preserved without any O(d²) copy, and rejected iterations
   // read it directly (the Rebuild(false) shortcut, reference
-  // solvers/lm.h:96-105, at zero copy cost).
-  static thread_local double bufH[2][kMaxDims * kMaxDims];
-  static thread_local double bufG[2][kMaxDims];
+  // solvers/lm.h:96-105, at zero copy cost).  Stack-allocated (like L
+  // below) so the solver is re-entrant: a residual callback may itself
+  // invoke tinyopt_solve (bilevel problems) without corrupting the outer
+  // solve's accepted system, which static thread_local storage would.
+  double bufH[2][kMaxDims * kMaxDims];
+  double bufG[2][kMaxDims];
   double* H = bufH[0];       // build target (current candidate's system)
   double* H_bst = bufH[1];   // last accepted system
   double* g = bufG[0];

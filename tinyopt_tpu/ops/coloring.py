@@ -176,7 +176,8 @@ def detect_diag_coloring(residual_fn, x_example, data_example, spec,
     n_colors = int(colors.max()) + 1 if dims else 1
     if n_colors > max(1, dims // 2):
         return None
-    if n_colors * n_res * dims * 4 > max_recovery_bytes:
+    if n_colors * n_res * dims * np.dtype(dtype).itemsize \
+            > max_recovery_bytes:
         return None
 
     probes = np.zeros((n_colors, dims), dtype=np.dtype(dtype))

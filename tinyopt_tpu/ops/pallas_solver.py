@@ -158,8 +158,11 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
     # constraint); squeeze them back before handing to the residual fn.
     data_vals = [r[:][:, 0] if sq else r[:]
                  for r, sq in zip(refs[1:1 + n_data], squeezed)]
-    n_extra = 2 if coloring is not None else 0
-    if coloring is not None:
+    # Identity colorings need no constants at all: the single probe is
+    # all-ones (synthesized in-kernel) and the recovery contraction is a
+    # slice, so neither array is shipped to VMEM (see fused_batched_solver).
+    n_extra = 2 if (coloring is not None and not coloring.identity) else 0
+    if n_extra:
         probes_ref, recovery_ref = refs[1 + n_data:1 + n_data + 2]
     (x_ref, cost_ref, rerr_ref, stop_ref, it_ref, nfail_ref, nconsec_ref,
      lam_ref, g_ref, nres_ref) = refs[1 + n_data + n_extra:]
@@ -246,17 +249,20 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             # (precision HIGHEST: the recovery sum must be exact f32 —
             # colored diag equals the per-dimension diag bit-for-bit up to
             # summation order, keeping parity with the XLA path).
-            probes = probes_ref[:]                 # (C, d)
-            sqs = []
-            for c in range(coloring.n_colors):
-                Jp = jvp_fn(jnp.broadcast_to(probes[c:c + 1, :], (BT, d)))
-                sqs.append(Jp * Jp)
             if coloring.identity:
-                # J is exactly diagonal (row i ↔ dim i): the recovery
-                # contraction is the identity on the first d lanes — skip
-                # the 6-pass HIGHEST matmul per outer iteration.
-                diagH = sqs[0][:, :d]
+                # J is exactly diagonal (row i ↔ dim i): the single probe
+                # is all-ones and the recovery contraction is the identity
+                # on the first d lanes — no constants, no 6-pass HIGHEST
+                # matmul per outer iteration.
+                Jp = jvp_fn(jnp.ones((BT, d), dtype))
+                diagH = (Jp * Jp)[:, :d]
             else:
+                probes = probes_ref[:]             # (C, d)
+                sqs = []
+                for c in range(coloring.n_colors):
+                    Jp = jvp_fn(
+                        jnp.broadcast_to(probes[c:c + 1, :], (BT, d)))
+                    sqs.append(Jp * Jp)
                 SQ = (sqs[0] if len(sqs) == 1
                       else jnp.concatenate(sqs, axis=-1))
                 diagH = jnp.dot(SQ, recovery_ref[:],  # (BT, C·n) @ (C·n, d)
@@ -488,7 +494,8 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         # --- Accept / reject (optimizer.h:427-459) ---
         derr = err - best_cost
         is_good = derr < 0
-        feps = dtype.type(1e-7 if jnp.dtype(dtype).itemsize >= 8 else 1e-4)
+        from ..utils import float_epsilon
+        feps = dtype.type(float_epsilon(dtype))
         rel_derr = jnp.where(
             (best_cost > feps) & jnp.isfinite(best_cost),
             (best_cost - err) / best_cost, dtype.type(0))
@@ -702,7 +709,7 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             math.prod(l.shape[1:]) * l.dtype.itemsize for l in data_leaves)
         budget = int(__import__("os").environ.get(
             "TINYOPT_FUSED_VMEM_BUDGET", 9 * 1024 * 1024))
-        if coloring is not None:
+        if coloring is not None and not coloring.identity:
             # The coloring constants are resident once (not per-instance)
             crows = ((coloring.recovery.shape[0] + 7) // 8) * 8
             budget -= 2 * crows * d_lane * jnp.dtype(dtype).itemsize
@@ -730,7 +737,7 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
                 functools.partial(
                     lambda i, _nd: (i,) + (0,) * (_nd - 1), _nd=nd)))
         extra_inputs = []
-        if coloring is not None:
+        if coloring is not None and not coloring.identity:
             probes = jnp.asarray(coloring.probes, dtype)
             recovery = jnp.asarray(coloring.recovery, dtype)
             in_specs.append(pl.BlockSpec(probes.shape, lambda i: (0, 0)))

@@ -82,10 +82,15 @@ class SparseSym:
 
     def damp(self, lam) -> "SparseSym":
         """Multiplicative diagonal damping ``H(i,i) *= 1 + λ``
-        (reference lm.h:107-117)."""
+        (reference lm.h:107-117), with the framework's absolute-λ
+        fallback for exactly-zero diagonal entries so λ-escalation
+        drives the system solvable (ops/linalg.damp_diagonal and the
+        fused kernel implement the same contract)."""
         lam = jnp.asarray(lam, self.vals.dtype)
+        zero_diag = self.is_diag * (self.vals == 0).astype(self.vals.dtype)
         return dataclasses.replace(
-            self, vals=self.vals * (1.0 + self.is_diag * lam))
+            self, vals=self.vals * (1.0 + self.is_diag * lam)
+            + zero_diag * lam)
 
     def matvec(self, v: jax.Array) -> jax.Array:
         return (jnp.zeros((self.dim,), v.dtype)

@@ -389,7 +389,8 @@ def optimize_from_acc(
         is_good = derr < 0
         # FloatEpsilon guard (reference: math.h:297-301 — 1e-7 for f64,
         # 1e-4 for f32), matching the reference's rel_derr zeroing exactly.
-        eps = dtype.type(1e-7 if jnp.dtype(dtype).itemsize >= 8 else 1e-4)
+        from ..utils import float_epsilon
+        eps = dtype.type(float_epsilon(dtype))
         rel_derr = jnp.where(
             (c.best_cost > eps) & jnp.isfinite(c.best_cost),
             (c.best_cost - err) / c.best_cost, dtype.type(0))

@@ -15,6 +15,16 @@ import time
 from typing import Iterator
 
 
+def float_epsilon(dtype) -> float:
+    """The reference's FloatEpsilon policy (math.h:297-301): 1e-7 for
+    64-bit floats, 1e-4 for narrower — ONE definition shared by the
+    Mahalanobis guards, numerical-differentiation default steps, and the
+    accept/reject rel_derr zeroing in BOTH the XLA loop and the fused
+    kernel (the two must stay bit-identical)."""
+    import jax.numpy as jnp
+    return 1e-7 if jnp.dtype(dtype).itemsize >= 8 else 1e-4
+
+
 def tic() -> float:
     """Start time in seconds (reference: time.h:22)."""
     return time.perf_counter()

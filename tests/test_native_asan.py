@@ -1,0 +1,81 @@
+"""AddressSanitizer run of the native C++ runtime.
+
+The reference wires an ASAN build type into its CMake
+(cmake/CompilerFlags.cmake:25-35, SURVEY.md §5.2); this is that check for
+our runtime: the solver battery — including a RE-ENTRANT solve, where a
+residual callback itself invokes tinyopt_solve — must run clean under
+-fsanitize=address,use-after-scope.  Runs in a subprocess because ASAN
+must be LD_PRELOADed before the interpreter starts.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tinyopt_tpu", "native",
+    "tinyopt_native.cpp")
+
+
+def _asan_runtime():
+    try:
+        out = subprocess.run(["g++", "-print-file-name=libasan.so"],
+                             capture_output=True, text=True, check=True)
+        path = out.stdout.strip()
+        return path if os.path.sep in path and os.path.exists(path) else None
+    except Exception:  # noqa: BLE001 - no toolchain -> skip
+        return None
+
+
+BATTERY = textwrap.dedent("""
+    import sys
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import tinyopt_tpu.native as native
+    native._build = lambda: {lib!r}
+    native._lib = None
+
+    r = native.bench_sqrt2(1.0)
+    assert abs(r.x[0] - 2**0.5) < 1e-10, r
+    rng = np.random.default_rng(0)
+    for d in (3, 12, 50, 128):
+        y = rng.uniform(-1, 1, d); std = rng.uniform(0.1, 1.1, d)
+        res = native.bench_prior(y, 1.0/std, rng.uniform(-1, 1, d))
+        assert np.allclose(res.x, y, atol=1e-5), d
+    res = native.native_optimize(
+        np.array([1.0]),
+        lambda x: (x*x - 2.0, np.array([[2*x[0]]])), 1)
+    assert abs(res.x[0] - 2**0.5) < 1e-8
+
+    # re-entrant: the residual callback runs a nested native solve
+    def outer_res(x):
+        inner = native.native_optimize(
+            np.array([1.0]), lambda z: (z*z - 2.0, np.array([[2*z[0]]])), 1)
+        return x - inner.x[0], np.eye(1)
+    res2 = native.native_optimize(np.array([0.0]), outer_res, 1)
+    assert abs(res2.x[0] - 2**0.5) < 1e-7, res2
+    print("ASAN-OK")
+""")
+
+
+@pytest.mark.skipif(_asan_runtime() is None,
+                    reason="libasan not available")
+def test_native_battery_under_asan(tmp_path):
+    lib = os.path.join(str(tmp_path), "libtinyopt_asan.so")
+    subprocess.run(
+        ["g++", "-O1", "-g", "-fPIC", "-shared", "-std=c++17",
+         "-fsanitize=address", "-fsanitize-address-use-after-scope",
+         "-o", lib, _SRC], check=True, capture_output=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               LD_PRELOAD=_asan_runtime(),
+               ASAN_OPTIONS="detect_leaks=0")
+    out = subprocess.run(
+        [sys.executable, "-c", BATTERY.format(repo=repo, lib=lib)],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "ASAN-OK" in out.stdout
+    assert "AddressSanitizer" not in out.stderr

@@ -71,8 +71,13 @@ def make_ba_problem(n_cams: int = 4, n_pts: int = 24, noise: float = 0.0,
     pts[:, 2] += 4.0                       # cloud in front of the cameras
 
     poses_q, poses_t = [], []
+    # Ring spacing: 0.25 rad between neighbors for small rigs (the
+    # original geometry), capped to a ±0.75 rad total arc for large ones —
+    # otherwise 100+ cameras wrap full turns and look away from the cloud
+    # (points behind a camera project to clamped-z garbage).
+    spacing = min(0.25, 1.5 / max(n_cams - 1, 1))
     for i in range(n_cams):
-        ang = 0.25 * (i - (n_cams - 1) / 2)
+        ang = spacing * (i - (n_cams - 1) / 2)
         R = SO3.exp(jnp.asarray([0.0, ang, 0.0], dtype))
         c = jnp.asarray([2.0 * np.sin(ang), 0.0, 4.0 - 4.0 * np.cos(ang)],
                         dtype)
@@ -88,8 +93,19 @@ def make_ba_problem(n_cams: int = 4, n_pts: int = 24, noise: float = 0.0,
 
     obs = jax.vmap(one_cam)(true_poses.rotation.wxyz, true_poses.translation)
     obs = obs + noise * jnp.asarray(rng.normal(size=obs.shape), dtype)
+
+    # Cheirality mask: only points comfortably in FRONT of a camera are
+    # observed (a real SfM pipeline never keeps the rest; a near-zero
+    # depth would also make the normalized projection ill-conditioned).
+    def depth_cam(q, t):
+        pc = SO3(q).apply(true_points) + t[None, :]
+        return pc[:, 2]
+    z = jax.vmap(depth_cam)(true_poses.rotation.wxyz,
+                            true_poses.translation)
     mask = jnp.asarray(
         rng.uniform(size=(n_cams, n_pts)) < visibility, dtype)
+    # margin > max plausible depth shift under the x0 perturbations
+    mask = mask * (z > 1.0).astype(dtype)
 
     # Perturbed initial guess, anchored at camera 0 and point 0.
     dw = pose_noise * rng.normal(size=(n_cams, 6))

@@ -153,3 +153,68 @@ def test_captured_constants_fall_back():
     if on_tpu:
         # the fused path was requested and must have fallen back audibly
         assert any("fused" in str(wi.message) for wi in w)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_se3_program_parity(seed):
+    """Manifold fuzzing: SE(3) parameters with randomly composed
+    point-based residuals — the most delicate kernel path (in-kernel
+    quaternion retraction, ambient-P/tangent-D layout, kernel_math
+    substitutions) must match the XLA loop on random programs too."""
+    from tinyopt_tpu.manifolds import SE3, SO3
+
+    rng = np.random.default_rng(100 + seed)
+    n_pts = int(rng.integers(4, 10))
+    batch = 8
+    kind = int(rng.integers(0, 3))
+    w_scale = float(rng.uniform(0.05, 0.25))
+
+    def residual(pose, data):
+        p = pose.rotation.apply(data["pts"]) + pose.translation[None, :]
+        if kind == 0:
+            r = p - data["tgt"]
+        elif kind == 1:
+            r = jnp.tanh(p) - data["tgt"]
+        else:
+            r = p * data["w"] - data["tgt"]
+        return r.reshape(-1)
+
+    pts = jnp.asarray(rng.uniform(-1, 1, (batch, n_pts, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (batch, n_pts, 3)), jnp.float32)
+    true_pose = SE3.exp(jnp.asarray(
+        w_scale * rng.normal(size=(batch, 6)), jnp.float32))
+    rot_b = SO3(true_pose.rotation.wxyz[:, None, :])
+    moved = rot_b.apply(pts) + true_pose.translation[:, None, :]
+    if kind == 1:
+        tgt = jnp.tanh(moved)
+    elif kind == 2:
+        tgt = moved * w
+    else:
+        tgt = moved
+    tgt = tgt + 1e-4 * jnp.asarray(
+        rng.normal(size=tgt.shape), jnp.float32)
+    data = {"pts": pts, "w": w, "tgt": tgt}
+    x0 = SE3.exp(jnp.asarray(
+        w_scale * rng.normal(size=(batch, 6)) * 0.3, jnp.float32))
+
+    x_ex = jax.tree_util.tree_map(lambda a: a[0], x0)
+    d_ex = jax.tree_util.tree_map(lambda a: a[0], data)
+    opts = to.Options(max_iters=12, min_error=0.0, min_rerr_dec=1e-12,
+                      min_step_norm2=1e-16, max_consec_failures=4,
+                      save_history=False,
+                      hessian=to.HessianOptions(save_last=False,
+                                                solver="cg", cg_iters=10,
+                                                carry_system=False))
+    ref = jax.jit(batched_solver(residual, opts, "residuals", x_ex, d_ex))
+    fused = fused_batched_solver(
+        residual, opts.replace(hessian=to.HessianOptions(
+            save_last=False, solver="fused", cg_iters=10,
+            carry_system=False)),
+        x_ex, d_ex, interpret=True)
+    xr, outr = ref(x0, data)
+    xf, outf = fused(x0, data)
+    np.testing.assert_allclose(np.asarray(outr.final_cost.cost),
+                               np.asarray(outf.final_cost.cost),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(outr.succeeded()),
+                                  np.asarray(outf.succeeded()))

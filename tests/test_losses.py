@@ -248,3 +248,44 @@ class TestRobustNormSolve:
         assert float(x[0]) == pytest.approx(2.0, abs=2e-2)
         assert float(x[1]) == pytest.approx(7.0, abs=2e-2)
         assert abs(float(x[2])) == pytest.approx(2.0, abs=2e-2)
+
+
+class TestRobustCost:
+    """robust_cost: the inlier-accounting Cost producer (reference *Loss
+    composers + Cost inlier merging, robust_norms.h:60-63, cost.h:51-64)."""
+
+    def test_inlier_ratio_counts_blocks(self):
+        from tinyopt_tpu.losses.robust_norms import huber, robust_cost
+        r = jnp.asarray([[0.1, 0.0], [3.0, 4.0], [0.2, 0.1], [10.0, 0.0]])
+        c = robust_cost(r, huber, 1.0)            # th² = 1: 2 of 4 inliers
+        assert int(c.num_residuals) == 4
+        assert float(c.inlier_ratio) == pytest.approx(0.5)
+        # inlier blocks contribute their exact squared norm
+        assert float(c.cost) > 0
+
+    def test_flows_through_optimize_acc(self):
+        """A manual acc returning robust_cost: Output.final_cost carries
+        the inlier ratio (plumbed through the loop's best-cost tracking).
+        One scalar parameter fit to 4 measurements, one of which is a
+        gross outlier the optimum cannot zero — it must be COUNTED as an
+        outlier at the solution."""
+        from tinyopt_tpu.losses.robust_norms import huber, robust_cost
+        y = jnp.asarray([0.0, 0.1, -0.1, 10.0])   # one gross outlier
+
+        def cost_fn(x):
+            return robust_cost(x - y, huber, 0.25).cost
+
+        def acc(x, *_):
+            c = robust_cost(x - y, huber, 0.25)
+            g = jax.grad(cost_fn)(x)
+            H = jax.hessian(cost_fn)(x)
+            return c, g, H + jnp.eye(1) * 1e-9
+
+        import tinyopt_tpu as to
+        x, out = to.optimize(jnp.asarray([0.5]), acc,
+                             to.Options(max_iters=40,
+                                        max_consec_failures=0),
+                             mode="acc")
+        assert bool(out.succeeded())
+        assert abs(float(x[0])) < 0.2              # robust: near inliers
+        assert float(out.final_cost.inlier_ratio) == pytest.approx(0.75)

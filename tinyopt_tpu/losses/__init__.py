@@ -2,6 +2,7 @@ from . import activations, classif, distances, mahalanobis, norms, robust_norms
 from .norms import squared_l2, l1, l2, linf
 from .robust_norms import (
     truncated, huber, tukey, arctan, cauchy, geman_mcclure, blake_zisserman,
+    robust_cost,
     truncated_loss, huber_loss, tukey_loss, arctan_loss, cauchy_loss,
     geman_mcclure_loss, blake_zisserman_loss, robust_whiten,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "squared_l2", "l1", "l2", "linf",
     "truncated", "huber", "tukey", "arctan", "cauchy", "geman_mcclure",
     "blake_zisserman",
+    "robust_cost",
     "truncated_loss", "huber_loss", "tukey_loss", "arctan_loss",
     "cauchy_loss", "geman_mcclure_loss", "blake_zisserman_loss",
     "robust_whiten",

@@ -12,6 +12,7 @@ scalar loss directly (robust_norms.h:60-63 etc.).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -118,3 +119,29 @@ def robust_whiten(r, robust_fn, th2):
                   jnp.where(rpos, jnp.sqrt(jnp.where(rpos, ratio, 1.0)), 0.0),
                   1.0)
     return w * r
+
+
+def robust_cost(residuals, robust_fn, th2):
+    """Robust total cost WITH inlier accounting — the reference's
+    ``*Loss`` composers return a ``Cost`` whose ``inlier_ratio`` counts
+    residual blocks under the threshold (robust_norms.h:60-63 composed
+    with cost.h:22-37); this is that producer for manual-acc functions
+    and for reporting.
+
+    ``residuals``: (n, k) — n residual blocks of size k (or (n,) for
+    scalar blocks).  Returns ``Cost(Σ ρ(‖rᵢ‖²), n, #inliers/n)`` where a
+    block is an inlier when ``‖rᵢ‖² ≤ th2`` (the threshold comparison all
+    the M-estimators here switch on).
+    """
+    from ..cost import Cost
+
+    r = jnp.asarray(residuals)
+    if r.ndim == 1:
+        r = r[:, None]
+    r = r.reshape(r.shape[0], -1)
+    n2 = jnp.sum(r * r, axis=-1)
+    loss, _ = jax.vmap(lambda v: robust_fn(v, th2))(n2)
+    inl = jnp.mean((n2 <= th2).astype(jnp.float32))
+    return Cost(cost=jnp.sum(loss),
+                num_residuals=jnp.asarray(r.shape[0], jnp.int32),
+                inlier_ratio=inl)

@@ -365,3 +365,40 @@ class TestCostScaling:
             min_grad_norm2=0,
             cost=to.CostScalingOptions(use_squared_norm=False)))
         assert float(out.errs_list[0]) == pytest.approx(3.0, rel=1e-6)
+
+
+class TestCheckFinalCostEvalOnly:
+    def test_cfc_extra_iteration_is_evaluate_only(self):
+        """check_final_cost's extra iteration must run the cost-only
+        evaluate branch, not a full accumulation (regression: the
+        eval_only flag was set one iteration too late, so the branch was
+        dead — the check paid a full Jacobian build and, in carry mode,
+        overwrote the saved H with the possibly-rejected check point's
+        system)."""
+        from tinyopt_tpu.optimize import _build_system
+        from tinyopt_tpu.optimizers.loop import optimize_from_acc
+
+        counts = {"acc": 0, "ev": 0}
+        res = lambda x: x * x - jnp.arange(2.0, 5.0)
+        x0 = jnp.ones(3)
+        acc0, ev0, _n, spec, _ndu, _mode = _build_system(
+            res, to.Options(), "auto", x0)
+
+        def acc(x):
+            jax.debug.callback(
+                lambda: counts.__setitem__("acc", counts["acc"] + 1))
+            return acc0(x)
+
+        def ev(x):
+            jax.debug.callback(
+                lambda: counts.__setitem__("ev", counts["ev"] + 1))
+            return ev0(x)
+
+        o = to.Options(max_iters=3, check_final_cost=True, min_error=0.0,
+                       min_rerr_dec=0.0, min_step_norm2=0.0,
+                       min_grad_norm2=0.0, max_consec_failures=0)
+        _, out = optimize_from_acc(x0, acc, ev, o, spec)
+        jax.effects_barrier()
+        assert int(out.num_iters) == 5          # 3 + rollback + check
+        assert counts["ev"] >= 1                # the check was eval-only
+        assert counts["acc"] == 4               # not 5

@@ -104,8 +104,10 @@ class TestSegmentSolver:
                                    jnp.array([1.0]), mode="cost",
                                    iters_per_segment=5)
         x, out, _ = solver.run(jnp.array([1.0]))
-        assert int(out.num_iters) >= 13  # 12 + 1, reached in 5-chunks
-        assert int(out.num_iters) <= 15  # and not unbounded
+        # EXACT budget: 12 + 1 iterations — the last segment is a
+        # compiled tail sized to the remainder (no overshoot to a
+        # segment multiple)
+        assert int(out.num_iters) == 13
 
     def test_run_aggregates_history(self):
         opts = to.Options(max_iters=29, max_consec_failures=0)

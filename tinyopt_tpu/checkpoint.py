@@ -51,6 +51,9 @@ class SegmentSolver:
     options: Options    #: the ORIGINAL options (total budgets live here)
     _evaluate: Callable
     _x_example: Any
+    _iters_per_segment: int = 10
+    _tail_builder: Callable | None = None   # k -> resume running k iters
+    _tails: dict = dataclasses.field(default_factory=dict)
 
     def abstract_state(self, x_example=None):
         """ShapeDtypeStruct pytree of the segment state — the restore
@@ -76,8 +79,21 @@ class SegmentSolver:
         hist_e, hist_d, hist_s = [], [], []
         st = None
         while True:
-            x, out, st = (self.start(x0) if st is None
-                          else self.resume(st))
+            remaining = budget - total
+            if st is None:
+                x, out, st = self.start(x0)
+            elif (remaining < self._iters_per_segment
+                    and self._tail_builder is not None):
+                # Exact-budget tail: a resume executable sized to the
+                # remainder, so the total NEVER overshoots max_iters + 1
+                # (one extra compile per distinct remainder, cached).
+                tail = self._tails.get(remaining)
+                if tail is None:
+                    tail = self._tail_builder(remaining)
+                    self._tails[remaining] = tail
+                x, out, st = tail(st)
+            else:
+                x, out, st = self.resume(st)
             total += int(out.num_iters)
             n_seg += 1
             if self.options.save_history:
@@ -127,8 +143,14 @@ def segment_solver(fn: Callable, options: Options | None = None,
     x_example = mf.as_pytree(x_example)
     start, resume, evaluate, _spec, _ndu, mode, _n_res = _segment_pair(
         fn, options, mode, x_example, iters_per_segment)
+
+    def tail_builder(k: int):
+        return _segment_pair(fn, options, mode, x_example, k)[1]
+
     return SegmentSolver(start=start, resume=resume, options=options,
-                         _evaluate=evaluate, _x_example=x_example)
+                         _evaluate=evaluate, _x_example=x_example,
+                         _iters_per_segment=iters_per_segment,
+                         _tail_builder=tail_builder)
 
 
 def save_state(path: str, state) -> None:

@@ -42,7 +42,8 @@ def nearest_neighbors(src: jax.Array, dst: jax.Array) -> jax.Array:
     ‖s − d‖² = ‖s‖² − 2·s·d + ‖d‖²; the (N, M) cross term is one MXU
     matmul and the row argmin vectorizes on the VPU.
     """
-    cross = jnp.matmul(src, dst.T, preferred_element_type=jnp.float32)
+    acc_t = jnp.promote_types(src.dtype, jnp.float32)
+    cross = jnp.matmul(src, dst.T, preferred_element_type=acc_t)
     d2 = (jnp.sum(src * src, axis=-1)[:, None]
           - 2.0 * cross + jnp.sum(dst * dst, axis=-1)[None, :])
     return jnp.argmin(d2, axis=-1)

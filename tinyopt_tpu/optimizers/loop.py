@@ -114,7 +114,6 @@ class _RetryState(NamedTuple):
     num_failures: jax.Array
     num_consec: jax.Array
     give_up: jax.Array
-    tried: jax.Array
 
 
 def _solve_with_retries(H, g, lm_state, c, extra_ok, opts,
@@ -143,13 +142,12 @@ def _solve_with_retries(H, g, lm_state, c, extra_ok, opts,
         lm_state2 = jax.tree_util.tree_map(
             lambda a, b: jnp.where((~ok) & (~give_up), a, b), new_lm, s.lm)
         return _RetryState(dx=jnp.where(ok, dx, s.dx), ok=ok, lm=lm_state2,
-                           num_failures=nf, num_consec=nc, give_up=give_up,
-                           tried=s.tried + 1)
+                           num_failures=nf, num_consec=nc, give_up=give_up)
 
     init = _RetryState(
         dx=jnp.zeros_like(g), ok=jnp.zeros((), bool), lm=lm_state,
         num_failures=c.num_failures, num_consec=c.num_consec,
-        give_up=jnp.zeros((), bool), tried=jnp.zeros((), _I32))
+        give_up=jnp.zeros((), bool))
     return jax.lax.while_loop(cond, body, init)
 
 
@@ -354,8 +352,7 @@ def optimize_from_acc(
             rs = _RetryState(dx=dx, ok=jnp.ones((), bool), lm=c.lm,
                              num_failures=c.num_failures,
                              num_consec=c.num_consec,
-                             give_up=jnp.zeros((), bool),
-                             tried=jnp.ones((), _I32))
+                             give_up=jnp.zeros((), bool))
         else:
             fo_new = c.fo
             rs = _solve_with_retries(H, g, c.lm, c, diag_ok, opts, propose)
@@ -518,24 +515,46 @@ def optimize_from_acc(
         # Segment mode is exempt: a segment boundary is not a stop, the
         # trailing proposal is evaluated by the next segment, and the
         # segment DRIVER performs the final evaluation host-side.
-        last_it = jnp.zeros((), bool) if segmented \
-            else (it + 1) >= max_iters_total
-        applied = jnp.where((success | probe) & (cascade == 0) & ~last_it,
-                            dx, jnp.zeros_like(dx))
+        is_last = (it + 1) >= max_iters_total      # THIS iter is the final
+        next_is_last = (it + 2) >= max_iters_total  # the NEXT one will be
+        apply_gate = jnp.zeros((), bool) if segmented else is_last
+        applied = jnp.where((success | probe) & (cascade == 0)
+                            & ~apply_gate, dx, jnp.zeros_like(dx))
         x_new = mf.retract(x_base, applied, spec)
         best_x_new = _where_tree(success, c.x, c.best_x)
         last_dx = jnp.where(success | probe, dx, c.last_dx)
         has_last = jnp.where(success, True,
                              jnp.where(c.has_last_dx, False, probe))
 
-        # eval_only / rebuild flags (optimizer.h:277-299)
-        is_final_iter = (it + 1) >= max_iters_total
+        # eval_only / rebuild flags (optimizer.h:277-299).  The
+        # check_final_cost extra iteration must be EVALUATE-only — its
+        # rebuild flag is consumed by the NEXT iteration, so it is set
+        # when the next iteration is the final one (setting it on the
+        # final iteration itself is dead: the loop cond exits before the
+        # flag is read, the check evaluation paid a full accumulation,
+        # and in carry mode the saved H/g described the possibly-rejected
+        # check point instead of the last build).
         eval_only = jnp.where(
             success,
-            opts.check_final_cost & is_final_iter,
+            opts.check_final_cost & next_is_last,
             ~c.last_was_success)
         rebuild = ~eval_only
         last_was_success = success
+
+        if opts.log.print_failure and _callbacks_supported():
+            # Failure dump (reference optimizer.h print_failure block):
+            # on a NaN/Inf or solver failure, show the step/gradient the
+            # failing iteration produced.  Printed only when the
+            # iteration actually failed (cond guards the host callback).
+            jax.lax.cond(
+                early_fail,
+                lambda a: jax.debug.print(
+                    "FAILURE #{it} stop:{stop} |dx|²:{d:.3e} |∇|²:{g:.3e} "
+                    "ε:{e:.3e} dx:{dx} grad:{gr}",
+                    it=a[0], stop=a[1], d=a[2], g=a[3], e=a[4], dx=a[5],
+                    gr=a[6], ordered=False),
+                lambda a: None,
+                (it, stop_early, dx_norm2, jnp.sum(g * g), err, dx, g))
 
         if opts.log.enable and _callbacks_supported():
             fmt = ("#{it} ok:{g} " + opts.log.e + ":{err:.4e} n:{n} "

@@ -51,9 +51,11 @@ class Cost:
         inl = (self.num_inliers() + other.num_inliers()).astype(jnp.float32)
         ratio = jnp.where(n > 0, inl / jnp.maximum(n, 1).astype(jnp.float32),
                           jnp.float32(1.0))
+        # log_str merge with a separator, skipping empties (cost.h:55)
+        sep = " " if (self.log_str and other.log_str) else ""
         return Cost(cost=self.cost + other.cost, num_residuals=n,
                     inlier_ratio=ratio,
-                    log_str=self.log_str + other.log_str)
+                    log_str=self.log_str + sep + other.log_str)
 
     def is_valid(self):
         """n > 0 and cost below the float max sentinel (cost.h:83)."""

@@ -20,7 +20,6 @@ the equivalent of the reference's pair/vector/array trait concatenation
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -124,8 +123,11 @@ def local(x, y, spec: TangentSpec | None = None) -> jax.Array:
     """Inverse retraction ``y ⊟ x`` as a flat tangent vector."""
     if spec is None:
         spec = tangent_spec(x)
-    xl, _ = _leaves(x)
-    yl, _ = _leaves(y)
+    xl, xdef = _leaves(x)
+    yl, ydef = _leaves(y)
+    if xdef != ydef:
+        raise ValueError(
+            f"local(x, y): mismatched pytree structures {xdef} vs {ydef}")
     parts = []
     for lx, ly in zip(xl, yl):
         m = manifold_for(lx)

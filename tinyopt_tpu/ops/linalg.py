@@ -73,6 +73,57 @@ def solve_psd(H: jax.Array, b: jax.Array, use_cholesky: bool = True):
         return dx, jnp.ones(H.shape[:-2], bool)
 
 
+def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int,
+             unroll: bool = False) -> jax.Array:
+    """Jacobi-preconditioned CG — the ONE implementation every dispatch
+    path runs (the plain XLA solve below, the fused batched-CG Pallas
+    kernel, and the whole-solve kernel all call this), so the iterates
+    are structurally identical across paths.
+
+    ``matvec``: (..., d) -> (..., d) applying the (damped) normal matrix;
+    ``dinv``: inverse of its diagonal (1 where non-positive); ``b``: the
+    right-hand side.  Runs exactly ``iters`` iterations — no
+    data-dependent exit, keeping the program static for jit/vmap.
+
+    Curvature guard: a direction with non-positive curvature
+    (p·Hp ≤ tiny — null space or indefinite damping corner) FREEZES the
+    iterate (α = 0) instead of being clamped into a huge garbage step;
+    once p is in the null space it stays there, so x keeps the last valid
+    value.  ``unroll=True`` traces the iterations straight-line (inside
+    Pallas kernels the per-trip loop management is comparable to the
+    small vector work).
+    """
+    eps = jnp.finfo(b.dtype).tiny
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = r0 * dinv
+    rz0 = jnp.sum(r0 * z0, axis=-1)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Hp = matvec(p)
+        denom = jnp.sum(p * Hp, -1)
+        pos = denom > eps
+        alpha = jnp.where(pos,
+                          rz / jnp.where(pos, denom, 1.0),
+                          jnp.zeros_like(rz))
+        x = x + alpha[..., None] * p
+        r = r - alpha[..., None] * Hp
+        z = r * dinv
+        rz_new = jnp.sum(r * z, -1)
+        p = z + (rz_new / jnp.maximum(rz, eps))[..., None] * p
+        return x, r, p, rz_new
+
+    carry = (x0, r0, z0, rz0)
+    if unroll:
+        for _ in range(iters):
+            carry = body(0, carry)
+        return carry[0]
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, carry)
+    return x
+
+
 def solve_psd_cg(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
     """Batched conjugate-gradient solve of ``H dx = b``.
 
@@ -83,37 +134,14 @@ def solve_psd_cg(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
     be inexact: a poor step is rejected and λ escalates, so fixed-iteration
     CG composes safely with the outer loop (inexact/truncated LM).
 
-    ``H``: (..., d, d), ``b``: (..., d). Runs exactly ``iters`` iterations
-    (no data-dependent exit — keeps the program static for jit/vmap).
+    ``H``: (..., d, d), ``b``: (..., d).
     """
-    eps = jnp.finfo(H.dtype).tiny
-
     def mv(v):
         return jnp.einsum("...ij,...j->...i", H, v)
 
-    # Jacobi preconditioning, matching the fused Pallas kernel
-    # (ops/pallas_cg.py) so both dispatch paths produce the same iterates.
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     dinv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
-
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = r0 * dinv
-    rz0 = jnp.sum(r0 * z0, -1)
-
-    def body(_, carry):
-        x, r, p, rz = carry
-        Hp = mv(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Hp, -1), eps)
-        x = x + alpha[..., None] * p
-        r = r - alpha[..., None] * Hp
-        z = r * dinv
-        rz_new = jnp.sum(r * z, -1)
-        p = z + (rz_new / jnp.maximum(rz, eps))[..., None] * p
-        return x, r, p, rz_new
-
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
-    return x
+    return pcg_core(mv, dinv, b, iters)
 
 
 def inv_cov(H: jax.Array) -> jax.Array:

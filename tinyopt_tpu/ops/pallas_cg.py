@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .linalg import solve_psd_cg
+from .linalg import pcg_core, solve_psd_cg  # noqa: F401 - pcg_core re-exported for the whole-solve kernel
 
 
 def eye_mask(d: int, dtype) -> jax.Array:
@@ -35,48 +35,6 @@ def eye_mask(d: int, dtype) -> jax.Array:
     ii = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
     return (ii == jj).astype(dtype)
-
-
-def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int,
-             unroll: bool = False) -> jax.Array:
-    """Jacobi-preconditioned CG with a caller-supplied matvec.
-
-    ``matvec``: (BT, d) -> (BT, d) applying the (damped) normal matrix;
-    ``dinv``: (BT, d) inverse of its diagonal (1 where non-positive);
-    ``b``: (BT, d).  Same update formulas as
-    :func:`~tinyopt_tpu.ops.linalg.solve_psd_cg` so every dispatch path
-    produces the same iterates (up to matvec association order).
-
-    ``unroll=True`` traces the iterations straight-line instead of a
-    ``fori_loop`` — inside Pallas kernels the per-trip loop management is
-    comparable to the (tiny) vector work, so unrolling fixed small counts
-    is a measurable win.
-    """
-    eps = jnp.finfo(b.dtype).tiny
-
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = r0 * dinv
-    rz0 = jnp.sum(r0 * z0, axis=-1)
-
-    def body(_, carry):
-        x, r, p, rz = carry
-        Hp = matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Hp, -1), eps)
-        x = x + alpha[:, None] * p
-        r = r - alpha[:, None] * Hp
-        z = r * dinv
-        rz_new = jnp.sum(r * z, -1)
-        p = z + (rz_new / jnp.maximum(rz, eps))[:, None] * p
-        return x, r, p, rz_new
-
-    carry = (x0, r0, z0, rz0)
-    if unroll:
-        for _ in range(iters):
-            carry = body(0, carry)
-        return carry[0]
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, carry)
-    return x
 
 
 def pcg_on_values(H: jax.Array, b: jax.Array, iters: int) -> jax.Array:
@@ -137,6 +95,10 @@ def batched_cg_tpu(H: jax.Array, b: jax.Array, iters: int,
     bytes_per_inst = (d_sub * d_lane + 5 * d_lane) * H.dtype.itemsize
     while block > 8 and 2 * block * bytes_per_inst > 10 * 1024 * 1024:
         block //= 2
+    if 2 * block * bytes_per_inst > 10 * 1024 * 1024:
+        # Even one minimal tile exceeds the VMEM budget (very large d):
+        # degrade to the XLA path instead of failing Mosaic compilation.
+        return solve_psd_cg(H, b, iters)
     Bp = ((B + block - 1) // block) * block
     if Bp != B:
         pad = Bp - B
@@ -184,6 +146,13 @@ def make_cg_solver(iters: int):
             b = jnp.broadcast_to(b, (axis_size,) + b.shape)
         if _on_tpu() and H.ndim == 3:
             out = batched_cg_tpu(H, b, iters)
+        elif _on_tpu() and H.ndim > 3:
+            # Nested vmap: collapse the leading batch axes so the fused
+            # kernel still handles the whole (B1·…·Bk, d, d) batch.
+            lead = H.shape[:-2]
+            out = batched_cg_tpu(H.reshape((-1,) + H.shape[-2:]),
+                                 b.reshape((-1, b.shape[-1])), iters)
+            out = out.reshape(lead + (b.shape[-1],))
         else:
             out = solve_psd_cg(H, b, iters)
         return out, True

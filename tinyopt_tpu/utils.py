@@ -71,13 +71,30 @@ def debug_nans(enable: bool = True) -> Iterator[None]:
 
 
 def block_ms(fn, *args, n: int = 5) -> float:
-    """Best-of-n wall-clock milliseconds of ``fn(*args)`` incl. device sync."""
-    import jax
+    """Best-of-n wall-clock milliseconds of ``fn(*args)`` incl. device sync.
 
-    jax.block_until_ready(fn(*args))
+    Each rep ends with a forced host read of the first output scalar
+    (``block_until_ready`` alone is not a reliable completion barrier on
+    remote backends).  CAVEAT for the axon TPU tunnel: repeats with
+    IDENTICAL inputs are served from a persistent server-side execution
+    cache, so this utility measures round-trip latency there — honest
+    device timing needs fresh inputs per rep (see bench.py's protocol).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def run():
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        # force a concrete transfer of one element
+        float(np.asarray(jnp.ravel(jnp.asarray(leaf))[0]))
+        return out
+
+    run()
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        run()
         best = min(best, time.perf_counter() - t0)
     return best * 1e3

@@ -157,3 +157,20 @@ class TestUtils:
         with to.utils.debug_nans(True):
             with pytest.raises(FloatingPointError):
                 jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+
+
+class TestUtilsSmoke:
+    def test_version_and_float_epsilon(self):
+        import tinyopt_tpu as to_
+        assert isinstance(to_.__version__, str) and to_.__version__
+        from tinyopt_tpu.utils import float_epsilon
+        assert float_epsilon(jnp.float64) == 1e-7   # math.h:297-301
+        assert float_epsilon(jnp.float32) == 1e-4
+
+    def test_device_trace_and_block_ms(self, tmp_path):
+        from tinyopt_tpu.utils import block_ms, device_trace
+        f = jax.jit(lambda x: x * 2.0)
+        with device_trace(str(tmp_path)):
+            f(jnp.ones(4))
+        ms = block_ms(f, jnp.ones(4), n=2)
+        assert ms > 0

@@ -402,3 +402,36 @@ class TestCheckFinalCostEvalOnly:
         assert int(out.num_iters) == 5          # 3 + rollback + check
         assert counts["ev"] >= 1                # the check was eval-only
         assert counts["acc"] == 4               # not 5
+
+
+class TestOptionsForDtype:
+    def test_f32_thresholds_classify_convergence(self):
+        """The reference's stop thresholds are f64-calibrated; in f32 a
+        coupled problem reaches machine-precision cost but budget-stops
+        (|dx|² floors above min_step_norm2).  Options.for_dtype scales
+        the thresholds by the FloatEpsilon ratio so the same solve stops
+        via a convergence criterion."""
+        d = 50
+        y = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, d),
+                        jnp.float32)
+
+        def banded(x):
+            return jnp.concatenate(
+                [x[:-1] + 0.5 * x[1:] - y[:-1], x[-1:] - y[-1:]])
+
+        x0 = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, d),
+                         jnp.float32)
+        base = to.Options(max_iters=20, min_error=0.0,
+                          min_rerr_dec=1e-12, min_step_norm2=1e-16,
+                          max_consec_failures=3)
+        _, out_raw = to.optimize(x0, banded, base)
+        _, out_scaled = to.optimize(x0, banded,
+                                    base.for_dtype(jnp.float32))
+        assert not bool(out_raw.converged())       # budget stop
+        assert bool(out_raw.succeeded())
+        assert bool(out_scaled.converged())        # criterion stop
+        assert float(out_scaled.final_cost.cost) < 1e-10
+
+    def test_f64_unchanged(self):
+        o = to.Options()
+        assert o.for_dtype(jnp.float64) is o

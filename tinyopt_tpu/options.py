@@ -252,6 +252,33 @@ class Options:
     def gn(**kw) -> "Options":
         return Options(solver_type=SolverType.GAUSS_NEWTON, **kw)
 
+    def for_dtype(self, dtype) -> "Options":
+        """Stop thresholds rescaled to the solve dtype's precision.
+
+        The reference's defaults (min_step_norm2 = 1e-14 etc.,
+        options.h:89-106) are calibrated for double: in float32 a coupled
+        problem converges to machine-precision cost but |dx|² floors near
+        (f32 eps-level residual)² ≈ 1e-14 > 1e-16-ish thresholds, so the
+        solve "stops" via the failure budget instead of a convergence
+        criterion.  This scales each threshold by the FloatEpsilon ratio
+        (math.h:297-301; 1e-4 f32 vs 1e-7 f64) raised to the quantity's
+        order — squared quantities (min_error, min_step_norm2,
+        min_grad_norm2) by ratio², the relative decrease by ratio — and
+        leaves f64 options unchanged."""
+        import jax.numpy as jnp
+
+        from .utils import float_epsilon
+
+        ratio = float_epsilon(dtype) / float_epsilon(jnp.float64)
+        if ratio == 1.0:
+            return self
+        return self.replace(
+            min_error=self.min_error * ratio ** 2,
+            min_rerr_dec=self.min_rerr_dec * ratio,
+            min_step_norm2=self.min_step_norm2 * ratio ** 2,
+            min_grad_norm2=self.min_grad_norm2 * ratio ** 2,
+        )
+
     @staticmethod
     def gd_(**kw) -> "Options":
         return Options(solver_type=SolverType.GRADIENT_DESCENT, **kw)

@@ -109,6 +109,22 @@ class TestSegmentSolver:
         # segment multiple)
         assert int(out.num_iters) == 13
 
+    def test_run_honors_budget_on_first_segment(self):
+        """The FIRST segment is budget-sized too: with max_iters +
+        allowances < iters_per_segment, run() must not execute a full
+        iters_per_segment segment (ADVICE r1: the unsized start ran 10
+        iterations for a 3-iteration budget)."""
+        opts = to.Options(solver_type=to.GradientDescent, max_iters=3,
+                          min_error=0.0, min_rerr_dec=0.0,
+                          min_step_norm2=0.0, min_grad_norm2=0.0,
+                          max_consec_failures=0,
+                          gd=to.GDOptions(lr=1e-6))
+        solver = ck.segment_solver(lambda x: jnp.sum(x * x), opts,
+                                   jnp.array([1.0]), mode="cost",
+                                   iters_per_segment=10)
+        x, out, _ = solver.run(jnp.array([1.0]))
+        assert int(out.num_iters) == 4  # max_iters + 1 rollback slot
+
     def test_run_aggregates_history(self):
         opts = to.Options(max_iters=29, max_consec_failures=0)
         solver = ck.segment_solver(rosenbrock_residuals, opts, x0,

@@ -52,8 +52,17 @@ class SegmentSolver:
     _evaluate: Callable
     _x_example: Any
     _iters_per_segment: int = 10
-    _tail_builder: Callable | None = None   # k -> resume running k iters
+    _tail_builder: Callable | None = None   # k -> (start, resume) @ k iters
     _tails: dict = dataclasses.field(default_factory=dict)
+
+    def _sized(self, remaining: int):
+        """(start, resume) executables sized to ``remaining`` iterations
+        (cached per distinct remainder — one extra compile each)."""
+        pair = self._tails.get(remaining)
+        if pair is None:
+            pair = self._tail_builder(remaining)
+            self._tails[remaining] = pair
+        return pair
 
     def abstract_state(self, x_example=None):
         """ShapeDtypeStruct pytree of the segment state — the restore
@@ -80,18 +89,21 @@ class SegmentSolver:
         st = None
         while True:
             remaining = budget - total
+            # Exact-budget sizing applies to EVERY segment including the
+            # first: with a small budget (max_iters + allowances <
+            # iters_per_segment) an unsized start would run and report
+            # more iterations than the original options permit.
+            undersized = (remaining < self._iters_per_segment
+                          and self._tail_builder is not None)
             if st is None:
-                x, out, st = self.start(x0)
-            elif (remaining < self._iters_per_segment
-                    and self._tail_builder is not None):
+                start = (self._sized(remaining)[0] if undersized
+                         else self.start)
+                x, out, st = start(x0)
+            elif undersized:
                 # Exact-budget tail: a resume executable sized to the
                 # remainder, so the total NEVER overshoots max_iters + 1
                 # (one extra compile per distinct remainder, cached).
-                tail = self._tails.get(remaining)
-                if tail is None:
-                    tail = self._tail_builder(remaining)
-                    self._tails[remaining] = tail
-                x, out, st = tail(st)
+                x, out, st = self._sized(remaining)[1](st)
             else:
                 x, out, st = self.resume(st)
             total += int(out.num_iters)
@@ -145,7 +157,7 @@ def segment_solver(fn: Callable, options: Options | None = None,
         fn, options, mode, x_example, iters_per_segment)
 
     def tail_builder(k: int):
-        return _segment_pair(fn, options, mode, x_example, k)[1]
+        return _segment_pair(fn, options, mode, x_example, k)[:2]
 
     return SegmentSolver(start=start, resume=resume, options=options,
                          _evaluate=evaluate, _x_example=x_example,

@@ -30,6 +30,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <memory>
 
 namespace {
 
@@ -209,15 +210,19 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
   // below) so the solver is re-entrant: a residual callback may itself
   // invoke tinyopt_solve (bilevel problems) without corrupting the outer
   // solve's accepted system, which static thread_local storage would.
-  double bufH[2][kMaxDims * kMaxDims];
-  double bufG[2][kMaxDims];
-  double* H = bufH[0];       // build target (current candidate's system)
-  double* H_bst = bufH[1];   // last accepted system
-  double* g = bufG[0];
-  double* g_bst = bufG[1];
-  double L[kMaxDims * kMaxDims];  // Cholesky factor scratch
-  double dx[kMaxDims];
-  double x_best[kMaxDims];
+  // Heap-allocated per call: re-entrancy without the ~400 KB of stack
+  // frames the automatic arrays cost (nested bilevel solves or callers
+  // on small pthread stacks would overflow otherwise; one malloc per
+  // solve is noise next to the O(iters · dims³) factorizations).
+  std::unique_ptr<double[]> scratch(
+      new double[3 * kMaxDims * kMaxDims + 4 * kMaxDims]);
+  double* H = scratch.get();  // build target (current candidate's system)
+  double* H_bst = H + kMaxDims * kMaxDims;  // last accepted system
+  double* L = H_bst + kMaxDims * kMaxDims;  // Cholesky factor scratch
+  double* g = L + kMaxDims * kMaxDims;
+  double* g_bst = g + kMaxDims;
+  double* dx = g_bst + kMaxDims;
+  double* x_best = dx + kMaxDims;
   std::memcpy(x_best, x, sizeof(double) * dims);
 
   const bool is_lm = opts->solver_type == 0;

@@ -147,7 +147,13 @@ class AdamOptions:
 
     ``weight_decay`` applies only for ``SolverType.ADAMW`` (decoupled:
     dx −= lr·wd·x) and requires pure-Euclidean parameters — decay toward
-    the origin is not defined on a manifold."""
+    the origin is not defined on a manifold.
+
+    Deviation from the cited formulation: the decay term shares the
+    rejection backoff with the gradient step (dx = −lr·backoff·(upd +
+    wd·x)), so consecutive rejected proposals shrink the effective decay
+    of the step finally accepted.  Scaling the whole proposal keeps the
+    accept/reject backtracking sound; see solvers/first_order.fo_propose."""
 
     lr: float = 1e-3
     beta1: float = 0.9

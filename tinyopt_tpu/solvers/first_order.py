@@ -214,7 +214,15 @@ def fo_propose(opts: Options, state, g, lm_state, x_flat=None):
         vhat = v / (1 - b2 ** tf)
         upd = mhat / (jnp.sqrt(vhat) + dtype.type(o.eps))
         if st == SolverType.ADAMW and o.weight_decay > 0:
-            # Decoupled decay (Loshchilov & Hutter): x ← x − lr(upd + wd·x)
+            # Decoupled decay (Loshchilov & Hutter): x ← x − lr(upd + wd·x).
+            # DELIBERATE DEVIATION (like the t-advance above): the decay
+            # term is inside the rejection backoff, so consecutive
+            # rejections shrink the effective decay of the eventually
+            # accepted step along with the gradient step.  Scaling the
+            # WHOLE proposal is what keeps backtracking sound — a
+            # full-strength wd·x on a halved gradient step could exceed
+            # the rejected proposal's cost increase and livelock the
+            # accept/reject loop the backoff exists to break.
             upd = upd + dtype.type(o.weight_decay) * x_flat
         return -dtype.type(o.lr) * backoff * upd, AdamState(m=m, v=v, t=t)
 

@@ -78,6 +78,44 @@ class TestInfoMatrixWhitening:
                                    atol=1e-5)
 
 
+class TestRescaledCovariance:
+    """The overdetermined-rescale branch — the sixth formulation of
+    reference tests/cov.cpp; formula pinned to output.h:80-93:
+    cov × final_cost²/(num_residuals − dims) when n > dims."""
+
+    def test_overdetermined_rescale(self):
+        # 2 stacked noisy priors: n=6 residuals > d=3 dims, and the two
+        # targets disagree so final_cost > 0 at the minimizer.
+        Y2 = Y + jnp.array([0.2, -0.1, 0.3])
+
+        def fn(x):
+            return jnp.concatenate([(x - Y) / STDEVS, (x - Y2) / STDEVS])
+
+        x, out = to.optimize(jnp.zeros(3), fn)
+        assert bool(out.converged())
+        C = out.covariance()
+        Cr = out.covariance(rescaled=True)
+        c = float(out.final_cost.cost)
+        n = int(out.final_cost.num_residuals)
+        assert n == 6 and c > 0
+        np.testing.assert_allclose(np.asarray(Cr),
+                                   np.asarray(C) * (c * c / (n - 3)),
+                                   rtol=1e-12)
+        # un-rescaled posterior of the stacked prior is Σ/2 (two
+        # independent measurements): σ_post = σ/√2
+        np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(C))),
+                                   np.asarray(STDEVS) / np.sqrt(2.0),
+                                   atol=1e-7)
+
+    def test_determined_system_is_noop(self):
+        """n == dims: rescaled must return the plain covariance
+        (output.h:87 guards on num_residuals > cols)."""
+        x, out = to.optimize(jnp.zeros(3), lambda x: (x - Y) / STDEVS)
+        C = out.covariance()
+        Cr = out.covariance(rescaled=True)
+        np.testing.assert_array_equal(np.asarray(C), np.asarray(Cr))
+
+
 class TestMaxStdDev:
     def test_matches_covariance(self):
         from tinyopt_tpu.ops.linalg import max_std_dev

@@ -117,6 +117,41 @@ class TestLoggingFields:
         captured = capfd.readouterr()
         assert "x:" in captured.out and "sigma:" in captured.out
 
+    def test_print_emoji_and_t(self, capfd):
+        """Golden log line with print_emoji + print_t (reference
+        optimizer.h:465,513): ℹ️ first eval, ✅ on accepted iterations,
+        monotone non-negative τ (cumulative host ms)."""
+        opts = to.Options(log=to.LogOptions(enable=True, print_emoji=True,
+                                            print_t=True))
+        x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0, opts)
+        jax.effects_barrier()
+        assert float(x) == pytest.approx(np.sqrt(2), abs=1e-6)
+        lines = [l for l in capfd.readouterr().out.splitlines()
+                 if "τ:" in l]
+        assert len(lines) == int(out.num_iters)
+        assert lines[0].startswith("ℹ️")          # first eval
+        assert all(l.startswith("✅") for l in lines[1:])  # sqrt2: all good
+        taus = [float(l.split("τ:")[1].split()[0]) for l in lines]
+        assert taus[0] >= 0.0
+        assert all(b >= a for a, b in zip(taus, taus[1:]))  # cumulative
+
+    def test_print_emoji_marks_rejections(self, capfd):
+        """A solve with rejected steps shows ❌ lines."""
+        opts = to.Options(max_consec_failures=0,
+                          log=to.LogOptions(enable=True, print_emoji=True))
+        x, out = to.optimize(jnp.asarray(0.5), lambda x: x * x - 2.0, opts)
+        jax.effects_barrier()
+        assert float(x) == pytest.approx(np.sqrt(2), abs=1e-5)
+        assert "❌" in capfd.readouterr().out
+
+    def test_print_j_jet(self, capfd):
+        """print_J_jet logs the AD Jacobian from the NLLS adapter
+        (reference optimize_autodiff.h:158-161)."""
+        opts = to.Options(log=to.LogOptions(enable=True, print_J_jet=True))
+        x, out = to.optimize(jnp.asarray(1.0), lambda x: x * x - 2.0, opts)
+        jax.effects_barrier()
+        assert "J:" in capfd.readouterr().out
+
 
 class TestSaveHistoryOff:
     def test_throughput_mode_empty_history(self):

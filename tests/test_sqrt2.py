@@ -37,6 +37,46 @@ def test_sqrt2_manual_acc(x0):
 
 
 @pytest.mark.parametrize("x0", X0S)
+def test_sqrt2_manual_acc_upper_only(x0):
+    """hessian.H_is_full=False accepts an upper-triangle-only H
+    (reference sqrt2.cpp:31-51 manual acc + gn.h:139-145 symmetrization,
+    the recommended fast path of reference docs/API.md:170).
+
+    Uses a COUPLED 2-D problem (x0² − 2, x0·x1 − 2, x1 − 1) whose JᵀJ has
+    a nonzero off-diagonal, so a missing lower triangle produces wrong
+    steps — the full-H and upper-only runs must agree exactly."""
+    def system(x):
+        r = jnp.array([x[0] * x[0] - 2.0, x[0] * x[1] - 2.0, x[1] - 1.0])
+        J = jnp.array([[2.0 * x[0], 0.0],
+                       [x[1], x[0]],
+                       [0.0, 1.0]])
+        return r, J
+
+    def acc_full(x):
+        r, J = system(x)
+        return (jnp.sum(r * r), 3), J.T @ r, J.T @ J
+
+    def acc_upper(x):
+        r, J = system(x)
+        H = J.T @ J
+        # Poison the strict lower triangle: correct results prove the
+        # solver rebuilt it from the upper part rather than using it.
+        return (jnp.sum(r * r), 3), J.T @ r, jnp.triu(H) - 7.0 * jnp.tril(H, -1)
+
+    import dataclasses
+    opts_full = options()
+    opts_upper = opts_full.replace(
+        hessian=dataclasses.replace(opts_full.hessian, H_is_full=False))
+    xf, outf = to.optimize(jnp.array([x0, 1.0]), acc_full, opts_full,
+                           mode="acc")
+    xu, outu = to.optimize(jnp.array([x0, 1.0]), acc_upper, opts_upper,
+                           mode="acc")
+    assert bool(outu.succeeded())
+    assert jnp.array_equal(xf, xu), (xf, xu)
+    assert int(outf.num_iters) == int(outu.num_iters)
+
+
+@pytest.mark.parametrize("x0", X0S)
 def test_sqrt2_ad_scalar(x0):
     opts = options().replace(
         cost=to.CostScalingOptions(use_squared_norm=True, downscale_by_2=True))

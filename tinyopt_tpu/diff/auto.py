@@ -65,12 +65,16 @@ def residual_jacobian(residual_fn, x, spec: mf.TangentSpec | None = None):
     return value_and_jacfwd(r_of_delta, delta0)
 
 
-def make_nlls_system(residual_fn, x0, spec: mf.TangentSpec):
+def make_nlls_system(residual_fn, x0, spec: mf.TangentSpec,
+                     print_J: bool = False):
     """Build (accumulate, evaluate, n_res) closures for the NLLS path.
 
     accumulate(x) -> (H, g, Cost) with H = JᵀJ, g = JᵀR, cost = ‖r‖²
     (reference: diff/optimize_autodiff.h:149-164).  evaluate(x) computes the
     cost only — no Jacobian work — used by the Rebuild(false) fast path.
+
+    ``print_J=True`` logs the AD Jacobian on every accumulation
+    (``options.log.print_J_jet``, reference optimize_autodiff.h:158-161).
     """
     import math
     n_res = int(
@@ -81,6 +85,8 @@ def make_nlls_system(residual_fn, x0, spec: mf.TangentSpec):
         r, J = residual_jacobian(residual_fn, x, spec)
         r = r.astype(spec.dtype)
         J = J.astype(spec.dtype)
+        if print_J:
+            jax.debug.print("J:{J}", J=J, ordered=False)
         # JᵀR and JᵀJ with f32 accumulation on the MXU
         g = J.T @ r
         H = jnp.matmul(J.T, J, preferred_element_type=spec.dtype)
@@ -138,7 +144,8 @@ def _as_cost(c) -> Cost:
     return Cost.make(jnp.reshape(jnp.asarray(c), ()), 1)
 
 
-def make_acc_system(acc_fn, x0, spec: mf.TangentSpec, first_order: bool):
+def make_acc_system(acc_fn, x0, spec: mf.TangentSpec, first_order: bool,
+                    H_is_full: bool = True):
     """Wrap a manual accumulation function.
 
     ``acc_fn(x) -> (cost_like, grad)`` (first-order) or
@@ -146,6 +153,11 @@ def make_acc_system(acc_fn, x0, spec: mf.TangentSpec, first_order: bool):
     reference's in-place acc contract ``Cost acc(x, grad&, H&)``
     (reference: optimizers/optimizer.h:114-131, docs/API.md:37-57).
     cost_like may be a scalar, a (cost, num_residuals) pair, or a Cost.
+
+    With ``H_is_full=False`` the acc function may fill only the UPPER
+    triangle of a dense H (anything strictly below the diagonal is
+    ignored) and the full matrix is recovered by symmetrization — the
+    reference's recommended fast path (gn.h:139-145, ref docs/API.md:170).
     """
     def accumulate(x):
         out = acc_fn(x)
@@ -162,6 +174,10 @@ def make_acc_system(acc_fn, x0, spec: mf.TangentSpec, first_order: bool):
                 "GN/LM require the acc function to also return H "
                 "(reference: optimize.h:40-76)")
         H = jnp.asarray(out[2]).astype(spec.dtype)
+        if not H_is_full and H.ndim == 2:
+            # Symmetrize from the upper triangle (reference gn.h:139-145);
+            # the strict lower part of the user's H is ignored.
+            H = jnp.triu(H) + jnp.triu(H, 1).T
         return H, g, cost
 
     def evaluate(x):

@@ -126,7 +126,11 @@ def _build_system(fn: Callable, options: Options, mode: str, x_example):
                 lambda x: jnp.sum(jnp.square(flatten_residuals(fn(x)))),
                 x_example, spec)
         else:
-            acc, ev, n_res = make_nlls_system(fn, x_example, spec)
+            from .optimizers.loop import _callbacks_supported
+            acc, ev, n_res = make_nlls_system(
+                fn, x_example, spec,
+                print_J=(options.log.enable and options.log.print_J_jet
+                         and _callbacks_supported()))
             # AD fallback to numerical differentiation when the residual
             # function is not differentiable by JAX (e.g. missing custom
             # JVP rules) — the reference's numdiff fallback setting
@@ -148,7 +152,9 @@ def _build_system(fn: Callable, options: Options, mode: str, x_example):
                 "(reference: optimize.h:40-57)")
         acc, ev, n_res = make_cost_system(fn, x_example, spec)
     elif mode == "acc":
-        acc, ev, n_res = make_acc_system(fn, x_example, spec, first_order)
+        acc, ev, n_res = make_acc_system(
+            fn, x_example, spec, first_order,
+            H_is_full=options.hessian.H_is_full)
     else:
         raise ValueError(f"Unknown mode {mode!r}")
     return acc, ev, n_res, spec, num_diff_used, mode

@@ -578,7 +578,33 @@ def optimize_from_acc(
                 from ..ops.linalg import max_std_dev
                 fmt += " sigma:{sd:.2e}"
                 kw["sd"] = max_std_dev(H)
-            jax.debug.print(fmt, ordered=False, **kw)
+            if not (opts.log.print_emoji or opts.log.print_t):
+                jax.debug.print(fmt, ordered=False, **kw)
+            else:
+                # Emoji status and the τ clock are host-side decisions:
+                # route through jax.debug.callback and format there.
+                # τ = host ms since this executable last saw iteration 0
+                # (the reference's cumulative duration_ms, optimizer.h:513).
+                pe, pt = opts.log.print_emoji, opts.log.print_t
+                tfmt = fmt + (" τ:{tau:.2f}" if pt else "")
+                tstate = {"t0": None}
+
+                def _emit_line(_first, _good, **kv):
+                    import time as _time
+                    now = _time.perf_counter()
+                    if tstate["t0"] is None or int(kv["it"]) == 0:
+                        tstate["t0"] = now
+                    if pt:
+                        kv["tau"] = (now - tstate["t0"]) * 1e3
+                    line = tfmt.format(**kv)
+                    if pe:
+                        emo = ("ℹ️" if bool(_first)
+                               else ("✅" if bool(_good) else "❌"))
+                        line = emo + " " + line
+                    print(line, flush=True)
+
+                jax.debug.callback(_emit_line, first_eval, good,
+                                   ordered=False, **kw)
 
         return _Carry(
             x=x_new,

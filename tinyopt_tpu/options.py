@@ -63,6 +63,13 @@ class HessianOptions:
     use_ldlt: bool = True
     #: Reject the build when any |H[i,i]| is below this threshold (0 = off).
     check_min_H_diag: float = 0.0
+    #: Whether manual acc functions fill the FULL Hessian.  If False, the
+    #: acc function may fill only the upper triangle (the reference's
+    #: recommended fast path, docs/API.md:170) and the lower part is
+    #: recovered by symmetrization (reference: gn.h:139-145,
+    #: options.h:58-67).  Only meaningful for mode="acc" with a dense H;
+    #: AD/numdiff paths always build a full H.
+    H_is_full: bool = True
     #: Save the last (un-damped) Hessian into the Output.
     save_last: bool = True
     #: Linear solver for the normal equations: "cholesky" (exact,
@@ -184,13 +191,24 @@ class LogOptions:
     When ``enable`` is True, a per-iteration log line is emitted through
     ``jax.debug.print`` (works from inside jit) with the same fields as the
     reference: error, dε, relative dε, |δx|, |∇|, 1/λ.
+
+    ``print_emoji`` and ``print_t`` route the line through a host
+    callback instead (the emoji choice and the clock are host-side):
+    ℹ️/✅/❌ status prefix like the reference (optimizer.h:465), and
+    ``τ:<ms>`` = host wall-clock milliseconds since the solve's first
+    logged iteration (the reference's cumulative ``out.duration_ms``,
+    optimizer.h:513; device-async skew is inherent — the callback fires
+    when the iteration's values reach the host).
     """
 
     enable: bool = False
     e: str = "ε²"               #: Symbol used for the error in log lines
+    print_emoji: bool = False   #: ℹ️ (first eval) / ✅ (accepted) / ❌ prefix
     print_x: bool = False
     print_dx: bool = False
     print_inliers: bool = False
+    print_t: bool = False       #: τ: cumulative host ms since first iteration
+    print_J_jet: bool = False   #: log the AD Jacobian from the NLLS adapter
     print_max_stdev: bool = False
     print_failure: bool = False
 

@@ -148,3 +148,62 @@ class TestSegmentSolver:
     def test_requires_x_example(self):
         with pytest.raises(ValueError, match="x_example"):
             ck.segment_solver(lambda x: x, to.Options())
+
+
+class TestStepper:
+    """Public imperative Step() API (reference optimizer.h:332)."""
+
+    def test_step_by_step_matches_optimize(self):
+        """N step() calls follow the identical trajectory to one
+        optimize(max_iters=N) call (modulo the gated final apply, which
+        best_x reproduces)."""
+        N = 25
+        opts = to.Options(max_iters=N, max_consec_failures=0)
+        x_ref, out_ref = to.optimize(x0, rosenbrock_residuals, opts)
+        st_api = to.stepper(rosenbrock_residuals, opts, x_example=x0)
+        x, out, state = st_api.step(x0)
+        n = 1
+        # +1: the unchunked loop grants a rollback slot (optimizer.h:249)
+        while (int(out.stop_reason) in (int(to.StopReason.MAX_ITERS),
+                                        int(to.StopReason.NONE))
+               and n < N + 1):
+            x, out, state = st_api.step(state=state)
+            n += 1
+        np.testing.assert_array_equal(np.asarray(st_api.best_x(state)),
+                                      np.asarray(x_ref))
+        assert float(out.final_cost.cost) == float(out_ref.final_cost.cost)
+
+    def test_stop_reason_propagates(self):
+        """A terminal stop reason (not MAX_ITERS) surfaces through step()."""
+        opts = to.Options(min_error=1e-12)
+        st_api = to.stepper(lambda x: x * x - 2.0, opts,
+                            x_example=jnp.array(1.0))
+        x, out, state = st_api.step(jnp.array(1.0))
+        for _ in range(20):
+            if int(out.stop_reason) != int(to.StopReason.MAX_ITERS):
+                break
+            x, out, state = st_api.step(state=state)
+        assert int(out.stop_reason) == int(to.StopReason.MIN_ERROR)
+        assert abs(float(st_api.best_x(state)) - 2.0 ** 0.5) < 1e-6
+
+    def test_custom_outer_logic(self):
+        """User-driven early stop on a custom criterion + evaluate()."""
+        opts = to.Options(max_consec_failures=0)
+        st_api = to.stepper(rosenbrock_residuals, opts, x_example=x0)
+        x, out, state = st_api.step(x0)
+        costs = [float(st_api.evaluate(st_api.best_x(state)))]
+        for _ in range(80):
+            x, out, state = st_api.step(state=state)
+            costs.append(float(st_api.evaluate(st_api.best_x(state))))
+            if costs[-1] < 1e-3:        # custom outer criterion
+                break
+        assert costs[-1] < 1e-3
+        assert costs[-1] <= costs[0]
+
+    def test_arg_validation(self):
+        st_api = to.stepper(rosenbrock_residuals, to.Options(), x_example=x0)
+        with pytest.raises(ValueError):
+            st_api.step()
+        _, _, state = st_api.step(x0)
+        with pytest.raises(ValueError):
+            st_api.step(x0, state=state)

@@ -31,6 +31,7 @@ from . import sparse
 from . import utils
 from . import implicit
 from . import checkpoint
+from .checkpoint import stepper, Stepper
 from .implicit import implicit_solver
 from .sparse import block_optimize, matfree_optimize, sparse_optimize
 from .ops.block import BlockDiag
@@ -61,6 +62,7 @@ __all__ = [
     "lm", "gn", "gd", "sgd", "adam", "adamw", "lbfgs", "nlls",
     "unconstrained",
     "diff", "losses", "manifolds", "sparse", "utils", "checkpoint",
+    "stepper", "Stepper",
     "block_optimize", "matfree_optimize", "sparse_optimize", "BlockDiag",
     "implicit", "implicit_solver",
     "__version__",

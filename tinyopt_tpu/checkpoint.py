@@ -144,6 +144,68 @@ class SegmentSolver:
         return x, out, st
 
 
+@dataclasses.dataclass
+class Stepper:
+    """Imperative one-iteration-at-a-time interface.
+
+    The public equivalent of the reference's ``Optimizer_::Step``
+    (reference: include/tinyopt/optimizers/optimizer.h:332): each
+    :meth:`step` call runs EXACTLY one loop iteration — build (or
+    evaluate-only after a rejection), solve-retry with λ escalation,
+    accept/reject/rollback, budgets and the stop cascade — and hands the
+    complete loop state back, so a user can drive arbitrary outer logic
+    (custom schedules, per-iteration telemetry, interleaved solves)
+    between iterations.  N ``step`` calls follow the identical trajectory
+    to one ``optimize`` call with ``max_iters=N`` (the segment-continuity
+    contract, tests/test_checkpoint.py).
+
+    Usage::
+
+        st = to.stepper(fn, options, x_example=x0)
+        x, out, state = st.step(x0)          # iteration 0
+        while int(out.stop_reason) in (int(to.StopReason.NONE),
+                                       int(to.StopReason.MAX_ITERS)):
+            x, out, state = st.step(state=state)
+        x = st.best_x(state)                 # last ACCEPTED parameters
+
+    ``out.stop_reason`` is ``MAX_ITERS`` while the single-iteration budget
+    is the only thing stopping the loop — i.e. "keep going"; any other
+    reason is the solve's verdict.  The ``x`` returned mid-run carries the
+    applied-but-unevaluated proposal (the next step evaluates it);
+    :meth:`best_x` is the best evaluated point, matching what
+    ``to.optimize`` would return if stopped there.
+    """
+
+    _seg: "SegmentSolver"
+
+    def step(self, x0=None, state=None):
+        """Run one iteration. Pass ``x0`` for the first call, ``state``
+        (from the previous call) afterwards.  Returns ``(x, Output,
+        state)``."""
+        if (x0 is None) == (state is None):
+            raise ValueError("pass exactly one of x0 (first call) or "
+                             "state (subsequent calls)")
+        if state is None:
+            return self._seg.start(mf.as_pytree(x0))
+        return self._seg.resume(state)
+
+    def best_x(self, state):
+        """Best accepted parameters in ``state`` (what ``to.optimize``
+        returns: never an unevaluated trailing proposal)."""
+        return state.best_x
+
+    def evaluate(self, x):
+        """Normalized cost at ``x`` (the loop's evaluate-only branch)."""
+        return self._seg._evaluate(mf.as_pytree(x))
+
+
+def stepper(fn: Callable, options: Options | None = None,
+            x_example=None, *, mode: str = "auto") -> Stepper:
+    """Build a :class:`Stepper` — the imperative single-``Step()`` API."""
+    return Stepper(_seg=segment_solver(fn, options, x_example, mode=mode,
+                                       iters_per_segment=1))
+
+
 def segment_solver(fn: Callable, options: Options | None = None,
                    x_example=None, *, mode: str = "auto",
                    iters_per_segment: int = 10) -> SegmentSolver:

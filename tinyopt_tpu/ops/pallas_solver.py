@@ -119,7 +119,7 @@ def fused_supported(options: Options, mode: str, x_example,
         return False
     if mode != "residuals":
         return False
-    if (o.save_history or o.hessian.save_last or o.hessian.carry_system
+    if (o.hessian.save_last or o.hessian.carry_system
             or o.check_final_cost or o.log.enable
             or o.max_duration_ms > 0
             or o.stop_callback is not None or o.stop_callback2 is not None
@@ -164,8 +164,15 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
     n_extra = 2 if (coloring is not None and not coloring.identity) else 0
     if n_extra:
         probes_ref, recovery_ref = refs[1 + n_data:1 + n_data + 2]
-    (x_ref, cost_ref, rerr_ref, stop_ref, it_ref, nfail_ref, nconsec_ref,
-     lam_ref, g_ref, nres_ref) = refs[1 + n_data + n_extra:]
+    cap = max_iters_total if opts.save_history else 0
+    out_refs = refs[1 + n_data + n_extra:]
+    if cap:
+        (x_ref, cost_ref, rerr_ref, stop_ref, it_ref, nfail_ref, nconsec_ref,
+         lam_ref, g_ref, nres_ref,
+         errs_ref, deltas_ref, succ_ref, nhist_ref) = out_refs
+    else:
+        (x_ref, cost_ref, rerr_ref, stop_ref, it_ref, nfail_ref, nconsec_ref,
+         lam_ref, g_ref, nres_ref) = out_refs
 
     BT = x0.shape[0]
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
@@ -397,6 +404,14 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         zvecD,                                 # g (final_grad)
         zicol,                                 # best_num_res
     )
+    if cap:
+        # Per-iteration history (loop.py save_history semantics): fixed-cap
+        # (BT, cap) rows in the carry, written by a one-hot column select
+        # keyed on the per-instance iteration index (Mosaic has no per-row
+        # dynamic scatter; the masked select is 3 cheap 2-D ops per iter).
+        zhist = zcol * jnp.zeros((1, cap), dtype)      # (BT, cap) zeros
+        carry0 = carry0 + (zhist, zhist, zhist.astype(_I32),
+                           zicol)                       # errs/deltas2/succ/nh
 
     def active_of(stop, it):
         return (stop == int(StopReason.NONE)) & (it < max_iters_total)
@@ -406,7 +421,9 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
 
     def outer_body(c):
         (x, best_x, best_cost, final_rerr, lam, bad, last_dx, has_last_i,
-         it, num_failures, num_consec, stop, g_prev, best_nres) = c
+         it, num_failures, num_consec, stop, g_prev, best_nres) = c[:14]
+        if cap:
+            h_errs, h_deltas, h_succ, h_nh = c[14:]
         has_last = has_last_i != 0
         act = active_of(stop, it)
 
@@ -607,16 +624,29 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         def upd(new, old):
             return jnp.where(act, new, old)
 
-        return (x_new, best_x_new,
-                upd(best_cost_new, best_cost),
-                upd(final_rerr_new, final_rerr),
-                upd(lam, c[4]), upd(bad, c[5]),
-                last_dx_new, upd(has_last_new, has_last_i),
-                upd(it + 1, it).astype(_I32),
-                upd(num_failures_new, num_failures),
-                upd(num_consec_new, num_consec),
-                upd(stop_new, stop), upd(g, g_prev),
-                upd(best_nres_new, best_nres))
+        out = (x_new, best_x_new,
+               upd(best_cost_new, best_cost),
+               upd(final_rerr_new, final_rerr),
+               upd(lam, c[4]), upd(bad, c[5]),
+               last_dx_new, upd(has_last_new, has_last_i),
+               upd(it + 1, it).astype(_I32),
+               upd(num_failures_new, num_failures),
+               upd(num_consec_new, num_consec),
+               upd(stop_new, stop), upd(g, g_prev),
+               upd(best_nres_new, best_nres))
+        if cap:
+            # One-hot column write at this instance's iteration index
+            # (loop.py: entries appended unless the step was an early
+            # failure; succ records is_good, not the auto-accept `good`).
+            ii = jax.lax.broadcasted_iota(_I32, (1, cap), 1)
+            rec = act & (~early_fail)
+            mask = rec & (ii == it)                    # (BT, cap)
+            out = out + (
+                jnp.where(mask, err, h_errs),
+                jnp.where(mask, dx_norm2, h_deltas),
+                jnp.where(mask, is_good.astype(_I32), h_succ),
+                jnp.where(rec, it + 1, h_nh).astype(_I32))
+        return out
 
     c = jax.lax.while_loop(outer_cond, outer_body, carry0)
 
@@ -632,6 +662,11 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
     lam_ref[:] = c[4]
     g_ref[:] = c[12]
     nres_ref[:] = c[13]
+    if cap:
+        errs_ref[:] = c[14]
+        deltas_ref[:] = c[15]
+        succ_ref[:] = c[16]
+        nhist_ref[:] = c[17]
 
 
 def fused_batched_solver(residual_fn: Callable, options: Options,
@@ -650,7 +685,7 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
         raise ValueError(
             "fused_batched_solver: configuration not supported (requires "
             "same-dtype float parameters, residuals mode, carry_system="
-            "False, no history/save_last/logging/callbacks)")
+            "False, no save_last/logging/callbacks)")
     d = layout.t_dims                          # tangent width (dx, g)
     P = layout.dims                            # flat parameter width
     dtype = layout.dtype
@@ -702,7 +737,9 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
         if coloring is not None:
             # + the concatenated per-color squared sweeps (BT, C·n_res)
             tmp_rows += coloring.n_colors
-        per_inst = ((16 * d_lane + tmp_rows * r_lane)
+        cap = max_iters_total if opts.save_history else 0
+        hist_lane = ((cap + 127) // 128) * 128 if cap else 0
+        per_inst = ((16 * d_lane + tmp_rows * r_lane + 6 * hist_lane)
                     * jnp.dtype(dtype).itemsize)
         import math
         per_inst += sum(
@@ -763,6 +800,15 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             jax.ShapeDtypeStruct((Bp, d), dtype),
             jax.ShapeDtypeStruct((Bp, 1), _I32),
         ]
+        if cap:
+            hspec = pl.BlockSpec((blk, cap), lambda i: (i, 0))
+            out_specs += [hspec, hspec, hspec, col]
+            out_shape += [
+                jax.ShapeDtypeStruct((Bp, cap), dtype),    # errs
+                jax.ShapeDtypeStruct((Bp, cap), dtype),    # deltas2
+                jax.ShapeDtypeStruct((Bp, cap), _I32),     # successes
+                jax.ShapeDtypeStruct((Bp, 1), _I32),       # num_hist
+            ]
 
         kernel = functools.partial(
             _solver_kernel, residual_fn=residual_fn, layout=layout,
@@ -781,14 +827,16 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             from jax.experimental.pallas import tpu as pltpu
             params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         with kernel_trace():
-            (xf, cost, rerr, stop, it, nfail, nconsec, lam, g, nres) = \
-                pl.pallas_call(
-                    kernel, grid=(Bp // blk,), in_specs=in_specs,
-                    out_specs=out_specs, out_shape=out_shape,
-                    interpret=interpret, compiler_params=params,
-                    debug=bool(__import__("os").environ.get(
-                        "TINYOPT_PALLAS_DEBUG")))(xflat, *data_leaves,
-                                                  *extra_inputs)
+            outs = pl.pallas_call(
+                kernel, grid=(Bp // blk,), in_specs=in_specs,
+                out_specs=out_specs, out_shape=out_shape,
+                interpret=interpret, compiler_params=params,
+                debug=bool(__import__("os").environ.get(
+                    "TINYOPT_PALLAS_DEBUG")))(xflat, *data_leaves,
+                                              *extra_inputs)
+        (xf, cost, rerr, stop, it, nfail, nconsec, lam, g, nres) = outs[:10]
+        if cap:
+            h_errs, h_deltas, h_succ, h_nh = outs[10:]
 
         sl = lambda a: a[:B, 0]                  # (Bp, 1) column outputs
         x_out_flat = xf[:B]
@@ -811,10 +859,12 @@ def fused_batched_solver(residual_fn: Callable, options: Options,
             duration_ms=jnp.zeros((B,), jnp.float32),
             final_grad=g[:B],
             final_hessian=None,
-            errs=jnp.zeros((B, 0), dtype),
-            deltas2=jnp.zeros((B, 0), dtype),
-            successes=jnp.zeros((B, 0), bool),
-            num_hist=jnp.zeros((B,), _I32),
+            errs=h_errs[:B] if cap else jnp.zeros((B, 0), dtype),
+            deltas2=h_deltas[:B] if cap else jnp.zeros((B, 0), dtype),
+            successes=(h_succ[:B] != 0) if cap
+            else jnp.zeros((B, 0), bool),
+            num_hist=sl(h_nh).astype(_I32) if cap
+            else jnp.zeros((B,), _I32),
             final_lambda=sl(lam),
             num_diff_used=False,
         )

@@ -14,6 +14,12 @@ Ours reports three regimes per problem:
                solve (the TPU-native regime)
 
 Usage: python benchmarks/run_benchmarks.py [--batch 10000]
+
+Scaling-efficiency axes (BASELINE.md north star) live in a separate
+script — they must control the device count before jax initializes:
+  python benchmarks/exp_scaling.py          # CPU virtual-mesh dp/block axes
+  python benchmarks/exp_scaling.py --tpu    # real-chip batch sweep
+(results recorded in PARITY.md "Scaling efficiency".)
 """
 
 from __future__ import annotations

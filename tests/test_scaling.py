@@ -1,0 +1,74 @@
+"""Multi-device scaling-efficiency guard (BASELINE.md:38-41 north star).
+
+The dp axis has ZERO cross-device communication — any loss of per-device
+throughput on the virtual mesh is either host-core contention (virtual
+devices share cores; not a framework property) or a framework regression
+(e.g. accidentally serialized per-device dispatch, a spurious collective,
+a replicated computation that should be sharded).  The assertions below
+are sized to catch the second class while tolerating the first on small
+CI hosts:
+
+  * parallel speedup must EXIST: 4 devices >= 1.9x the total throughput
+    of 1 device (a serialized program would stay at ~1.0x);
+  * with idle cores backing both devices, 2-device per-device efficiency
+    must hold >= 0.6 (measured 0.85-0.92 on a quiet 4-core host;
+    PARITY.md records the full table);
+  * 8 devices on any host: CORE-ADJUSTED efficiency (vs the
+    min(1, cores/n) ceiling) >= 0.45.
+
+Full-resolution numbers live in benchmarks/exp_scaling.py output,
+recorded in PARITY.md.
+"""
+
+import os
+
+import jax
+import pytest
+
+from benchmarks.exp_scaling import measure_block, measure_dp
+
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device mesh")
+
+
+def _attempt(measure, check, attempts=3):
+    """Perf smoke: pass if ANY of a few attempts satisfies the bound
+    (virtualized CI hosts show sustained multi-second noise episodes
+    that min-of-reps inside one attempt does not filter)."""
+    last = None
+    for _ in range(attempts):
+        thpt = measure()
+        ok, last = check(thpt), thpt
+        if ok:
+            return
+    raise AssertionError(last)
+
+
+@needs_devices
+def test_dp_weak_scaling():
+    cores = os.cpu_count() or 1
+
+    def check(thpt):
+        base = thpt[1]
+        # no serialization: total throughput must actually grow with
+        # devices (measured ~2.5x on a 4-core host, f64)
+        if thpt[4] < 1.9 * base:
+            return False
+        if cores >= 4 and thpt[2] / 2 / base < 0.55:
+            return False
+        return thpt[8] / 8 / base / min(1.0, cores / 8) >= 0.45
+
+    _attempt(lambda: measure_dp(n_list=(1, 2, 4, 8), per_dev=4096, reps=5),
+             check)
+
+
+@needs_devices
+def test_block_psum_scaling():
+    """The psum axis pays one collective per iteration; it must still
+    deliver real parallel speedup (a replicated/serialized accumulate
+    would pin total throughput at ~1x; measured ~1.9x on a 4-core
+    host, f64)."""
+    _attempt(lambda: measure_block(n_list=(1, 4), per_dev_blocks=512,
+                                   reps=5),
+             lambda thpt: thpt[4] >= 1.4 * thpt[1])

@@ -63,7 +63,12 @@ def make_block_system(block_fn: Callable, data, x0, mesh: Mesh,
         raise ValueError(
             f"n_blocks={n_blocks} not divisible by mesh axis "
             f"'{axis}'={axis_size}; pad the block axis")
-    block0 = jax.tree_util.tree_map(lambda a: a[0], data)
+    # Shape-only probe (no a[0] indexing: in multi-process meshes ``data``
+    # is a global array spanning non-addressable devices, which cannot be
+    # computed on eagerly).
+    block0 = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a)[1:],
+                                       jnp.result_type(a)), data)
     r_shape = jax.eval_shape(lambda x, b: flatten_residuals(block_fn(x, b)),
                              x0, block0)
     n_res = n_blocks * math.prod(r_shape.shape)
@@ -100,11 +105,11 @@ def make_block_system(block_fn: Callable, data, x0, mesh: Mesh,
             return jnp.vdot(r, r)
         return jax.lax.psum(jnp.sum(jax.vmap(one)(data)), axis)
 
-    def accumulate(x):
+    def accumulate(x, data=data):
         H, g, c = _accumulate_sm(x, data)
         return H, g, Cost.make(c, n_res)
 
-    def evaluate(x):
+    def evaluate(x, data=data):
         return Cost.make(_evaluate_sm(x, data), n_res)
 
     return accumulate, evaluate, n_res
@@ -125,12 +130,20 @@ def sharded_optimize(x0, block_fn: Callable, data,
         mesh = local_mesh(axis)
     x0 = mf.as_pytree(x0)
     sharding = NamedSharding(mesh, P(axis))
-    data = jax.tree_util.tree_map(
-        lambda a: jax.device_put(jnp.asarray(a), sharding), data)
+    already_global = any(
+        getattr(l, "sharding", None) is not None
+        and not getattr(l, "is_fully_addressable", True)
+        for l in jax.tree_util.tree_leaves(data))
+    if not already_global:
+        data = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), sharding), data)
     spec = mf.tangent_spec(x0)
     acc, ev, n_res = make_block_system(block_fn, data, x0, mesh, axis, spec)
 
-    def solve(x):
-        return optimize_from_acc(x, acc, ev, options, spec)
+    # ``data`` rides as a jit ARGUMENT: a multi-process mesh's global
+    # arrays span non-addressable devices and cannot be closed over.
+    def solve(x, d):
+        return optimize_from_acc(x, lambda xv: acc(xv, d),
+                                 lambda xv: ev(xv, d), options, spec)
 
-    return jax.jit(solve)(x0)
+    return jax.jit(solve)(x0, data)

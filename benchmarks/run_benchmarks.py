@@ -233,6 +233,60 @@ def bench_se3(batch: int):
     return batch / min(ts), conv
 
 
+def bench_ba(n_cams: int = 100, n_pts: int = 5000, noise: float = 1e-3,
+             seed: int = 11, max_iters: int = 12):
+    """Large-scale BA (VERDICT r1 #9: the regime the reference concedes,
+    README.md:30): fixed seed/criteria, two backends.
+
+      * matfree — GN-CG, J/H never materialized (the r1 narrative result)
+      * schur   — Schur-complement camera elimination (ops/schur.py)
+
+    Success criterion: reprojection RMSE <= 1.2x the observation noise.
+    Returns {backend: (wall_s, rmse, converged)}.
+    """
+    import jax
+    import jax.numpy as jnp
+    import tinyopt_tpu as to
+    from tinyopt_tpu.models.bundle_adjustment import (
+        make_ba_problem, ba_residuals, project, reprojection_rmse)
+
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    data, x0, _ = make_ba_problem(n_cams=n_cams, n_pts=n_pts, noise=noise,
+                                  seed=seed, dtype=dtype)
+    opts = to.Options(max_iters=max_iters, max_consec_failures=0,
+                      min_error=0.0,
+                      hessian=to.HessianOptions(save_last=False))
+    if dtype == jnp.float32:
+        opts = opts.for_dtype(dtype)
+    rows = {}
+
+    def _timed(run):
+        x, out = run()                     # compile + warm
+        jax.block_until_ready(jax.tree_util.tree_leaves(x))
+        t0 = time.perf_counter()
+        x, out = run()
+        rmse = float(reprojection_rmse(
+            {"poses": x[0], "points": x[1]} if isinstance(x, tuple) else x,
+            data))                          # forced read = completion
+        wall = time.perf_counter() - t0
+        return wall, rmse, rmse <= 1.2 * max(noise, 1e-9)
+
+    def run_matfree():
+        return to.matfree_optimize(
+            x0, lambda p: ba_residuals(p, data), opts, cg_iters=48)
+
+    def pair_fn(pose, point, obs):
+        return project(pose, point[None, :])[0] - obs
+
+    def run_schur():
+        return to.schur_optimize((x0["poses"], x0["points"]), pair_fn,
+                                 data.observations, data.mask, opts)
+
+    rows["matfree"] = _timed(run_matfree)
+    rows["schur"] = _timed(run_schur)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=10_000)
@@ -274,6 +328,13 @@ def main():
         print(f"\nse3_refinement: {sps:,.0f} solves/s "
               f"(batch={args.batch}, 16 pts, conv={conv:.2f}) — flagship "
               "model, no reference counterpart")
+
+        ba = bench_ba()
+        print("\nBA 100 cams x 5000 landmarks (15,600 tangent dims, "
+              "seed=11, noise=1e-3, criterion RMSE<=1.2e-3):")
+        for k, (wall, rmse, ok) in ba.items():
+            print(f"  {k:<8} {wall:7.2f} s  rmse={rmse:.2e}  "
+                  f"{'converged' if ok else 'NOT CONVERGED'}")
 
 
 if __name__ == "__main__":

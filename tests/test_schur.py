@@ -1,0 +1,123 @@
+"""Schur-complement elimination for bipartite NLLS (ops/schur.py).
+
+The structure every production BA solver exploits and the regime the
+reference concedes (/root/reference/README.md:30 "not fast for large
+systems yet"); VERDICT r1 #9.  Spec: the Schur solve is algebraically
+EXACT elimination — per-iteration steps, trajectories and Outputs must
+match the dense solver on the same problem.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu import manifold as mf
+from tinyopt_tpu.manifolds import SE3
+from tinyopt_tpu.models.bundle_adjustment import (BAData, ba_residuals,
+                                                  make_ba_problem, project,
+                                                  reprojection_rmse)
+from tinyopt_tpu.ops.schur import schur_system
+
+
+def pair_fn(pose, point, obs):
+    return project(pose, point[None, :])[0] - obs
+
+
+def _dense_equiv(data):
+    return lambda p: ba_residuals(p, data)
+
+
+class TestExactElimination:
+    def test_propose_matches_dense_solve(self):
+        """One damped Schur step == the dense (H + λ·diag) step on the
+        identical normal equations (elimination is exact algebra)."""
+        data, x0, _ = make_ba_problem(n_cams=3, n_pts=10)
+        x_t = (x0["poses"], x0["points"])
+        spec = mf.tangent_spec(x_t)
+        acc, ev, n_res, propose = schur_system(
+            pair_fn, x_t[0], x_t[1], data.observations, data.mask, spec)
+        H, g, cost = acc(x_t)
+
+        from tinyopt_tpu.diff.auto import make_nlls_system
+        # dense system over the SAME tangent layout
+        acc_d, _, _ = make_nlls_system(
+            lambda x: ba_residuals({"poses": x[0], "points": x[1]}, data),
+            x_t, spec)
+        Hd, gd, cost_d = acc_d(x_t)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
+                                   rtol=1e-9, atol=1e-12)
+        assert float(cost.cost) == pytest.approx(float(cost_d.cost),
+                                                 rel=1e-12)
+
+        from tinyopt_tpu.solvers.step import propose_step
+        opts = to.Options()
+        for lam in (1e-4, 1e-1, 10.0):
+            dx_s, ok_s = propose(H, g, jnp.asarray(lam), opts)
+            dx_d, ok_d = propose_step(Hd, gd, jnp.asarray(lam), opts)
+            assert bool(ok_s) and bool(ok_d)
+            np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_d),
+                                       rtol=1e-7, atol=1e-10)
+
+    def test_full_solve_matches_dense(self):
+        data, x0, _ = make_ba_problem(n_cams=4, n_pts=12)
+        opts = to.Options(max_iters=30, max_consec_failures=0)
+        x_s, out_s = to.schur_optimize((x0["poses"], x0["points"]), pair_fn,
+                                       data.observations, data.mask, opts)
+        x_d, out_d = to.optimize(x0, _dense_equiv(data), opts)
+        assert int(out_s.num_iters) == int(out_d.num_iters)
+        assert int(out_s.stop_reason) == int(out_d.stop_reason)
+        assert float(out_s.final_cost.cost) == pytest.approx(
+            float(out_d.final_cost.cost), rel=1e-6, abs=1e-18)
+        np.testing.assert_allclose(np.asarray(x_s[1]),
+                                   np.asarray(x_d["points"]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+class TestBA:
+    def test_partial_visibility(self):
+        data, x0, x_true = make_ba_problem(n_cams=5, n_pts=24,
+                                           visibility=0.7, seed=3)
+        x, out = to.schur_optimize((x0["poses"], x0["points"]), pair_fn,
+                                   data.observations, data.mask,
+                                   to.Options(max_iters=50,
+                                              max_consec_failures=0))
+        assert bool(out.converged())
+        rmse = reprojection_rmse({"poses": x[0], "points": x[1]}, data)
+        assert float(rmse) < 1e-8
+
+    def test_larger_problem_converges(self):
+        """10 cams x 200 landmarks (660 tangent dims): the reduced camera
+        system is only 60x60."""
+        data, x0, _ = make_ba_problem(n_cams=10, n_pts=200, noise=1e-3,
+                                      seed=7)
+        x, out = to.schur_optimize(
+            (x0["poses"], x0["points"]), pair_fn,
+            data.observations, data.mask,
+            to.Options(max_iters=40, max_consec_failures=0,
+                       min_error=0.0))
+        assert bool(out.succeeded())
+        rmse = reprojection_rmse({"poses": x[0], "points": x[1]}, data)
+        assert float(rmse) < 2e-3        # at the observation-noise level
+
+    def test_gn_mode_matches_dense(self):
+        """Undamped GN on a gauge-singular BA fails on BOTH paths with
+        the same classification (the Schur solve must not mask a
+        singular reduced system)."""
+        data, x0, _ = make_ba_problem(n_cams=3, n_pts=10)
+        opts = to.Options(solver_type=to.GaussNewton, max_iters=20)
+        x_s, out_s = to.schur_optimize((x0["poses"], x0["points"]), pair_fn,
+                                       data.observations, data.mask, opts)
+        x_d, out_d = to.optimize(x0, _dense_equiv(data), opts)
+        assert int(out_s.stop_reason) == int(out_d.stop_reason)
+        assert int(out_s.stop_reason) == int(to.StopReason.SOLVER_FAILED)
+
+    def test_validation(self):
+        data, x0, _ = make_ba_problem(n_cams=3, n_pts=8)
+        with pytest.raises(ValueError, match=r"\(a0, b0\)"):
+            to.schur_optimize(x0, pair_fn, data.observations, data.mask)
+        with pytest.raises(ValueError, match="first-order"):
+            to.schur_optimize((x0["poses"], x0["points"]), pair_fn,
+                              data.observations, data.mask,
+                              to.Options(solver_type=to.Adam))

@@ -16,7 +16,7 @@ from .options import (
     Options, SolverType, HessianOptions, CostScalingOptions, LMOptions,
     GDOptions, SGDOptions, AdamOptions, LBFGSOptions, LogOptions,
     LevenbergMarquardt, GaussNewton, GradientDescent, SGD, Adam, AdamW,
-    LBFGS,
+    LBFGS, DogLeg,
 )
 from .output import Output
 from .stop_reasons import StopReason, stop_reason_description
@@ -33,7 +33,8 @@ from . import implicit
 from . import checkpoint
 from .checkpoint import stepper, Stepper
 from .implicit import implicit_solver
-from .sparse import block_optimize, matfree_optimize, sparse_optimize
+from .sparse import (block_optimize, matfree_optimize, schur_optimize,
+                     sparse_optimize)
 from .ops.block import BlockDiag
 from .version import __version__
 
@@ -46,6 +47,7 @@ sgd = _m.sgd
 adam = _m.adam
 adamw = _m.adamw
 lbfgs = _m.lbfgs
+dogleg = _m.dogleg
 nlls = _m.lm
 unconstrained = _m.gd
 
@@ -56,14 +58,16 @@ __all__ = [
     "HessianOptions", "CostScalingOptions", "LMOptions", "GDOptions",
     "SGDOptions", "AdamOptions", "LBFGSOptions", "LogOptions",
     "LevenbergMarquardt", "GaussNewton", "GradientDescent",
-    "SGD", "Adam", "AdamW", "LBFGS",
+    "SGD", "Adam", "AdamW", "LBFGS", "DogLeg",
     "Manifold", "register_manifold", "tangent_spec", "retract", "local",
     "TangentSpec",
-    "lm", "gn", "gd", "sgd", "adam", "adamw", "lbfgs", "nlls",
+    "lm", "gn", "gd", "sgd", "adam", "adamw", "lbfgs", "dogleg",
+    "nlls",
     "unconstrained",
     "diff", "losses", "manifolds", "sparse", "utils", "checkpoint",
     "stepper", "Stepper",
-    "block_optimize", "matfree_optimize", "sparse_optimize", "BlockDiag",
+    "block_optimize", "matfree_optimize", "sparse_optimize",
+    "schur_optimize", "BlockDiag",
     "implicit", "implicit_solver",
     "__version__",
 ]

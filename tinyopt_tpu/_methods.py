@@ -39,3 +39,6 @@ sgd = _make("sgd", SolverType.SGD)
 adam = _make("adam", SolverType.ADAM)
 adamw = _make("adamw", SolverType.ADAMW)
 lbfgs = _make("lbfgs", SolverType.LBFGS)
+# Trust region beyond the reference (it skips Wood/Freudenstein-Roth
+# "pending trust-region", tests/optimize_hard.cpp:289-295).
+dogleg = _make("dogleg", SolverType.DOGLEG)

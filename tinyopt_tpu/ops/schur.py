@@ -1,0 +1,202 @@
+"""Schur-complement normal equations for bipartite NLLS (bundle adjustment).
+
+The canonical structure of BA/SfM/calibration problems: two parameter
+families A (cameras) and B (landmarks) where every residual block couples
+exactly ONE element of each.  The normal equations then have the arrow
+shape
+
+    [ Ba  E ] [dx_a]   [-g_a]
+    [ Eᵀ  C ] [dx_b] = [-g_b]
+
+with Ba block-diagonal over A-elements, C block-diagonal over B-elements
+(3x3 for landmarks), and E the bipartite coupling.  Eliminating B gives
+the reduced camera system
+
+    S dx_a = -g_a + E C⁻¹ g_b,      S = Ba − E C⁻¹ Eᵀ
+    dx_b   = C⁻¹ (−g_b − Eᵀ dx_a)
+
+— the structure every production BA solver exploits (Brown 1958; Triggs
+et al. 1999), and the regime the reference concedes ("not fast for large
+systems yet", /root/reference/README.md:30).
+
+TPU-native formulation: observations live in a DENSE (n_a, n_b) grid with
+a visibility mask (zero rows contribute zero residual AND zero Jacobian),
+so every stage is a batched einsum on the MXU — per-pair Jacobians by
+vmapped forward-mode AD, the block products (Ba, C, E, g), the batched
+3x3 (db x db) Cholesky inverse of C, the S assembly, and one dense
+Cholesky of the (n_a·da)² reduced system.  J and the full H never exist;
+the largest intermediate is E at (n_a, n_b, da, db).
+
+Plugs into the standard loop via ``optimize_from_acc(propose=...)``:
+``accumulate`` returns the :class:`SchurSystem` as the pluggable H, and
+``propose`` performs damping + elimination + back-substitution
+(multiplicative (1+λ)·diag damping on Ba and C — reference lm.h:107-117
+semantics; absolute λ on structurally-zero diagonals like
+ops/linalg.damp_diagonal).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import manifold as mf
+from ..cost import Cost
+from ..diff.auto import flatten_residuals
+from ..options import SolverType
+from .linalg import solve_psd
+
+
+class SchurSystem(NamedTuple):
+    """Arrow-shaped normal equations (the pluggable H of the loop)."""
+
+    Ba: jax.Array   #: (n_a, da, da) A-side diagonal blocks
+    C: jax.Array    #: (n_b, db, db) B-side diagonal blocks
+    E: jax.Array    #: (n_a, n_b, da, db) coupling blocks
+
+
+def _damp_blocks(M: jax.Array, lam) -> jax.Array:
+    """Multiplicative (1+λ) diagonal damping per block; absolute λ on
+    exactly-zero diagonal entries (ops/linalg.damp_diagonal semantics)."""
+    d = M.shape[-1]
+    eye = jnp.eye(d, dtype=M.dtype)
+    diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    add = jnp.where(diag == 0, lam, diag * lam)
+    return M + eye * add[..., None, :] * eye  # broadcast add on diagonal
+
+
+def schur_system(pair_fn: Callable, a0, b0, data, mask,
+                 spec: mf.TangentSpec):
+    """Build (accumulate, evaluate, n_res, propose) for a bipartite NLLS.
+
+    ``pair_fn(a_i, b_j, data_ij) -> (m,) residuals`` evaluates one
+    (A-element, B-element) observation; ``mask`` is (n_a, n_b) with 1 for
+    observed pairs (masked pairs contribute zero residual and zero
+    Jacobian — heterogeneous visibility with static shapes).  ``spec``
+    must be ``mf.tangent_spec((a0, b0))`` — the loop's tangent layout is
+    [A-tangents row-major; B-tangents row-major] (pytree order of the
+    2-tuple).
+    """
+    a_leaves = jax.tree_util.tree_leaves(mf.as_pytree(a0))
+    n_a = jnp.shape(a_leaves[0])[0]
+    b_leaves = jax.tree_util.tree_leaves(mf.as_pytree(b0))
+    n_b = jnp.shape(b_leaves[0])[0]
+    a_ex = jax.tree_util.tree_map(lambda l: l[0], mf.as_pytree(a0))
+    b_ex = jax.tree_util.tree_map(lambda l: l[0], mf.as_pytree(b0))
+    spec_a = mf.tangent_spec(a_ex)
+    spec_b = mf.tangent_spec(b_ex)
+    da, db = spec_a.dims, spec_b.dims
+    dtype = spec.dtype
+
+    d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], data)
+    m = int(sum(math.prod(l.shape) for l in jax.tree_util.tree_leaves(
+        jax.eval_shape(lambda a, b, d: flatten_residuals(pair_fn(a, b, d)),
+                       a_ex, b_ex, d_ex))))
+    n_res = int(n_a) * int(n_b) * m
+
+    def split(x):
+        return x[0], x[1]
+
+    def pair_r(a_i, b_j, d_ij):
+        return flatten_residuals(pair_fn(a_i, b_j, d_ij)).astype(dtype)
+
+    def cam_lin(a_i, d_i, m_i, b):
+        """Masked (r, Ja, Jb) of ONE A-element against ALL B-elements.
+
+        AD is batched for vectorization: the da A-tangent sweeps each
+        differentiate the whole (n_b, m) residual row at once, and the
+        db B-tangent sweeps run under one vmap over the B axis — n_b·m
+        wide XLA ops instead of n_a·n_b tiny per-pair traces (measured
+        meaningfully faster at BA scale than per-pair ``jacfwd`` on the
+        (da+db) product tangent)."""
+        def row(a_r):
+            return jax.vmap(
+                lambda b_j, d_ij, m_ij: pair_r(a_r, b_j, d_ij) * m_ij)(
+                    b, d_i, m_i)                          # (n_b, m)
+
+        def row_of_da(delta_a):
+            return row(mf.retract(a_i, delta_a, spec_a))
+
+        za = jnp.zeros((da,), dtype)
+        r = row_of_da(za)
+        Ja = jax.jacfwd(row_of_da)(za)                    # (n_b, m, da)
+
+        a_r0 = mf.retract(a_i, za, spec_a)
+
+        def one_b(b_j, d_ij, m_ij):
+            def r_of_db(delta_b):
+                return pair_r(a_r0, mf.retract(b_j, delta_b, spec_b),
+                              d_ij) * m_ij
+            return jax.jacfwd(r_of_db)(jnp.zeros((db,), dtype))
+
+        Jb = jax.vmap(one_b)(b, d_i, m_i)                 # (n_b, m, db)
+        return r, Ja, Jb
+
+    def grid(f, a, b):
+        over_b = jax.vmap(f, in_axes=(None, 0, 0, 0))
+        return jax.vmap(over_b, in_axes=(0, None, 0, 0))(a, b, data, mask)
+
+    def accumulate(x):
+        a, b = split(x)
+        a = mf.as_pytree(a)
+        b = mf.as_pytree(b)
+        r, Ja, Jb = jax.vmap(cam_lin, in_axes=(0, 0, 0, None))(
+            a, data, mask, b)                   # (n_a, n_b, m, ·)
+        Ba = jnp.einsum("ijra,ijrb->iab", Ja, Ja,
+                        preferred_element_type=dtype)
+        C = jnp.einsum("ijra,ijrb->jab", Jb, Jb,
+                       preferred_element_type=dtype)
+        E = jnp.einsum("ijra,ijrb->ijab", Ja, Jb,
+                       preferred_element_type=dtype)
+        g_a = jnp.einsum("ijra,ijr->ia", Ja, r)
+        g_b = jnp.einsum("ijrb,ijr->jb", Jb, r)
+        g = jnp.concatenate([g_a.reshape(-1), g_b.reshape(-1)])
+        cost = Cost.make(jnp.vdot(r, r), n_res)
+        return SchurSystem(Ba, C, E), g, cost
+
+    def evaluate(x):
+        a, b = split(x)
+
+        def one(a_i, b_j, d_ij, m_ij):
+            return pair_r(a_i, b_j, d_ij) * m_ij
+
+        r = grid(one, mf.as_pytree(a), mf.as_pytree(b))
+        return Cost.make(jnp.vdot(r, r), n_res)
+
+    def propose(H: SchurSystem, g, lam, opts):
+        """Damped Schur elimination + back-substitution. (dx, ok)."""
+        is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+        Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
+        Cd = _damp_blocks(H.C, lam) if is_lm else H.C
+        g_a = g[:n_a * da].reshape(n_a, da)
+        g_b = g[n_a * da:].reshape(n_b, db)
+
+        # Batched inverse of the damped B-side blocks (db x db, PSD).
+        # Cholesky-based: a non-PSD block yields NaNs -> ok False -> the
+        # loop's λ-escalation (optimizer.h:356-399 route).
+        chol = jax.vmap(jnp.linalg.cholesky)(Cd)
+        eye = jnp.broadcast_to(jnp.eye(db, dtype=g.dtype), Cd.shape)
+        Cinv = jax.vmap(
+            lambda L, I: jax.scipy.linalg.cho_solve((L, True), I))(chol, eye)
+
+        EC = jnp.einsum("ijab,jbc->ijac", H.E, Cinv,
+                        preferred_element_type=g.dtype)
+        S_red = jnp.einsum("ijac,kjdc->ikad", EC, H.E,
+                           preferred_element_type=g.dtype)
+        idx = jnp.arange(n_a)
+        S_blocks = (-S_red).at[idx, idx].add(Bd)
+        S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
+        rhs = (-g_a + jnp.einsum("ijac,jc->ia", EC, g_b)).reshape(-1)
+        dx_a, ok = solve_psd(S, rhs, use_cholesky=opts.hessian.use_ldlt)
+        dx_a = dx_a.reshape(n_a, da)
+        dx_b = jnp.einsum(
+            "jbc,jc->jb", Cinv,
+            -g_b - jnp.einsum("ijab,ia->jb", H.E, dx_a))
+        dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
+        ok = ok & jnp.all(jnp.isfinite(dx))
+        return dx, ok
+
+    return accumulate, evaluate, n_res, propose

@@ -33,11 +33,12 @@ import jax.numpy as jnp
 
 from .. import manifold as mf
 from ..cost import Cost, normalize_cost
-from ..options import (FIRST_ORDER_TYPES, STATEFUL_FO_TYPES, Options,
-                       SolverType)
+from ..options import (FIRST_ORDER_TYPES, LAMBDA_SCHEDULED_TYPES,
+                       STATEFUL_FO_TYPES, Options, SolverType)
 from ..output import Output
 from ..solvers.first_order import fo_init, fo_on_build, fo_propose
-from ..solvers.lm import LMState, lm_init, lm_good_step, lm_bad_step, lm_failed_step
+from ..solvers.lm import (LMState, lm_init, lm_good_step, lm_bad_step,
+                          lm_failed_step, tr_bad_step)
 from ..solvers.step import propose_step
 from ..stop_reasons import StopReason
 
@@ -126,7 +127,9 @@ def _solve_with_retries(H, g, lm_state, c, extra_ok, opts,
     failures.
     """
     max_tries = opts.max_consec_failures if opts.max_consec_failures > 0 else 255
-    is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+    # λ escalation applies to LM (damping) and DOGLEG (1/Δ: a failed
+    # proposal shrinks the trust radius, the canonical TR response).
+    is_lm = opts.solver_type in LAMBDA_SCHEDULED_TYPES
 
     def cond(s: _RetryState):
         return (~s.ok) & (~s.give_up) & (s.num_consec <= max_tries)
@@ -138,7 +141,12 @@ def _solve_with_retries(H, g, lm_state, c, extra_ok, opts,
         nc = s.num_consec + jnp.where(ok, 0, 1).astype(_I32)
         give_up = (~ok) & (opts.max_consec_failures > 0) & (
             nc >= opts.max_consec_failures)
-        new_lm = lm_failed_step(s.lm, opts) if is_lm else s.lm
+        if opts.solver_type == SolverType.DOGLEG:
+            new_lm = tr_bad_step(s.lm, opts)       # fixed shrink, see lm.py
+        elif is_lm:
+            new_lm = lm_failed_step(s.lm, opts)
+        else:
+            new_lm = s.lm
         lm_state2 = jax.tree_util.tree_map(
             lambda a, b: jnp.where((~ok) & (~give_up), a, b), new_lm, s.lm)
         return _RetryState(dx=jnp.where(ok, dx, s.dx), ok=ok, lm=lm_state2,
@@ -202,7 +210,9 @@ def optimize_from_acc(
     first_order = opts.solver_type in FIRST_ORDER_TYPES
     fo_stateful = opts.solver_type in STATEFUL_FO_TYPES
     is_adamw = opts.solver_type == SolverType.ADAMW
-    is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+    # GoodStep/BadStep λ updates: LM damping, or DOGLEG's inverse trust
+    # radius (good step → λ↓ → Δ↑, rejection → λ↑ → Δ↓, lm.h:123-145).
+    is_lm = opts.solver_type in LAMBDA_SCHEDULED_TYPES
     # carry_H=False: re-accumulate instead of carrying the (large) H
     # through the while-loop carry (see HessianOptions.carry_system).
     carry_H = (not first_order) and opts.hessian.carry_system
@@ -418,9 +428,18 @@ def optimize_from_acc(
         # it a rejected fixed-lr proposal would be re-proposed verbatim
         # forever.
         if is_lm or fo_stateful:
-            quality = rel_derr if opts.use_step_quality_approx else jnp.zeros((), dtype)
+            # DOGLEG ignores the quality heuristic: lm.h's "low-quality
+            # good step still raises λ" rule shrinks a trust RADIUS
+            # exponentially through slow-progress valleys (observed: Wood
+            # stalls at cost 7.7); classic dogleg grows Δ on every
+            # accepted step and shrinks only on rejection.
+            use_q = (opts.use_step_quality_approx
+                     and opts.solver_type != SolverType.DOGLEG)
+            quality = rel_derr if use_q else jnp.zeros((), dtype)
             lm_good = lm_good_step(lm_state, quality, opts)
-            lm_bad = lm_bad_step(lm_state, opts)
+            lm_bad = (tr_bad_step(lm_state, opts)
+                      if opts.solver_type == SolverType.DOGLEG
+                      else lm_bad_step(lm_state, opts))
             apply_good = (~early_fail) & good & (~first_eval)
             apply_bad = (~early_fail) & (~good)
             lm_state = _where_tree(

@@ -33,6 +33,18 @@ class SolverType(enum.Enum):
     ADAM = 4                 #: Adam (Kingma & Ba 2015)
     ADAMW = 5                #: Adam with decoupled weight decay
     LBFGS = 6                #: limited-memory BFGS (two-loop recursion)
+    DOGLEG = 7               #: Powell dogleg trust region (beyond the
+                             #: reference: it DISABLES Wood and
+                             #: Freudenstein-Roth "pending trust-region",
+                             #: tests/optimize_hard.cpp:289-295).  The
+                             #: trust radius rides the λ machinery as a
+                             #: step-length-relative inverse, Δ =
+                             #: ‖dx_GN‖/λ: any λ ≤ 1 admits the full GN
+                             #: step, rejections/failures compound λ =
+                             #: shrink/bend the failed step, good steps
+                             #: shrink λ back; lm.damping_range clamps.
+                             #: The default lm.damping_init (1e-4 ≤ 1)
+                             #: starts at the full GN step.
 
 
 # Short aliases
@@ -43,6 +55,7 @@ SGD = SolverType.SGD
 Adam = SolverType.ADAM
 AdamW = SolverType.ADAMW
 LBFGS = SolverType.LBFGS
+DogLeg = SolverType.DOGLEG
 
 #: Solver types that never build a Hessian (gradient-only loop).
 FIRST_ORDER_TYPES = frozenset({
@@ -52,6 +65,12 @@ FIRST_ORDER_TYPES = frozenset({
 #: First-order types with per-solve optimizer state in the loop carry.
 STATEFUL_FO_TYPES = frozenset({
     SolverType.SGD, SolverType.ADAM, SolverType.ADAMW, SolverType.LBFGS})
+
+#: Types whose step-control state rides the λ schedule (λ = damping for
+#: LM, λ = inverse trust radius for DOGLEG): GoodStep/BadStep/FailedStep
+#: updates apply (lm.h:123-154 semantics for both).
+LAMBDA_SCHEDULED_TYPES = frozenset({
+    SolverType.LEVENBERG_MARQUARDT, SolverType.DOGLEG})
 
 
 @dataclasses.dataclass(frozen=True)

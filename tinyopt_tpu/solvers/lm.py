@@ -63,3 +63,23 @@ def lm_bad_step(state: LMState, opts) -> LMState:
 
 def lm_failed_step(state: LMState, opts) -> LMState:
     return lm_bad_step(state, opts)
+
+
+def tr_bad_step(state: LMState, opts) -> LMState:
+    """DOGLEG rejection: fixed shrink, NO compounding.
+
+    lm.h's compounding bad factor (2, 4, 8, ...) is right for LM — each
+    escalation also rotates the step toward −g, so acceptance usually
+    arrives within a couple of tries.  For a trust RADIUS it collapses
+    double-geometrically through rejection/rollback pairs (the rollback
+    re-evaluation is itself a "bad step", reference optimizer.h:427-448),
+    after which the first accepted radius-clipped step is ~1e-8 of the
+    natural scale and spuriously fires MIN_DELTA_NORM (measured on Wood:
+    stall at cost 7.74 with |∇| = 5).  Classic TR shrinks by a fixed
+    factor per rejection (Nocedal & Wright alg. 4.1, Δ ← Δ/4).
+    """
+    return LMState(
+        lam=_clamp(state.lam * state.lam.dtype.type(opts.lm.bad_factor),
+                   opts),
+        bad_factor=state.bad_factor,
+    )

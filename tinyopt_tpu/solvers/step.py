@@ -24,12 +24,113 @@ def _cg_solver(iters: int):
     return make_cg_solver(iters)
 
 
+def _dogleg_step(H, g, lam, opts):
+    """Powell dogleg inside trust radius Δ = 1/λ. Returns (dx, ok).
+
+    Classic construction (Powell 1970; Nocedal & Wright §4.1): the
+    Gauss-Newton point when it fits, the gradient direction clipped to
+    the boundary when even the Cauchy point doesn't, and the two-segment
+    interpolation hitting ‖dx‖ = Δ otherwise.  A failed (non-PSD) GN
+    solve degrades to the clipped-gradient branch — a valid trust-region
+    step, so the iteration proceeds and the accept/reject loop shrinks Δ
+    if it was a bad idea.
+
+    The radius is STEP-LENGTH-RELATIVE: Δ = ref/λ, where ref =
+    min(‖dx_GN‖, κ·‖dx_Cauchy‖) with κ = 1e3 (falling back to the Cauchy
+    length, then ‖g‖, when the GN solve fails).  λ ≤ 1 therefore always
+    admits the full GN step when the GN/Cauchy ratio is sane, and the
+    first rejection (λ: 1→2) halves THE FAILED STEP — bending the
+    direction toward the gradient immediately.  Two simpler radii were
+    measured to fail: an absolute Δ = 1/λ (interior GN acceptances leave
+    Δ inflated, a later rejection re-probes the identical full GN step
+    for many shrink cycles, and the eventual collapse overshoots to
+    ~1e-8, where the first accepted step spuriously fires MIN_DELTA_NORM
+    — Wood stalled at cost 7.74), and an uncapped Δ = ‖dx_GN‖/λ (at
+    Jennrich-Sampson's symmetric minimum H is exactly singular, the
+    numeric GN step is garbage-huge, and the blend proposes a ‖dx‖ = 47
+    step that escapes to an overflow region; the κ-cap keys the radius
+    to the Cauchy scale whenever GN is disproportionate).
+
+    No reference counterpart (the reference skips trust region,
+    tests/optimize_hard.cpp:289-295); the λ machinery this rides is
+    lm.h:123-154.
+    """
+    dtype = g.dtype
+    lam = lam.astype(dtype)
+    dx_gn, ok_gn = solve_psd(H, -g, use_cholesky=opts.hessian.use_ldlt)
+    dx_gn = jnp.where(ok_gn, dx_gn, jnp.zeros_like(dx_gn))
+    gg = jnp.vdot(g, g)
+    gHg = jnp.vdot(g, H @ g)
+    pos_curv = gHg > 0
+    alpha = jnp.where(pos_curv, gg / jnp.where(pos_curv, gHg, 1.0), 0.0)
+    dx_sd = (-alpha) * g                        # Cauchy point
+    n_gn2 = jnp.vdot(dx_gn, dx_gn)
+    n_sd2 = jnp.vdot(dx_sd, dx_sd)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    # GN sanity: a numerically "successful" Cholesky of an (exactly)
+    # singular H returns a garbage-huge step — blending toward it
+    # proposes escape-velocity steps (observed at Jennrich-Sampson's
+    # symmetric minimum: a ‖dx‖ = 47 proposal into overflow territory).
+    # A GN step more than κ = 1e3 times the Cauchy step is treated as
+    # invalid; the proposal then falls back to the Cauchy point.
+    kappa2 = dtype.type(1e6)
+    gn_sane = ok_gn & jnp.where(n_sd2 > 0, n_gn2 <= kappa2 * n_sd2,
+                                jnp.ones((), bool))
+    # Insane/failed GN (singular or near-singular H: measured GN/Cauchy
+    # ratios of 1e7-1e11 near Freudenstein-Roth's and Jennrich-Sampson's
+    # minima, cond(H) 1e8-1e16): substitute a LEVENBERG step with
+    # λ_eff = max(λ, 1) — a damped step is itself a trust-region step
+    # (for every λ there is a Δ making them equal, Nocedal & Wright
+    # §4.3), it regularizes exactly where the raw GN direction is
+    # garbage, and it restores LM-grade convergence near singular
+    # minima where a pure Cauchy fallback crawls.
+    dx_reg, ok_reg = solve_psd(
+        damp_diagonal(H, jnp.maximum(lam, dtype.type(1.0))), -g,
+        use_cholesky=opts.hessian.use_ldlt)
+    dx_reg = jnp.where(ok_reg, dx_reg, dx_sd)
+    n_reg2 = jnp.vdot(dx_reg, dx_reg)
+    ref2 = jnp.where(gn_sane, n_gn2,
+                     jnp.where(ok_reg, n_reg2,
+                               jnp.where(pos_curv & (n_sd2 > 0), n_sd2,
+                                         gg)))
+    radius = jnp.sqrt(jnp.maximum(ref2, tiny)) / lam
+    # Gradient branch, clipped to the boundary — but NEVER extended past
+    # the Cauchy point (the quadratic model's optimum along −g; going
+    # further is model-unjustified).  0·inf-guarded for ‖g‖ underflow.
+    bd_len = jnp.where(pos_curv & (n_sd2 > 0),
+                       jnp.minimum(radius, jnp.sqrt(n_sd2)), radius)
+    dx_bd = jnp.where(gg > 0,
+                      -(bd_len / jnp.sqrt(jnp.maximum(gg, tiny))),
+                      0.0) * g
+    # regularized fallback, radius-clipped
+    reg_scale = jnp.minimum(
+        1.0, radius / jnp.sqrt(jnp.maximum(n_reg2, tiny)))
+    dx_reg = reg_scale * dx_reg
+    # two-segment interpolation: ‖dx_sd + τ (dx_gn − dx_sd)‖ = Δ
+    dvec = dx_gn - dx_sd
+    a = jnp.maximum(jnp.vdot(dvec, dvec), tiny)
+    b = 2.0 * jnp.vdot(dx_sd, dvec)
+    c = n_sd2 - radius * radius
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    tau = (-b + jnp.sqrt(disc)) / (2.0 * a)
+    dx_mid = dx_sd + jnp.clip(tau, 0.0, 1.0) * dvec
+    use_gn = gn_sane & (n_gn2 <= radius * radius)
+    use_reg = (~gn_sane) & ok_reg
+    use_bd = (~use_gn) & (~use_reg) & ((n_sd2 >= radius * radius)
+                                       | (~pos_curv) | (~gn_sane))
+    dx = jnp.where(use_gn, dx_gn,
+                   jnp.where(use_reg, dx_reg,
+                             jnp.where(use_bd, dx_bd, dx_mid)))
+    return dx, jnp.all(jnp.isfinite(dx))
+
+
 def propose_step(H, g, lam, opts):
     """Propose dx for the current (H, g, λ). Returns (dx, ok).
 
-    * GD:    dx = -lr · g, always succeeds.
-    * GN/LM: solve (H ⊕ λ·diag) dx = -g via Cholesky (λ = 0 for GN);
-             failure (non-PSD) reported through ``ok`` for λ-escalation.
+    * GD:     dx = -lr · g, always succeeds.
+    * GN/LM:  solve (H ⊕ λ·diag) dx = -g via Cholesky (λ = 0 for GN);
+              failure (non-PSD) reported through ``ok`` for λ-escalation.
+    * DOGLEG: Powell dogleg within trust radius 1/λ (dense H only).
 
     ``H`` may be a dense (d, d) array or a :class:`BlockDiag` — the
     block-sparse path solves all blocks with one batched Cholesky.
@@ -37,6 +138,12 @@ def propose_step(H, g, lam, opts):
     if opts.solver_type == SolverType.GRADIENT_DESCENT:
         dx = -g.dtype.type(opts.gd.lr) * g
         return dx, jnp.ones((), bool)
+    if opts.solver_type == SolverType.DOGLEG:
+        if not isinstance(H, jnp.ndarray):
+            raise ValueError(
+                "DOGLEG requires a dense Hessian (got "
+                f"{type(H).__name__}); use LM for block/sparse systems")
+        return _dogleg_step(H, g, lam, opts)
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
     if isinstance(H, BlockDiag):
         Hd = H.damp(lam) if is_lm else H

@@ -363,3 +363,42 @@ def matfree_optimize(x0, residual_fn: Callable,
         return optimize_from_acc(x, acc, ev, opts, spec, propose=propose)
 
     return (jax.jit(solve) if jit else solve)(x0)
+
+
+def schur_optimize(x0: tuple, pair_fn: Callable, data, mask,
+                   options: Options | None = None, *, jit: bool = True):
+    """Bipartite NLLS via Schur-complement elimination (bundle adjustment).
+
+    ``x0 = (a0, b0)``: two batched parameter families — e.g. cameras (a
+    batched SE3) and landmarks ((n_b, 3)) — where every residual couples
+    exactly one element of each.  ``pair_fn(a_i, b_j, data_ij) -> (m,)``
+    evaluates one observation; ``data`` leaves are (n_a, n_b, ...) and
+    ``mask`` is (n_a, n_b) with 1 for observed pairs.
+
+    Eliminates the B family per LM iteration (batched (db x db) Cholesky
+    inverses) and solves only the (n_a·da)² reduced camera system — the
+    structure every production BA solver exploits and the regime the
+    reference concedes (README.md:30).  See :mod:`tinyopt_tpu.ops.schur`.
+    ``Output.final_hessian`` is a :class:`~tinyopt_tpu.ops.schur.SchurSystem`
+    when ``hessian.save_last`` is on.
+    """
+    from .ops.schur import schur_system
+
+    options = options or Options()
+    if options.solver_type in FIRST_ORDER_TYPES:
+        raise ValueError(
+            "schur_optimize is a Gauss-Newton/LM method; use to.optimize "
+            "with a first-order solver type for gradient-only solves")
+    if not (isinstance(x0, tuple) and len(x0) == 2):
+        raise ValueError("schur_optimize needs x0 = (a0, b0)")
+    x0 = (mf.as_pytree(x0[0]), mf.as_pytree(x0[1]))
+    mask = jnp.asarray(mask)
+    spec = mf.tangent_spec(x0)
+    acc, ev, n_res, propose = schur_system(pair_fn, x0[0], x0[1], data,
+                                           mask, spec)
+
+    def solve(x):
+        return optimize_from_acc(x, acc, ev, options, spec,
+                                 propose=propose)
+
+    return (jax.jit(solve) if jit else solve)(x0)

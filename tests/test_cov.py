@@ -122,3 +122,50 @@ class TestMaxStdDev:
         x, out = to.optimize(jnp.zeros(3), lambda x: (x - Y) / STDEVS)
         assert float(max_std_dev(out.final_hessian)) == pytest.approx(
             float(jnp.max(STDEVS)), rel=1e-6)
+
+
+class TestCovarianceAt:
+    """Post-hoc covariance for H-less solve paths (fused/matfree)."""
+
+    def test_matches_saved_hessian_covariance(self):
+        import numpy as np
+        y = jnp.asarray([0.3, -0.7, 1.1])
+        inv_std = jnp.asarray([2.0, 1.0, 0.5])
+        fn = lambda x: (x - y) * inv_std
+        x, out = to.optimize(jnp.zeros(3), fn,
+                             to.Options(hessian=to.HessianOptions(
+                                 save_last=True)))
+        ref = out.covariance()
+        post = to.covariance_at(fn, x)
+        np.testing.assert_allclose(np.asarray(post), np.asarray(ref),
+                                   rtol=1e-9)
+        # rescaled variant agrees too (overdetermined via repeats)
+        fn2 = lambda x: jnp.concatenate([fn(x), fn(x) * 0.5 + 0.01])
+        x2, out2 = to.optimize(jnp.zeros(3), fn2,
+                               to.Options(hessian=to.HessianOptions(
+                                   save_last=True)))
+        np.testing.assert_allclose(
+            np.asarray(to.covariance_at(fn2, x2, rescaled=True)),
+            np.asarray(out2.covariance(rescaled=True)), rtol=1e-6)
+
+    def test_batched_via_vmap(self):
+        import jax
+        import numpy as np
+        from tinyopt_tpu.models.problems import (make_prior_batch,
+                                                 prior_residual)
+        data, x0 = make_prior_batch(6, 4, seed=2)
+        from tinyopt_tpu.parallel import batched_optimize
+        x, out = batched_optimize(x0, prior_residual, to.Options(
+            hessian=to.HessianOptions(save_last=False)), data_batch=data)
+        covs = jax.vmap(lambda xi, yi, si: to.covariance_at(
+            lambda xv: (xv - yi) * si, xi))(x, data.y, data.inv_std)
+        # whitened prior: covariance = diag(std^2)
+        np.testing.assert_allclose(
+            np.asarray(covs),
+            np.asarray(jax.vmap(jnp.diag)(1.0 / data.inv_std ** 2)),
+            rtol=1e-6, atol=1e-12)
+
+    def test_first_order_rejected(self):
+        with pytest.raises(ValueError, match="first-order"):
+            to.covariance_at(lambda x: x, jnp.zeros(2),
+                             to.Options(solver_type=to.GradientDescent))

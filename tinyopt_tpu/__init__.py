@@ -20,7 +20,8 @@ from .options import (
 )
 from .output import Output
 from .stop_reasons import StopReason, stop_reason_description
-from .optimize import optimize, Optimize, build_solver, multi_start_optimize
+from .optimize import (optimize, Optimize, build_solver,
+                       covariance_at, multi_start_optimize)
 from .manifold import (
     Manifold, register_manifold, tangent_spec, retract, local, TangentSpec,
 )
@@ -52,7 +53,8 @@ nlls = _m.lm
 unconstrained = _m.gd
 
 __all__ = [
-    "optimize", "Optimize", "build_solver", "multi_start_optimize",
+    "optimize", "Optimize", "build_solver", "covariance_at",
+    "multi_start_optimize",
     "Options", "SolverType", "Output", "Cost", "StopReason",
     "stop_reason_description",
     "HessianOptions", "CostScalingOptions", "LMOptions", "GDOptions",

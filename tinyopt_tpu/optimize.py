@@ -188,6 +188,49 @@ def build_solver(fn: Callable, options: Options, mode: str, x_example, *,
     return solve
 
 
+def covariance_at(fn: Callable, x, options: Options | None = None, *,
+                  mode: str = "auto", rescaled: bool = False):
+    """Posterior covariance H(x)⁻¹ computed post-hoc at ``x``.
+
+    Solve paths that never materialize H — the fused whole-solve kernel
+    (``hessian.solver="fused"``, which requires ``save_last=False``) and
+    ``matfree_optimize`` — cannot fill ``Output.final_hessian``; this
+    builds the un-damped normal equations at the returned ``x`` with one
+    accumulate and inverts, using the same rescale formula as
+    ``Output.covariance`` (reference output.h:80-93: ×cost²/(n−dims) for
+    overdetermined systems when ``rescaled``).  Composable with vmap for
+    batched solves::
+
+        x_opt, out = batched_optimize(x0, fn, opts, data_batch=data)
+        covs = jax.vmap(lambda xi, di: to.covariance_at(
+            lambda x: fn(x, di), xi))(x_opt, data)
+    """
+    from .ops.linalg import inv_cov
+
+    options = options or Options()
+    if options.solver_type in FIRST_ORDER_TYPES:
+        raise ValueError("covariance requires a GN/LM-style Hessian; "
+                         "first-order solver types build none")
+    x = mf.as_pytree(x)
+    acc, ev, n_res, spec, _, mode = _build_system(fn, options, mode, x)
+    H, g, cost = acc(x)
+    if H is None or not isinstance(H, jnp.ndarray):
+        raise ValueError(
+            "covariance_at needs a dense Hessian (got "
+            f"{type(H).__name__}); for block/sparse systems use the "
+            "solver's own covariance (BlockDiag.inv / SparseSym)")
+    cov = inv_cov(H)
+    if rescaled:
+        c = cost.cost
+        d = spec.dims
+        n = cost.num_residuals
+        scale = jnp.where(
+            n > d, c * c / jnp.maximum(n - d, 1).astype(c.dtype),
+            jnp.ones((), c.dtype))
+        cov = cov * scale
+    return cov
+
+
 def _cache_key(fn, options, mode, x, jit=True):
     leaves = jax.tree_util.tree_leaves(x)
     shapes = tuple((jnp.shape(l), jnp.asarray(l).dtype.name) for l in leaves)

@@ -75,6 +75,81 @@ class TestExactElimination:
                                    rtol=1e-5, atol=1e-7)
 
 
+class TestSchurSystemAlgebra:
+    def _random_system(self, seed=0, n_a=3, da=2, n_b=5, db=3, coupling=0.1):
+        from tinyopt_tpu.ops.schur import SchurSystem
+        rng = np.random.default_rng(seed)
+        def spd(n, d):
+            A = rng.normal(size=(n, d, d))
+            return jnp.asarray(A @ A.transpose(0, 2, 1) + 3.0 * np.eye(d))
+        E = jnp.asarray(coupling * rng.normal(size=(n_a, n_b, da, db)))
+        return SchurSystem(spd(n_a, da), spd(n_b, db), E)
+
+    def test_to_dense_and_matvec(self):
+        H = self._random_system()
+        Hd = np.asarray(H.to_dense())
+        assert Hd.shape == H.shape
+        np.testing.assert_allclose(Hd, Hd.T, atol=1e-12)
+        v = np.random.default_rng(1).normal(size=(H.dims,))
+        np.testing.assert_allclose(np.asarray(H.matvec(jnp.asarray(v))),
+                                   Hd @ v, rtol=1e-10, atol=1e-12)
+
+    def test_block_inverse_matches_dense(self):
+        """inv() (Schur block inversion) == dense inverse of to_dense()."""
+        H = self._random_system(seed=2)
+        cov = np.asarray(H.inv().to_dense())
+        np.testing.assert_allclose(cov @ np.asarray(H.to_dense()),
+                                   np.eye(H.dims), atol=1e-8)
+
+
+def _anchored_pair_fn(a_i, b_j, d_ij):
+    """Bipartite residual with per-pair priors — H is nonsingular (no
+    gauge freedom), so the posterior covariance exists."""
+    return jnp.stack([a_i[0] + b_j[0] - d_ij,
+                      0.3 * a_i[0], 0.3 * b_j[0]])
+
+
+class TestCovarianceAndCounts:
+    def _solve(self):
+        rng = np.random.default_rng(5)
+        n_a, n_b = 3, 4
+        a_true = rng.normal(size=(n_a, 1))
+        b_true = rng.normal(size=(n_b, 1))
+        d = jnp.asarray(a_true[:, None, 0] + b_true[None, :, 0]
+                        + 1e-2 * rng.normal(size=(n_a, n_b)))
+        mask = jnp.asarray(rng.random((n_a, n_b)) < 0.75, jnp.float64)
+        x0 = (jnp.zeros((n_a, 1)), jnp.zeros((n_b, 1)))
+        x, out = to.schur_optimize(x0, _anchored_pair_fn, d, mask,
+                                   to.Options(max_iters=30))
+        return x, out, mask
+
+    def test_num_residuals_counts_observed_pairs_only(self):
+        """Masked grid slots are not measurements: Cost.num_residuals =
+        (#observed pairs)·m, not n_a·n_b·m."""
+        x, out, mask = self._solve()
+        assert int(out.final_cost.num_residuals) == int(
+            jnp.count_nonzero(mask)) * 3
+
+    def test_output_covariance_matches_dense_inverse(self):
+        """Output.covariance() on the saved SchurSystem == inverse of the
+        densified arrow H (default save_last path)."""
+        x, out, mask = self._solve()
+        assert bool(out.converged())
+        H = out.final_hessian
+        cov = np.asarray(out.covariance())
+        assert np.all(np.isfinite(cov))
+        np.testing.assert_allclose(
+            cov, np.linalg.inv(np.asarray(H.to_dense())),
+            rtol=1e-7, atol=1e-10)
+        # rescaled variant applies the reference's cost²/(n−dims) factor
+        # with n = OBSERVED count (output.h:80-93)
+        cov_r = np.asarray(out.covariance(rescaled=True))
+        n = int(out.final_cost.num_residuals)
+        c = float(out.final_cost.cost)
+        np.testing.assert_allclose(
+            cov_r, cov * (c * c / (n - H.dims)), rtol=1e-7)
+
+
 class TestBA:
     def test_partial_visibility(self):
         data, x0, x_true = make_ba_problem(n_cams=5, n_pts=24,

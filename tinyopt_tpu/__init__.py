@@ -28,10 +28,13 @@ from .manifold import (
 from . import diff
 from . import losses
 from . import manifolds
+from . import models
+from . import parallel
 from . import sparse
 from . import utils
 from . import implicit
 from . import checkpoint
+from .parallel import batched_optimize, batched_solver, sharded_optimize
 from .checkpoint import stepper, Stepper
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
@@ -66,7 +69,9 @@ __all__ = [
     "lm", "gn", "gd", "sgd", "adam", "adamw", "lbfgs", "dogleg",
     "nlls",
     "unconstrained",
-    "diff", "losses", "manifolds", "sparse", "utils", "checkpoint",
+    "diff", "losses", "manifolds", "models", "parallel", "sparse", "utils",
+    "checkpoint",
+    "batched_optimize", "batched_solver", "sharded_optimize",
     "stepper", "Stepper",
     "block_optimize", "matfree_optimize", "sparse_optimize",
     "schur_optimize", "BlockDiag",

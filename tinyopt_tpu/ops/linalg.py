@@ -150,6 +150,17 @@ def inv_cov(H: jax.Array) -> jax.Array:
     return jnp.linalg.solve(H, jnp.broadcast_to(jnp.eye(d, dtype=H.dtype), H.shape))
 
 
+def cov_rescale(cost, num_residuals, dims):
+    """Overdetermined-covariance rescale factor (reference output.h:80-93):
+    ``cost² / (num_residuals − dims)`` when num_residuals > dims, else 1.
+    Shared by ``Output.covariance(rescaled=True)`` and ``covariance_at``."""
+    c = cost
+    n = num_residuals
+    return jnp.where(n > dims,
+                     c * c / jnp.maximum(n - dims, 1).astype(c.dtype),
+                     jnp.ones((), c.dtype))
+
+
 def max_std_dev(H: jax.Array) -> jax.Array:
     """√(max coefficient of H⁻¹) (reference: solvers/gn.h:177-183)."""
     return jnp.sqrt(jnp.max(inv_cov(H), axis=(-2, -1)))

@@ -47,7 +47,7 @@ from .. import manifold as mf
 from ..cost import Cost
 from ..diff.auto import flatten_residuals
 from ..options import SolverType
-from .linalg import solve_psd
+from .linalg import inv_cov, solve_psd
 
 
 class SchurSystem(NamedTuple):
@@ -57,6 +57,81 @@ class SchurSystem(NamedTuple):
     C: jax.Array    #: (n_b, db, db) B-side diagonal blocks
     E: jax.Array    #: (n_a, n_b, da, db) coupling blocks
 
+    @property
+    def dims(self) -> int:
+        n_a, da, _ = self.Ba.shape
+        n_b, db, _ = self.C.shape
+        return n_a * da + n_b * db
+
+    @property
+    def shape(self):
+        d = self.dims
+        return (d, d)
+
+    @property
+    def dtype(self):
+        return self.Ba.dtype
+
+    def to_dense(self) -> jax.Array:
+        """Assemble the full arrow-shaped H (for covariance / testing)."""
+        n_a, da, _ = self.Ba.shape
+        n_b, db, _ = self.C.shape
+        ia, ib = jnp.arange(n_a), jnp.arange(n_b)
+        A = (jnp.zeros((n_a, da, n_a, da), self.dtype)
+             .at[ia, :, ia, :].set(self.Ba).reshape(n_a * da, n_a * da))
+        Cf = (jnp.zeros((n_b, db, n_b, db), self.dtype)
+              .at[ib, :, ib, :].set(self.C).reshape(n_b * db, n_b * db))
+        Ef = self.E.transpose(0, 2, 1, 3).reshape(n_a * da, n_b * db)
+        return jnp.block([[A, Ef], [Ef.T, Cf]])
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        """H·v without assembling H (arrow-block products)."""
+        n_a, da, _ = self.Ba.shape
+        n_b, db, _ = self.C.shape
+        v_a = v[:n_a * da].reshape(n_a, da)
+        v_b = v[n_a * da:].reshape(n_b, db)
+        o_a = (jnp.einsum("iab,ib->ia", self.Ba, v_a)
+               + jnp.einsum("ijab,jb->ia", self.E, v_b))
+        o_b = (jnp.einsum("jab,jb->ja", self.C, v_b)
+               + jnp.einsum("ijab,ia->jb", self.E, v_a))
+        return jnp.concatenate([o_a.reshape(-1), o_b.reshape(-1)])
+
+    def inv(self) -> "_SchurCov":
+        """Posterior covariance H⁻¹ by block inversion (Schur complement):
+        cov_aa = S⁻¹, cov_ab = −S⁻¹EC⁻¹, cov_bb = C⁻¹ + C⁻¹EᵀS⁻¹EC⁻¹ —
+        one (n_a·da)² inverse plus batched (db×db) inverses, never a dense
+        solve of the full (dims)² system.  NaNs if singular (covariance
+        contract of ops/linalg.inv_cov)."""
+        n_a, da, _ = self.Ba.shape
+        n_b, db, _ = self.C.shape
+        dtype = self.dtype
+        Cinv = jnp.linalg.inv(self.C)                     # (n_b, db, db)
+        EC = jnp.einsum("ijab,jbc->ijac", self.E, Cinv,
+                        preferred_element_type=dtype)
+        S_red = jnp.einsum("ijac,kjdc->ikad", EC, self.E,
+                           preferred_element_type=dtype)
+        ia = jnp.arange(n_a)
+        S = ((-S_red).at[ia, ia].add(self.Ba)
+             .transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da))
+        Sinv = inv_cov(S)                                 # (n_a·da)²
+        ECf = EC.transpose(0, 2, 1, 3).reshape(n_a * da, n_b * db)
+        cov_ab = -(Sinv @ ECf)
+        ib = jnp.arange(n_b)
+        Cinv_f = (jnp.zeros((n_b, db, n_b, db), dtype)
+                  .at[ib, :, ib, :].set(Cinv).reshape(n_b * db, n_b * db))
+        cov_bb = Cinv_f + ECf.T @ Sinv @ ECf
+        return _SchurCov(jnp.block([[Sinv, cov_ab], [cov_ab.T, cov_bb]]))
+
+
+class _SchurCov(NamedTuple):
+    """Dense covariance wrapper (``Output.covariance`` calls
+    ``final_hessian.inv().to_dense()`` on structured Hessians)."""
+
+    dense: jax.Array
+
+    def to_dense(self) -> jax.Array:
+        return self.dense
+
 
 def _damp_blocks(M: jax.Array, lam) -> jax.Array:
     """Multiplicative (1+λ) diagonal damping per block; absolute λ on
@@ -65,7 +140,7 @@ def _damp_blocks(M: jax.Array, lam) -> jax.Array:
     eye = jnp.eye(d, dtype=M.dtype)
     diag = jnp.diagonal(M, axis1=-2, axis2=-1)
     add = jnp.where(diag == 0, lam, diag * lam)
-    return M + eye * add[..., None, :] * eye  # broadcast add on diagonal
+    return M + eye * add[..., None, :]  # broadcast add on diagonal
 
 
 def schur_system(pair_fn: Callable, a0, b0, data, mask,
@@ -95,7 +170,11 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
     m = int(sum(math.prod(l.shape) for l in jax.tree_util.tree_leaves(
         jax.eval_shape(lambda a, b, d: flatten_residuals(pair_fn(a, b, d)),
                        a_ex, b_ex, d_ex))))
-    n_res = int(n_a) * int(n_b) * m
+    # Residual COUNT = observed pairs only (masked grid slots contribute
+    # exactly-zero residuals but are NOT measurements): Cost.num_residuals
+    # feeds inlier accounting, cost normalization, and the rescaled
+    # covariance's (n − dims) divisor.
+    n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
 
     def split(x):
         return x[0], x[1]

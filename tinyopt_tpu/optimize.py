@@ -221,13 +221,8 @@ def covariance_at(fn: Callable, x, options: Options | None = None, *,
             "solver's own covariance (BlockDiag.inv / SparseSym)")
     cov = inv_cov(H)
     if rescaled:
-        c = cost.cost
-        d = spec.dims
-        n = cost.num_residuals
-        scale = jnp.where(
-            n > d, c * c / jnp.maximum(n - d, 1).astype(c.dtype),
-            jnp.ones((), c.dtype))
-        cov = cov * scale
+        from .ops.linalg import cov_rescale
+        cov = cov * cov_rescale(cost.cost, cost.num_residuals, spec.dims)
     return cov
 
 

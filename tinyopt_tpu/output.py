@@ -81,11 +81,9 @@ class Output:
             eye = jnp.eye(d, dtype=H.dtype)
             cov = jnp.linalg.solve(H, eye)
         if rescaled:
-            n = self.final_cost.num_residuals
-            c = self.final_cost.cost
-            scale = jnp.where(n > d, c * c / jnp.maximum(n - d, 1).astype(c.dtype),
-                              jnp.ones((), c.dtype))
-            cov = cov * scale
+            from .ops.linalg import cov_rescale
+            cov = cov * cov_rescale(
+                self.final_cost.cost, self.final_cost.num_residuals, d)
         return cov
 
     Covariance = covariance

@@ -380,7 +380,10 @@ def schur_optimize(x0: tuple, pair_fn: Callable, data, mask,
     structure every production BA solver exploits and the regime the
     reference concedes (README.md:30).  See :mod:`tinyopt_tpu.ops.schur`.
     ``Output.final_hessian`` is a :class:`~tinyopt_tpu.ops.schur.SchurSystem`
-    when ``hessian.save_last`` is on.
+    when ``hessian.save_last`` is on; ``Output.covariance()`` inverts it
+    by block (Schur) inversion — one reduced-system inverse plus batched
+    (db×db) inverses.  ``Cost.num_residuals`` counts OBSERVED pairs only
+    (``m · count_nonzero(mask)``).
     """
     from .ops.schur import schur_system
 

@@ -140,6 +140,81 @@ class TestStepConstruction:
         np.testing.assert_array_equal(np.asarray(dx), 0.0)
 
 
+class TestAllHessianRepresentations:
+    """DOGLEG covers every Hessian representation (r2 review: it used to
+    be silently ignored by the block/sparse/matfree/schur propose paths,
+    which ran undamped GN steps while the loop escalated λ for nothing)."""
+
+    def test_blockdiag_propose_matches_dense(self):
+        from tinyopt_tpu.ops.block import BlockDiag
+        from tinyopt_tpu.solvers.step import propose_step
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(3, 2, 2))
+        blocks = jnp.asarray(A @ A.transpose(0, 2, 1) + 2.0 * np.eye(2))
+        H = BlockDiag(blocks)
+        g = jnp.asarray(rng.normal(size=(6,)))
+        o = to.Options(solver_type=to.DogLeg)
+        for lam in (1e-6, 1.0, 50.0):
+            dx_b, ok_b = propose_step(H, g, jnp.asarray(lam), o)
+            dx_d, ok_d = propose_step(H.to_dense(), g, jnp.asarray(lam), o)
+            assert bool(ok_b) and bool(ok_d)
+            np.testing.assert_allclose(np.asarray(dx_b), np.asarray(dx_d),
+                                       rtol=1e-8, atol=1e-12)
+
+    def test_block_optimize_dogleg(self):
+        x0 = jnp.full((4, 2), 3.0)
+        target = jnp.arange(1.0, 3.0)
+        x, out = to.block_optimize(
+            x0, lambda xb: xb ** 2 - target,
+            to.Options(solver_type=to.DogLeg, max_iters=100,
+                       max_consec_failures=0))
+        assert bool(jnp.all(out.converged()))
+        np.testing.assert_allclose(
+            np.asarray(x),
+            np.broadcast_to(np.sqrt(np.arange(1.0, 3.0)), (4, 2)),
+            atol=1e-6)
+
+    def test_sparse_optimize_dogleg_matches_dense_dogleg(self):
+        def banded(x):
+            return jnp.concatenate(
+                [x[:-1] + 0.5 * x[1:] - jnp.arange(1.0, 8.0), x[-1:] - 2.0])
+        x0 = jnp.full((8,), 4.0)
+        o = to.Options(solver_type=to.DogLeg, max_iters=200,
+                       max_consec_failures=0)
+        xs, outs = to.sparse_optimize(x0, banded, o)
+        xd, outd = to.optimize(x0, banded, o)
+        assert bool(outs.converged()) and bool(outd.converged())
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xd),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_matfree_dogleg_wood(self):
+        """The reference's disabled hard problem through the MATRIX-FREE
+        trust region (dogleg over CG; J/H never materialized)."""
+        x, out = to.matfree_optimize(
+            jnp.array([-3.0, -1.0, -3.0, -1.0]), wood_residuals,
+            to.Options(solver_type=to.DogLeg, max_iters=500,
+                       max_consec_failures=0))
+        assert bool(out.converged()), int(out.stop_reason)
+        np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-5)
+
+    def test_schur_dogleg_matches_dense(self):
+        from tinyopt_tpu.models.bundle_adjustment import (ba_residuals,
+                                                          make_ba_problem,
+                                                          project)
+        data, x0, _ = make_ba_problem(n_cams=3, n_pts=10)
+        o = to.Options(solver_type=to.DogLeg, max_iters=30,
+                       max_consec_failures=0)
+        x_s, out_s = to.schur_optimize(
+            (x0["poses"], x0["points"]),
+            lambda p, pt, obs: project(p, pt[None, :])[0] - obs,
+            data.observations, data.mask, o)
+        x_d, out_d = to.optimize(
+            x0, lambda p: ba_residuals(p, data), o)
+        assert int(out_s.stop_reason) == int(out_d.stop_reason)
+        assert float(out_s.final_cost.cost) == pytest.approx(
+            float(out_d.final_cost.cost), rel=1e-5, abs=1e-16)
+
+
 class TestIntegration:
     def test_namespace_and_validation(self):
         assert to.dogleg.solver_type == to.DogLeg
@@ -147,14 +222,6 @@ class TestIntegration:
         with pytest.raises(ValueError):
             to.dogleg.optimize(jnp.array([1.0]),
                                lambda x: jnp.sum(x ** 2), mode="cost_grad")
-
-    def test_block_hessian_rejected(self):
-        from tinyopt_tpu.ops.block import BlockDiag
-        from tinyopt_tpu.solvers.step import propose_step
-        H = BlockDiag(jnp.ones((2, 1, 1)))
-        with pytest.raises(ValueError, match="dense"):
-            propose_step(H, jnp.ones(2), jnp.asarray(1.0),
-                         to.Options(solver_type=to.DogLeg))
 
     def test_batched_dogleg(self):
         starts = jnp.array([[3.0, 2.0], [-2.8, 3.1], [-3.7, -3.2],

@@ -245,11 +245,9 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         r = grid(one, mf.as_pytree(a), mf.as_pytree(b))
         return Cost.make(jnp.vdot(r, r), n_res)
 
-    def propose(H: SchurSystem, g, lam, opts):
-        """Damped Schur elimination + back-substitution. (dx, ok)."""
-        is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
-        Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
-        Cd = _damp_blocks(H.C, lam) if is_lm else H.C
+    def eliminate(H: SchurSystem, Bd, Cd, g, use_cholesky=True):
+        """Schur elimination + back-substitution of the (damped) arrow
+        system [Bd, E; Eᵀ, Cd] dx = −g. (dx, ok)."""
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b = g[n_a * da:].reshape(n_b, db)
 
@@ -269,7 +267,7 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         S_blocks = (-S_red).at[idx, idx].add(Bd)
         S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
         rhs = (-g_a + jnp.einsum("ijac,jc->ia", EC, g_b)).reshape(-1)
-        dx_a, ok = solve_psd(S, rhs, use_cholesky=opts.hessian.use_ldlt)
+        dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
         dx_a = dx_a.reshape(n_a, da)
         dx_b = jnp.einsum(
             "jbc,jc->jb", Cinv,
@@ -277,5 +275,25 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         ok = ok & jnp.all(jnp.isfinite(dx))
         return dx, ok
+
+    def propose(H: SchurSystem, g, lam, opts):
+        """Damped Schur elimination per solver type. (dx, ok)."""
+        use_chol = opts.hessian.use_ldlt
+        if opts.solver_type == SolverType.DOGLEG:
+            # Dogleg over the elimination: GN point from the undamped
+            # arrow solve, exact curvature via the block matvec, and the
+            # regularized fallback re-eliminates with λ_eff block damping
+            # (lazily, under lax.cond — solvers/step.dogleg_core).
+            from ..solvers.step import dogleg_core  # local: avoid cycle
+
+            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol)
+            return dogleg_core(
+                g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
+                lambda le: eliminate(H, _damp_blocks(H.Ba, le),
+                                     _damp_blocks(H.C, le), g, use_chol))
+        is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+        Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
+        Cd = _damp_blocks(H.C, lam) if is_lm else H.C
+        return eliminate(H, Bd, Cd, g, use_chol)
 
     return accumulate, evaluate, n_res, propose

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 
 from ..options import SolverType
@@ -24,55 +25,36 @@ def _cg_solver(iters: int):
     return make_cg_solver(iters)
 
 
-def _dogleg_step(H, g, lam, opts):
-    """Powell dogleg inside trust radius Δ = 1/λ. Returns (dx, ok).
+def dogleg_core(g, lam, dx_gn, ok_gn, gHg, solve_reg):
+    """Powell dogleg blend from precomputed pieces. Returns (dx, ok).
 
-    Classic construction (Powell 1970; Nocedal & Wright §4.1): the
-    Gauss-Newton point when it fits, the gradient direction clipped to
-    the boundary when even the Cauchy point doesn't, and the two-segment
-    interpolation hitting ‖dx‖ = Δ otherwise.  A failed (non-PSD) GN
-    solve degrades to the clipped-gradient branch — a valid trust-region
-    step, so the iteration proceeds and the accept/reject loop shrinks Δ
-    if it was a bad idea.
-
-    The radius is STEP-LENGTH-RELATIVE: Δ = ref/λ, where ref =
-    min(‖dx_GN‖, κ·‖dx_Cauchy‖) with κ = 1e3 (falling back to the Cauchy
-    length, then ‖g‖, when the GN solve fails).  λ ≤ 1 therefore always
-    admits the full GN step when the GN/Cauchy ratio is sane, and the
-    first rejection (λ: 1→2) halves THE FAILED STEP — bending the
-    direction toward the gradient immediately.  Two simpler radii were
-    measured to fail: an absolute Δ = 1/λ (interior GN acceptances leave
-    Δ inflated, a later rejection re-probes the identical full GN step
-    for many shrink cycles, and the eventual collapse overshoots to
-    ~1e-8, where the first accepted step spuriously fires MIN_DELTA_NORM
-    — Wood stalled at cost 7.74), and an uncapped Δ = ‖dx_GN‖/λ (at
-    Jennrich-Sampson's symmetric minimum H is exactly singular, the
-    numeric GN step is garbage-huge, and the blend proposes a ‖dx‖ = 47
-    step that escapes to an overflow region; the κ-cap keys the radius
-    to the Cauchy scale whenever GN is disproportionate).
-
-    No reference counterpart (the reference skips trust region,
-    tests/optimize_hard.cpp:289-295); the λ machinery this rides is
-    lm.h:123-154.
+    Shared by every Hessian representation: the caller supplies the
+    (undamped) Gauss-Newton step ``(dx_gn, ok_gn)``, the curvature along
+    the gradient ``gHg = gᵀHg``, and ``solve_reg(λ_eff) -> (dx, ok)``
+    solving the λ_eff-damped system — dense Cholesky, batched block
+    Cholesky, Jacobi-PCG, GN-CG matvecs, or Schur elimination.  The
+    regularized fallback solve runs under ``lax.cond``, so the common
+    path (sane GN step) pays ONE solve; under vmap the cond lowers to a
+    select and both branches run, which is what the batched path did
+    anyway.  See :func:`_dogleg_step` for the geometry and the measured
+    design rationale.
     """
     dtype = g.dtype
     lam = lam.astype(dtype)
-    dx_gn, ok_gn = solve_psd(H, -g, use_cholesky=opts.hessian.use_ldlt)
     dx_gn = jnp.where(ok_gn, dx_gn, jnp.zeros_like(dx_gn))
     gg = jnp.vdot(g, g)
-    gHg = jnp.vdot(g, H @ g)
     pos_curv = gHg > 0
     alpha = jnp.where(pos_curv, gg / jnp.where(pos_curv, gHg, 1.0), 0.0)
     dx_sd = (-alpha) * g                        # Cauchy point
     n_gn2 = jnp.vdot(dx_gn, dx_gn)
     n_sd2 = jnp.vdot(dx_sd, dx_sd)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    # GN sanity: a numerically "successful" Cholesky of an (exactly)
+    # GN sanity: a numerically "successful" solve of an (exactly)
     # singular H returns a garbage-huge step — blending toward it
     # proposes escape-velocity steps (observed at Jennrich-Sampson's
     # symmetric minimum: a ‖dx‖ = 47 proposal into overflow territory).
     # A GN step more than κ = 1e3 times the Cauchy step is treated as
-    # invalid; the proposal then falls back to the Cauchy point.
+    # invalid; the proposal then falls back to the regularized step.
     kappa2 = dtype.type(1e6)
     gn_sane = ok_gn & jnp.where(n_sd2 > 0, n_gn2 <= kappa2 * n_sd2,
                                 jnp.ones((), bool))
@@ -84,9 +66,12 @@ def _dogleg_step(H, g, lam, opts):
     # §4.3), it regularizes exactly where the raw GN direction is
     # garbage, and it restores LM-grade convergence near singular
     # minima where a pure Cauchy fallback crawls.
-    dx_reg, ok_reg = solve_psd(
-        damp_diagonal(H, jnp.maximum(lam, dtype.type(1.0))), -g,
-        use_cholesky=opts.hessian.use_ldlt)
+    lam_eff = jnp.maximum(lam, dtype.type(1.0))
+    dx_reg, ok_reg = jax.lax.cond(
+        gn_sane,
+        lambda _: (jnp.zeros_like(dx_gn), jnp.zeros((), bool)),
+        lambda le: solve_reg(le),
+        lam_eff)
     dx_reg = jnp.where(ok_reg, dx_reg, dx_sd)
     n_reg2 = jnp.vdot(dx_reg, dx_reg)
     ref2 = jnp.where(gn_sane, n_gn2,
@@ -124,25 +109,76 @@ def _dogleg_step(H, g, lam, opts):
     return dx, jnp.all(jnp.isfinite(dx))
 
 
+def _dogleg_step(H, g, lam, opts):
+    """Powell dogleg inside trust radius Δ = 1/λ. Returns (dx, ok).
+
+    Classic construction (Powell 1970; Nocedal & Wright §4.1): the
+    Gauss-Newton point when it fits, the gradient direction clipped to
+    the boundary when even the Cauchy point doesn't, and the two-segment
+    interpolation hitting ‖dx‖ = Δ otherwise.  A failed (non-PSD) GN
+    solve degrades to the clipped-gradient branch — a valid trust-region
+    step, so the iteration proceeds and the accept/reject loop shrinks Δ
+    if it was a bad idea.
+
+    The radius is STEP-LENGTH-RELATIVE: Δ = ref/λ, where ref =
+    min(‖dx_GN‖, κ·‖dx_Cauchy‖) with κ = 1e3 (falling back to the Cauchy
+    length, then ‖g‖, when the GN solve fails).  λ ≤ 1 therefore always
+    admits the full GN step when the GN/Cauchy ratio is sane, and the
+    first rejection (λ: 1→2) halves THE FAILED STEP — bending the
+    direction toward the gradient immediately.  Two simpler radii were
+    measured to fail: an absolute Δ = 1/λ (interior GN acceptances leave
+    Δ inflated, a later rejection re-probes the identical full GN step
+    for many shrink cycles, and the eventual collapse overshoots to
+    ~1e-8, where the first accepted step spuriously fires MIN_DELTA_NORM
+    — Wood stalled at cost 7.74), and an uncapped Δ = ‖dx_GN‖/λ (at
+    Jennrich-Sampson's symmetric minimum H is exactly singular, the
+    numeric GN step is garbage-huge, and the blend proposes a ‖dx‖ = 47
+    step that escapes to an overflow region; the κ-cap keys the radius
+    to the Cauchy scale whenever GN is disproportionate).
+
+    No reference counterpart (the reference skips trust region,
+    tests/optimize_hard.cpp:289-295); the λ machinery this rides is
+    lm.h:123-154.
+
+    Dispatches on the Hessian representation: dense arrays (Cholesky),
+    :class:`BlockDiag` (batched block Cholesky), :class:`SparseSym`
+    (Jacobi-PCG) — all through :func:`dogleg_core`.
+    """
+    if isinstance(H, BlockDiag):
+        dx_gn, ok_gn = H.solve(-g, use_cholesky=opts.hessian.use_ldlt)
+        return dogleg_core(
+            g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
+            lambda le: H.damp(le).solve(
+                -g, use_cholesky=opts.hessian.use_ldlt))
+    if isinstance(H, SparseSym):
+        iters = opts.hessian.cg_iters
+        dx_gn, ok_gn = H.solve(-g, cg_iters=iters)
+        return dogleg_core(
+            g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
+            lambda le: H.damp(le).solve(-g, cg_iters=iters))
+    dx_gn, ok_gn = solve_psd(H, -g, use_cholesky=opts.hessian.use_ldlt)
+    return dogleg_core(
+        g, lam, dx_gn, ok_gn, jnp.vdot(g, H @ g),
+        lambda le: solve_psd(damp_diagonal(H, le), -g,
+                             use_cholesky=opts.hessian.use_ldlt))
+
+
 def propose_step(H, g, lam, opts):
     """Propose dx for the current (H, g, λ). Returns (dx, ok).
 
     * GD:     dx = -lr · g, always succeeds.
     * GN/LM:  solve (H ⊕ λ·diag) dx = -g via Cholesky (λ = 0 for GN);
               failure (non-PSD) reported through ``ok`` for λ-escalation.
-    * DOGLEG: Powell dogleg within trust radius 1/λ (dense H only).
+    * DOGLEG: Powell dogleg within trust radius 1/λ.
 
-    ``H`` may be a dense (d, d) array or a :class:`BlockDiag` — the
-    block-sparse path solves all blocks with one batched Cholesky.
+    ``H`` may be a dense (d, d) array, a :class:`BlockDiag` (all blocks
+    solved with one batched Cholesky), or a :class:`SparseSym`
+    (Jacobi-PCG) — every solver type covers all three representations.
     """
     if opts.solver_type == SolverType.GRADIENT_DESCENT:
         dx = -g.dtype.type(opts.gd.lr) * g
         return dx, jnp.ones((), bool)
     if opts.solver_type == SolverType.DOGLEG:
-        if not isinstance(H, jnp.ndarray):
-            raise ValueError(
-                "DOGLEG requires a dense Hessian (got "
-                f"{type(H).__name__}); use LM for block/sparse systems")
         return _dogleg_step(H, g, lam, opts)
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
     if isinstance(H, BlockDiag):

@@ -159,27 +159,44 @@ def matfree_system(residual_fn: Callable, x0, spec: mf.TangentSpec,
         delta0 = mf.zero_tangent(H.x, spec)
         _, jvp_fn = jax.linearize(lambda d: r_of_delta(d, H.x), delta0)
         _, vjp_fn = jax.vjp(lambda d: r_of_delta(d, H.x), delta0)
+
+        def cg_solve(add_lam):
+            def matvec(v):
+                return vjp_fn(jvp_fn(v))[0] + add_lam * v
+            dx, _ = jax.scipy.sparse.linalg.cg(
+                matvec, -g, maxiter=cg_iters, tol=cg_tol)
+            return dx, jnp.all(jnp.isfinite(dx))
+
+        # Scale-aware additive damping: λ · (gᵀ JᵀJ g / gᵀg) · I.  The
+        # Rayleigh quotient along g estimates the curvature magnitude
+        # (one extra matvec), standing in for the reference's
+        # multiplicative diag(JᵀJ) scaling which is unavailable
+        # without materializing the diagonal.  (Unused — and DCE'd —
+        # for GN, where the damping is zero.)
+        g2 = jnp.vdot(g, g)
+        Jg = jvp_fn(g)
+        gHg = jnp.vdot(Jg, Jg)
+        ray = jnp.maximum(
+            jnp.where(g2 > 0, gHg / jnp.where(g2 > 0, g2, 1.0),
+                      jnp.ones((), g.dtype)),
+            jnp.finfo(g.dtype).tiny)
+
+        if opts.solver_type == SolverType.DOGLEG:
+            # Dogleg over the CG machinery (the matrix-free trust
+            # region): GN point from an undamped CG solve, curvature
+            # gᵀHg = ‖Jg‖² exactly, and the regularized fallback
+            # re-solves with additive λ_eff·ray damping — lazily, under
+            # lax.cond (solvers/step.dogleg_core).
+            from .solvers.step import dogleg_core
+            dx_gn, ok_gn = cg_solve(jnp.zeros((), g.dtype))
+            return dogleg_core(g, lam, dx_gn, ok_gn, gHg,
+                               lambda le: cg_solve(le * ray))
+
         if opts.solver_type == SolverType.LEVENBERG_MARQUARDT:
-            # Scale-aware additive damping: λ · (gᵀ JᵀJ g / gᵀg) · I.  The
-            # Rayleigh quotient along g estimates the curvature magnitude
-            # (one extra matvec), standing in for the reference's
-            # multiplicative diag(JᵀJ) scaling which is unavailable
-            # without materializing the diagonal.
-            g2 = jnp.vdot(g, g)
-            Jg = jvp_fn(g)
-            ray = jnp.where(g2 > 0, jnp.vdot(Jg, Jg) / jnp.where(g2 > 0, g2, 1.0),
-                            jnp.ones((), g.dtype))
-            add_lam = lam * jnp.maximum(ray, jnp.finfo(g.dtype).tiny)
+            add_lam = lam * ray
         else:
             add_lam = jnp.zeros_like(lam)
-
-        def matvec(v):
-            return vjp_fn(jvp_fn(v))[0] + add_lam * v
-
-        dx, _ = jax.scipy.sparse.linalg.cg(
-            matvec, -g, maxiter=cg_iters, tol=cg_tol)
-        ok = jnp.all(jnp.isfinite(dx))
-        return dx, ok
+        return cg_solve(add_lam)
 
     return accumulate, evaluate, n_res, propose
 

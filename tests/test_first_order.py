@@ -63,6 +63,70 @@ class TestSGD:
             to.sgd.optimize(jnp.ones(3), lambda x: x - 1.0)
 
 
+class TestAdaptiveGD:
+    """gd.adaptive="bb": Barzilai–Borwein two-point step size — the
+    reference's own declared TODO (options.h:149-152 "adaptive learning
+    rate"); Barzilai & Borwein 1988."""
+
+    def _illcond(self, x):
+        d = jnp.concatenate([jnp.ones(2), jnp.full((2,), 100.0)])
+        return jnp.sum(d * x * x)
+
+    def test_bb_beats_fixed_lr_on_illconditioned_quadratic(self):
+        """BB adapts to the curvature spread; fixed lr is capped by the
+        largest eigenvalue and crawls along the smallest."""
+        x0 = jnp.array([1.0, -1.0, 1.0, -1.0])
+        opts = to.Options(max_iters=100, max_consec_failures=0,
+                          min_error=0.0)
+        _, out_fix = to.gd.optimize(
+            x0, self._illcond, opts.replace(gd=to.GDOptions(lr=1e-3)))
+        _, out_bb = to.gd.optimize(
+            x0, self._illcond,
+            opts.replace(gd=to.GDOptions(lr=1e-3, adaptive="bb")))
+        assert float(out_bb.final_cost.cost) < 1e-6 * float(
+            out_fix.final_cost.cost), (float(out_bb.final_cost.cost),
+                                       float(out_fix.final_cost.cost))
+
+    def test_bb_converges_on_rosenbrock(self):
+        """Non-convex: BB overshoots get rejected and backtracked by the
+        shared backoff; fixed-lr GD at the same budget is nowhere near."""
+        x, out = to.gd.optimize(
+            jnp.array([-1.2, 1.0]), rosen,
+            to.Options(max_iters=10000, max_consec_failures=0,
+                       gd=to.GDOptions(lr=1e-3, adaptive="bb")))
+        assert bool(out.converged())
+        # ~6k iterations (the monotone accept/reject loop rejects BB's
+        # non-monotone excursions); fixed-lr GD is at cost ~0.5 after 100k.
+        np.testing.assert_allclose(np.asarray(x), [1.0, 1.0], atol=1e-3)
+
+    def test_off_is_reference_fixed_lr(self):
+        """adaptive="off" (default) proposes the identical fixed-lr
+        iterates as before (reference gd.h:131-134 parity preserved)."""
+        opts = to.Options(max_iters=50, max_consec_failures=0)
+        x_a, out_a = to.gd.optimize(x0, quad, opts)
+        x_b, out_b = to.gd.optimize(
+            x0, quad, opts.replace(gd=to.GDOptions(lr=1e-3,
+                                                   adaptive="off")))
+        np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_b))
+        assert int(out_a.num_iters) == int(out_b.num_iters)
+
+    def test_unknown_adaptive_rejected(self):
+        with pytest.raises(ValueError, match="adaptive"):
+            to.gd.optimize(x0, quad,
+                           to.Options(gd=to.GDOptions(adaptive="wolfe")))
+
+    def test_vmap_batched_bb(self):
+        """Per-instance lr state vmaps like the other stateful methods."""
+        starts = jnp.stack([x0, x0 + 1.0, x0 - 2.0])
+        solve = to.build_solver(
+            quad, to.Options(max_iters=200, max_consec_failures=0,
+                             gd=to.GDOptions(lr=1e-3, adaptive="bb"),
+                             solver_type=to.GradientDescent),
+            "cost", x0)
+        xs, outs = jax.jit(jax.vmap(solve))(starts)
+        np.testing.assert_allclose(np.asarray(xs), 1.0, atol=1e-4)
+
+
 class TestAdam:
     def test_quadratic(self):
         x, out = to.adam.optimize(

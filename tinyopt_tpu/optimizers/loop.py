@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .. import manifold as mf
 from ..cost import Cost, normalize_cost
 from ..options import (FIRST_ORDER_TYPES, LAMBDA_SCHEDULED_TYPES,
-                       STATEFUL_FO_TYPES, Options, SolverType)
+                       Options, SolverType, is_stateful_fo)
 from ..output import Output
 from ..solvers.first_order import fo_init, fo_on_build, fo_propose
 from ..solvers.lm import (LMState, lm_init, lm_good_step, lm_bad_step,
@@ -208,7 +208,7 @@ def optimize_from_acc(
     """
     opts = options
     first_order = opts.solver_type in FIRST_ORDER_TYPES
-    fo_stateful = opts.solver_type in STATEFUL_FO_TYPES
+    fo_stateful = is_stateful_fo(opts)
     is_adamw = opts.solver_type == SolverType.ADAMW
     # GoodStep/BadStep λ updates: LM damping, or DOGLEG's inverse trust
     # radius (good step → λ↓ → Δ↑, rejection → λ↑ → Δ↓, lm.h:123-145).

@@ -66,6 +66,14 @@ FIRST_ORDER_TYPES = frozenset({
 STATEFUL_FO_TYPES = frozenset({
     SolverType.SGD, SolverType.ADAM, SolverType.ADAMW, SolverType.LBFGS})
 
+
+def is_stateful_fo(options: "Options") -> bool:
+    """Whether this configuration carries first-order optimizer state in
+    the loop (momentum/moments/curvature pairs, or GD's adaptive lr)."""
+    return (options.solver_type in STATEFUL_FO_TYPES
+            or (options.solver_type == SolverType.GRADIENT_DESCENT
+                and options.gd.adaptive != "off"))
+
 #: Types whose step-control state rides the λ schedule (λ = damping for
 #: LM, λ = inverse trust radius for DOGLEG): GoodStep/BadStep/FailedStep
 #: updates apply (lm.h:123-154 semantics for both).
@@ -152,9 +160,21 @@ class LMOptions:
 
 @dataclasses.dataclass(frozen=True)
 class GDOptions:
-    """Gradient descent options (options.h:147-154)."""
+    """Gradient descent options (options.h:147-154).
 
-    lr: float = 1e-3  #: Fixed learning rate
+    ``adaptive`` implements the reference's declared TODO ("Adaptive
+    learning rate", options.h:149-152): ``"bb"`` uses the
+    Barzilai–Borwein two-point step size (Barzilai & Borwein 1988,
+    IMA J. Numer. Anal. 8:141-148) — lr = sᵀy/yᵀy from the secant pair
+    between consecutive build points, falling back to the previous lr
+    when the curvature estimate is invalid (sᵀy ≤ 0 or non-finite).
+    Adaptive proposals additionally share the stateful-method rejection
+    backoff (lr·bad_factor₀/bad_factor), so rejected BB overshoots
+    backtrack geometrically instead of re-proposing verbatim.
+    ``"off"`` (default) keeps the reference's fixed-lr behavior."""
+
+    lr: float = 1e-3          #: Fixed (or initial, for adaptive) rate
+    adaptive: str = "off"     #: "off" | "bb" (Barzilai–Borwein)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,6 +61,15 @@ class AdamState(NamedTuple):
                             #: consistent with the always-learning state
 
 
+class BBState(NamedTuple):
+    """Barzilai–Borwein adaptive-lr state (GDOptions.adaptive="bb")."""
+
+    lr: jax.Array            #: () current step size
+    g_prev: jax.Array        #: (d,) gradient at the last BUILD point
+    x_prev: tuple            #: parameter pytree of the last BUILD point
+    have_prev: jax.Array     #: () i32: (x_prev, g_prev) hold a real build
+
+
 class LBFGSState(NamedTuple):
     S: jax.Array            #: (m, d) step ring buffer
     Y: jax.Array            #: (m, d) gradient-difference ring buffer
@@ -78,6 +87,15 @@ class LBFGSState(NamedTuple):
 def fo_init(opts: Options, x0, spec):
     st = opts.solver_type
     d, dtype = spec.dims, spec.dtype
+    if st == SolverType.GRADIENT_DESCENT and opts.gd.adaptive != "off":
+        if opts.gd.adaptive != "bb":
+            raise ValueError(
+                f"unknown gd.adaptive={opts.gd.adaptive!r}; "
+                "expected 'off' or 'bb'")
+        return BBState(lr=jnp.asarray(opts.gd.lr, dtype),
+                       g_prev=jnp.zeros((d,), dtype),
+                       x_prev=x0,
+                       have_prev=jnp.zeros((), _I32))
     if st == SolverType.SGD:
         return SGDState(v=jnp.zeros((d,), dtype))
     if st in (SolverType.ADAM, SolverType.ADAMW):
@@ -109,6 +127,23 @@ def fo_on_build(opts: Options, state, g, x, spec):
     rebuild at the rolled-back point) or the curvature condition
     sᵀy > ε·sᵀs fails — standard positive-definiteness safeguarding.
     """
+    if isinstance(state, BBState):
+        # Barzilai–Borwein step size from the secant pair between the
+        # previous and current build points: lr = sᵀy/yᵀy (the "short"
+        # BB2 rule — more robust than sᵀs/sᵀy under non-convexity).
+        # Invalid curvature (sᵀy ≤ 0, yᵀy = 0, non-finite) keeps the
+        # previous lr; the warm-start guard mirrors L-BFGS below.
+        from .. import manifold as mf
+        s = mf.local(state.x_prev, x, spec)
+        y = g - state.g_prev
+        sy = jnp.vdot(s, y)
+        yy = jnp.vdot(y, y)
+        lr_bb = sy / jnp.where(yy > 0, yy, jnp.ones((), g.dtype))
+        ok = ((state.have_prev != 0) & (sy > 0) & (yy > 0)
+              & jnp.isfinite(lr_bb))
+        return BBState(lr=jnp.where(ok, lr_bb, state.lr),
+                       g_prev=g, x_prev=x,
+                       have_prev=jnp.ones((), _I32))
     if opts.solver_type != SolverType.LBFGS:
         return state
     from .. import manifold as mf
@@ -188,6 +223,12 @@ def fo_propose(opts: Options, state, g, lm_state, x_flat=None):
     dtype = g.dtype
 
     if st == SolverType.GRADIENT_DESCENT:
+        if isinstance(state, BBState):
+            # BB rate with the shared rejection backoff (below): the BB
+            # rule can overshoot on non-convex stretches, and backoff
+            # turns those rejections into geometric backtracking.
+            backoff = dtype.type(opts.lm.bad_factor) / lm_state.bad_factor
+            return -state.lr * backoff * g, state
         return -dtype.type(opts.gd.lr) * g, state
 
     # Rejection backoff shared by every stateful method: a fixed-lr

@@ -260,26 +260,37 @@ def bench_ba(n_cams: int = 100, n_pts: int = 5000, noise: float = 1e-3,
         opts = opts.for_dtype(dtype)
     rows = {}
 
+    # The entry points cache the compiled solve across calls (sparse.
+    # _SOLVE_CACHE; the residual fns below are therefore hoisted out of
+    # the run closures), so the timed second call measures EXECUTION
+    # wall only — the honest production pattern.  The warm call uses
+    # perturbed points: identical (executable, inputs) re-executions are
+    # served from a server-side cache on the axon tunnel (CLAUDE.md),
+    # which would otherwise fake the timed run.
+    def _perturb(x):
+        return dict(x, points=x["points"] + jnp.asarray(1e-3, dtype))
+
     def _timed(run):
-        x, out = run()                     # compile + warm
+        x, out = run(_perturb(x0))         # trace + compile + warm
         jax.block_until_ready(jax.tree_util.tree_leaves(x))
         t0 = time.perf_counter()
-        x, out = run()
+        x, out = run(x0)
         rmse = float(reprojection_rmse(
             {"poses": x[0], "points": x[1]} if isinstance(x, tuple) else x,
             data))                          # forced read = completion
         wall = time.perf_counter() - t0
         return wall, rmse, rmse <= 1.2 * max(noise, 1e-9)
 
-    def run_matfree():
-        return to.matfree_optimize(
-            x0, lambda p: ba_residuals(p, data), opts, cg_iters=48)
+    res_fn = lambda p: ba_residuals(p, data)
+
+    def run_matfree(xx):
+        return to.matfree_optimize(xx, res_fn, opts, cg_iters=48)
 
     def pair_fn(pose, point, obs):
         return project(pose, point[None, :])[0] - obs
 
-    def run_schur():
-        return to.schur_optimize((x0["poses"], x0["points"]), pair_fn,
+    def run_schur(xx):
+        return to.schur_optimize((xx["poses"], xx["points"]), pair_fn,
                                  data.observations, data.mask, opts)
 
     rows["matfree"] = _timed(run_matfree)
@@ -289,6 +300,9 @@ def bench_ba(n_cams: int = 100, n_pts: int = 5000, noise: float = 1e-3,
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("only", nargs="?", default=None,
+                    choices=["bench_ba"],
+                    help="run a single benchmark instead of the full sweep")
     ap.add_argument("--batch", type=int, default=10_000)
     ap.add_argument("--skip-tpu", action="store_true")
     ap.add_argument("--single", action="store_true",
@@ -296,6 +310,15 @@ def main():
     ap.add_argument("--dims", type=int, nargs="*",
                     default=[3, 6, 12, 33, 50])
     args = ap.parse_args()
+
+    if args.only == "bench_ba":
+        ba = bench_ba()
+        print("BA 100 cams x 5000 landmarks (15,600 tangent dims, "
+              "seed=11, noise=1e-3, criterion RMSE<=1.2e-3):")
+        for k, (wall, rmse, ok) in ba.items():
+            print(f"  {k:<8} {wall:7.2f} s  rmse={rmse:.2e}  "
+                  f"{'converged' if ok else 'NOT CONVERGED'}")
+        return
 
     dims = args.dims
     nat = bench_native(dims)

@@ -296,3 +296,76 @@ class TestMatfreeOptimize:
             SE3.identity(jnp.float64),
             lambda x: (prior_inv @ x).log())
         assert float(jnp.linalg.norm((pose @ prior_inv).log())) < 1e-5
+
+
+class TestSolverCache:
+    """Repeated solves reuse the compiled program (sparse._SOLVE_CACHE):
+    the 15.6k-dim BA measured ~1 s of device time inside ~8 s of per-call
+    re-tracing before caching.  Identity-keyed on the captured data, so
+    only immutable jax arrays participate."""
+
+    def _problem(self):
+        def pair_fn(a_i, b_j, d_ij):
+            return jnp.stack([a_i[0] + b_j[0] - d_ij,
+                              0.3 * a_i[0], 0.3 * b_j[0]])
+        rng = np.random.default_rng(7)
+        d = jnp.asarray(rng.normal(size=(3, 4)))
+        mask = jnp.ones((3, 4))
+        x0 = (jnp.zeros((3, 1)), jnp.zeros((4, 1)))
+        return pair_fn, d, mask, x0
+
+    def test_schur_repeat_hits_cache_and_matches(self):
+        from tinyopt_tpu.sparse import _SOLVE_CACHE
+        pair_fn, d, mask, x0 = self._problem()
+        o = to.Options(max_iters=20)
+        _SOLVE_CACHE.clear()
+        x1, out1 = to.schur_optimize(x0, pair_fn, d, mask, o)
+        assert len(_SOLVE_CACHE) == 1
+        x2, out2 = to.schur_optimize(x0, pair_fn, d, mask, o)
+        assert len(_SOLVE_CACHE) == 1          # second call reused it
+        np.testing.assert_array_equal(np.asarray(x1[0]), np.asarray(x2[0]))
+        assert int(out1.num_iters) == int(out2.num_iters)
+
+    def test_mutable_numpy_data_skips_cache(self):
+        """numpy data could be mutated in place after the trace baked its
+        values; such calls must not cache (stale-constant hazard)."""
+        from tinyopt_tpu.sparse import _SOLVE_CACHE
+        pair_fn, d, mask, x0 = self._problem()
+        _SOLVE_CACHE.clear()
+        d_np = np.array(d)                    # mutable (copied) buffer
+        x1, _ = to.schur_optimize(x0, pair_fn, d_np, mask,
+                                  to.Options(max_iters=20))
+        assert len(_SOLVE_CACHE) == 0
+        # in-place mutation is picked up by the (re-traced) next call
+        d_np *= 2.0
+        x2, _ = to.schur_optimize(x0, pair_fn, d_np, mask,
+                                  to.Options(max_iters=20))
+        assert not np.allclose(np.asarray(x1[0]), np.asarray(x2[0]))
+
+    def test_fresh_data_objects_do_not_false_hit(self):
+        from tinyopt_tpu.sparse import _SOLVE_CACHE
+        pair_fn, d, mask, x0 = self._problem()
+        _SOLVE_CACHE.clear()
+        x1, _ = to.schur_optimize(x0, pair_fn, d, mask,
+                                  to.Options(max_iters=20))
+        d2 = d * 2.0                           # new object, same shape
+        x2, _ = to.schur_optimize(x0, pair_fn, d2, mask,
+                                  to.Options(max_iters=20))
+        assert len(_SOLVE_CACHE) == 2
+        assert not np.allclose(np.asarray(x1[0]), np.asarray(x2[0]))
+
+    def test_block_and_matfree_and_sparse_cache(self):
+        from tinyopt_tpu.sparse import _SOLVE_CACHE
+        _SOLVE_CACHE.clear()
+        fn = lambda xb: xb - jnp.arange(3.0)
+        x0 = jnp.ones((4, 3))
+        to.block_optimize(x0, fn)
+        to.block_optimize(x0, fn)
+        assert len(_SOLVE_CACHE) == 1
+        rfn = lambda x: x ** 2 - jnp.arange(1.0, 9.0)
+        to.matfree_optimize(jnp.ones(8), rfn)
+        to.matfree_optimize(jnp.ones(8), rfn)
+        assert len(_SOLVE_CACHE) == 2
+        to.sparse_optimize(jnp.ones(8), rfn)
+        to.sparse_optimize(jnp.ones(8), rfn)
+        assert len(_SOLVE_CACHE) == 3

@@ -41,11 +41,54 @@ import numpy as np
 from . import manifold as mf
 from .cost import Cost
 from .diff.auto import flatten_residuals, value_and_jacfwd
+from .optimize import _BoundedCache
 from .optimizers.loop import optimize_from_acc
 from .options import FIRST_ORDER_TYPES, Options, SolverType
 from .ops.block import BlockDiag
 from .ops.coloring import _greedy_color, probe_structure
 from .ops.sparse_sym import SparseSym
+
+#: Compiled-solver cache for the entry points below, mirroring
+#: optimize.py's: repeated solves with the same (fn, options, shapes,
+#: data objects) reuse the traced+compiled program instead of paying a
+#: full re-trace per call (measured: the 15.6k-dim BA solve is ~1 s of
+#: device time inside ~8 s of per-call re-tracing without it).  Entries
+#: hold strong references to the captured data arrays so the id()-based
+#: keys stay valid.
+_SOLVE_CACHE: dict = _BoundedCache()
+
+
+def _solver_cache_key(kind, fn, options, jit, x0, data_leaves, extra=()):
+    """Cache key, or None when caching is unsound.
+
+    Captured data participates by OBJECT IDENTITY, which is only safe
+    for immutable buffers: a mutable numpy array baked into a cached
+    trace would silently go stale if the caller mutates it in place, so
+    caching is skipped unless every data leaf is a ``jax.Array``.
+    """
+    if not jit:
+        return None
+    sigs = []
+    for leaf in data_leaves:
+        if not isinstance(leaf, jax.Array):
+            return None
+        sigs.append((id(leaf), leaf.shape, str(leaf.dtype)))
+    xs = tuple((jnp.shape(l), jnp.asarray(l).dtype.name)
+               for l in jax.tree_util.tree_leaves(x0))
+    return (kind, fn, options, jax.tree_util.tree_structure(x0), xs,
+            tuple(sigs), extra)
+
+
+def _solver_cache_get(key):
+    if key is None:
+        return None
+    hit = _SOLVE_CACHE.get(key)
+    return hit[0] if hit is not None else None
+
+
+def _solver_cache_put(key, solve, data_leaves):
+    if key is not None:
+        _SOLVE_CACHE[key] = (solve, tuple(data_leaves))
 
 
 # --------------------------------------------------------------------------
@@ -104,13 +147,20 @@ def block_optimize(x0: jax.Array, block_fn: Callable,
     :class:`BlockDiag` and ``Output.covariance()`` is blockwise."""
     options = options or Options()
     x0 = jnp.asarray(x0)
-    spec = mf.tangent_spec(x0)
-    acc, ev, n_res = block_nlls_system(block_fn, x0, data)
+    key = _solver_cache_key("block", block_fn, options, jit, x0,
+                            jax.tree_util.tree_leaves(data))
+    solve = _solver_cache_get(key)
+    if solve is None:
+        spec = mf.tangent_spec(x0)
+        acc, ev, n_res = block_nlls_system(block_fn, x0, data)
 
-    def solve(x):
-        return optimize_from_acc(x, acc, ev, options, spec)
+        def solve(x):
+            return optimize_from_acc(x, acc, ev, options, spec)
 
-    return (jax.jit(solve) if jit else solve)(x0)
+        if jit:
+            solve = jax.jit(solve)
+        _solver_cache_put(key, solve, jax.tree_util.tree_leaves(data))
+    return solve(x0)
 
 
 # --------------------------------------------------------------------------
@@ -343,12 +393,22 @@ def sparse_optimize(x0, residual_fn: Callable,
             raise ValueError(
                 f"structure shape {structure.shape} != "
                 f"(n_res={n_res}, dims={spec.dims})")
-    acc, ev, n_res = sparse_system(residual_fn, x0, spec, structure)
+    # Probing above runs per call (it depends on x0's VALUES); only the
+    # trace/compile of the solve is cached, keyed on the probed pattern.
+    key = _solver_cache_key(
+        "sparse", residual_fn, options, jit, x0, (),
+        extra=(structure.shape, structure.tobytes()))
+    solve = _solver_cache_get(key)
+    if solve is None:
+        acc, ev, n_res = sparse_system(residual_fn, x0, spec, structure)
 
-    def solve(x):
-        return optimize_from_acc(x, acc, ev, options, spec)
+        def solve(x):
+            return optimize_from_acc(x, acc, ev, options, spec)
 
-    return (jax.jit(solve) if jit else solve)(x0)
+        if jit:
+            solve = jax.jit(solve)
+        _solver_cache_put(key, solve, ())
+    return solve(x0)
 
 
 def matfree_optimize(x0, residual_fn: Callable,
@@ -371,15 +431,23 @@ def matfree_optimize(x0, residual_fn: Callable,
     spec = mf.tangent_spec(x0)
     if cg_iters <= 0:
         cg_iters = spec.dims
-    opts = options.replace(
-        hessian=dataclasses.replace(options.hessian, save_last=False))
-    acc, ev, n_res, propose = matfree_system(
-        residual_fn, x0, spec, cg_iters, cg_tol)
+    key = _solver_cache_key("matfree", residual_fn, options, jit, x0, (),
+                            extra=(cg_iters, cg_tol))
+    solve = _solver_cache_get(key)
+    if solve is None:
+        opts = options.replace(
+            hessian=dataclasses.replace(options.hessian, save_last=False))
+        acc, ev, n_res, propose = matfree_system(
+            residual_fn, x0, spec, cg_iters, cg_tol)
 
-    def solve(x):
-        return optimize_from_acc(x, acc, ev, opts, spec, propose=propose)
+        def solve(x):
+            return optimize_from_acc(x, acc, ev, opts, spec,
+                                     propose=propose)
 
-    return (jax.jit(solve) if jit else solve)(x0)
+        if jit:
+            solve = jax.jit(solve)
+        _solver_cache_put(key, solve, ())
+    return solve(x0)
 
 
 def schur_optimize(x0: tuple, pair_fn: Callable, data, mask,
@@ -413,12 +481,20 @@ def schur_optimize(x0: tuple, pair_fn: Callable, data, mask,
         raise ValueError("schur_optimize needs x0 = (a0, b0)")
     x0 = (mf.as_pytree(x0[0]), mf.as_pytree(x0[1]))
     mask = jnp.asarray(mask)
-    spec = mf.tangent_spec(x0)
-    acc, ev, n_res, propose = schur_system(pair_fn, x0[0], x0[1], data,
-                                           mask, spec)
+    data_leaves = jax.tree_util.tree_leaves((data, mask))
+    key = _solver_cache_key("schur", pair_fn, options, jit, x0,
+                            data_leaves)
+    solve = _solver_cache_get(key)
+    if solve is None:
+        spec = mf.tangent_spec(x0)
+        acc, ev, n_res, propose = schur_system(pair_fn, x0[0], x0[1],
+                                               data, mask, spec)
 
-    def solve(x):
-        return optimize_from_acc(x, acc, ev, options, spec,
-                                 propose=propose)
+        def solve(x):
+            return optimize_from_acc(x, acc, ev, options, spec,
+                                     propose=propose)
 
-    return (jax.jit(solve) if jit else solve)(x0)
+        if jit:
+            solve = jax.jit(solve)
+        _solver_cache_put(key, solve, data_leaves)
+    return solve(x0)

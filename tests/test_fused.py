@@ -124,6 +124,47 @@ def test_rejection_heavy_parity():
     assert int(jnp.sum(ref[1].num_failures)) > 0
 
 
+def test_dogleg_prior_parity():
+    """Powell dogleg runs IN the fused kernel (propose_dogleg) and matches
+    the XLA dogleg (solvers/step.dogleg_core with the CG dense path)."""
+    data, x0 = make_prior_batch(16, 7, dtype=jnp.float32, seed=3)
+    opts = _opts(solver_type=to.DogLeg, hessian=dict(solver="fused"))
+    assert fused_supported(opts, "residuals",
+                           jax.tree_util.tree_map(lambda a: a[0], x0))
+    _assert_parity(*_run_both(prior_residual, opts, x0, data))
+
+
+def test_dogleg_coupled_parity():
+    # Banded (2-color) residuals: H is NOT diagonal, so the in-kernel
+    # dogleg runs the real CG solves for both the GN step and the
+    # curvature matvec.  The trust-radius comparison adds one more
+    # fp-sensitive threshold crossing than LM, so iteration counts may
+    # shift by 2 between the dense-H and matrix-free association orders.
+    def banded(x, y):
+        return jnp.concatenate([x[:-1] + 0.5 * x[1:], x[-1:]]) - y
+
+    y = jax.random.normal(jax.random.PRNGKey(0), (12, 6), jnp.float32)
+    x0 = jnp.zeros((12, 6), jnp.float32)
+    opts = _opts(solver_type=to.DogLeg, hessian=dict(solver="fused"))
+    _assert_parity(*_run_both(banded, opts, x0, y), rtol=1e-4, atol=1e-5,
+                   iter_slack=2)
+
+
+def test_dogleg_singular_h_parity():
+    # Jennrich-Sampson near its symmetric minimum: H is (near-)exactly
+    # singular, the GN step is insane, and the κ-cap + Levenberg fallback
+    # (the lax.cond-gated reg solve) fire — in BOTH paths identically.
+    x0 = jnp.tile(jnp.array([[0.3, 0.4]], jnp.float32), (8, 1)) + \
+        0.01 * jax.random.normal(jax.random.PRNGKey(2), (8, 2), jnp.float32)
+    opts = _opts(solver_type=to.DogLeg, max_iters=30,
+                 hessian=dict(solver="fused"))
+    (xr, outr), (xf, outf) = _run_both(jennrich_sampson_residuals, opts, x0)
+    assert bool(jnp.all(outr.stop_reason == outf.stop_reason))
+    np.testing.assert_allclose(outr.final_cost.cost, outf.final_cost.cost,
+                               rtol=1e-3, atol=1e-4)
+    assert bool(jnp.all(outr.num_iters == outf.num_iters))
+
+
 def test_nan_routing_per_instance():
     data, x0 = make_prior_batch(8, 4, dtype=jnp.float32, seed=1)
     bad_inv = data.inv_std.at[3].set(jnp.nan)

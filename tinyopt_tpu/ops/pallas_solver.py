@@ -115,7 +115,8 @@ def fused_supported(options: Options, mode: str, x_example,
     """
     o = options
     if o.solver_type not in (SolverType.LEVENBERG_MARQUARDT,
-                             SolverType.GAUSS_NEWTON):
+                             SolverType.GAUSS_NEWTON,
+                             SolverType.DOGLEG):
         return False
     if mode != "residuals":
         return False
@@ -176,6 +177,8 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
 
     BT = x0.shape[0]
     is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+    is_dl = opts.solver_type == SolverType.DOGLEG
+    lam_sched = is_lm or is_dl            # λ-scheduled solver families
     max_tries = (opts.max_consec_failures
                  if opts.max_consec_failures > 0 else 255)
     cg_iters = opts.hessian.cg_iters or d
@@ -328,20 +331,14 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         """(BT, 1) bool -> scalar any(), reduced in f32."""
         return jnp.max(mask.astype(dtype)) > 0.5
 
-    def propose(jvp_fn, vjp_fn, diagH, g, lam):
-        """Damped matrix-free PCG step: (JᵀJ + λ·diag-damping) dx = −g.
+    def nm_solve(jvp_fn, vjp_fn, diagH, g, dampl):
+        """Solve the (damped) normal equations (H ⊕ dampl) dx = −g.
 
         Same damping semantics as solvers/step.propose_step (multiplicative
         H[i,i]·(1+λ); absolute λ for exactly-zero diagonals, ops/linalg
         damp_diagonal) and the same Jacobi-preconditioned CG formulas, with
         the matvec applied as Jᵀ(J p) through the shared linearization.
         """
-        if is_lm:
-            damp = jnp.where(diagH == 0, jnp.ones_like(diagH), diagH)
-            dampl = damp * lam                    # (BT, d)
-        else:
-            dampl = jnp.zeros_like(diagH)
-
         def matvec(p):
             return vjp_fn(jvp_fn(p)) + dampl * p
 
@@ -355,9 +352,92 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             # equations then solve in closed form — the entire CG loop
             # (2·cg_iters jvp/vjp sweeps) disappears.  This is the same
             # answer Jacobi-PCG reaches exactly on its first iteration.
-            dx = -g * dinv
+            return -g * dinv
+        return pcg_core(matvec, dinv, -g, cg_iters, unroll=True)
+
+    def rowsum(a):
+        return jnp.sum(a, axis=-1)[:, None]
+
+    def propose_dogleg(jvp_fn, vjp_fn, diagH, g, lam):
+        """Rowwise Powell dogleg — solvers/step.dogleg_core semantics on
+        (BT, d) rows with (BT, 1) scalar columns.
+
+        Same geometry, same κ-capped step-length-relative radius
+        Δ = ref/λ, same Levenberg fallback for insane GN steps (see the
+        dogleg_core/_dogleg_step docstrings for the measured rationale).
+        The fallback solve is gated by a SCALAR lax.cond on "any instance
+        needs it": the common all-GN-sane tile pays exactly one (undamped)
+        CG solve plus one curvature matvec per outer iteration.  Boolean
+        combinations use logical ops, never boolean-valued selects
+        (Mosaic constraint, see the layout comment above).
+        """
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        dx_gn = nm_solve(jvp_fn, vjp_fn, diagH, g, jnp.zeros_like(diagH))
+        ok_gn = all_lanes(jnp.isfinite(dx_gn))
+        dx_gn = jnp.where(ok_gn, dx_gn, jnp.zeros_like(dx_gn))
+        gg = rowsum(g * g)
+        gHg = rowsum(g * vjp_fn(jvp_fn(g)))       # curvature along −g
+        pos_curv = gHg > 0
+        alpha = jnp.where(pos_curv, gg / jnp.where(pos_curv, gHg, 1.0),
+                          dtype.type(0))
+        dx_sd = (-alpha) * g                      # Cauchy point
+        n_gn2 = rowsum(dx_gn * dx_gn)
+        n_sd2 = rowsum(dx_sd * dx_sd)
+        kappa2 = dtype.type(1e6)
+        gn_sane = ok_gn & ((n_sd2 <= 0) | (n_gn2 <= kappa2 * n_sd2))
+        # Insane GN → Levenberg fallback at λ_eff = max(λ, 1); solved for
+        # the whole tile only when at least one instance needs it.
+        lam_eff = jnp.maximum(lam, dtype.type(1.0))
+        need_reg = ~gn_sane
+
+        def run_reg(_):
+            damp = jnp.where(diagH == 0, jnp.ones_like(diagH), diagH)
+            return nm_solve(jvp_fn, vjp_fn, diagH, g, damp * lam_eff)
+
+        dx_reg = jax.lax.cond(any_inst(need_reg), run_reg,
+                              lambda _: jnp.zeros_like(g), 0)
+        ok_reg = need_reg & all_lanes(jnp.isfinite(dx_reg))
+        dx_reg = jnp.where(ok_reg, dx_reg, dx_sd)
+        n_reg2 = rowsum(dx_reg * dx_reg)
+        ref2 = jnp.where(gn_sane, n_gn2,
+                         jnp.where(ok_reg, n_reg2,
+                                   jnp.where(pos_curv & (n_sd2 > 0),
+                                             n_sd2, gg)))
+        radius = jnp.sqrt(jnp.maximum(ref2, tiny)) / lam
+        bd_len = jnp.where(pos_curv & (n_sd2 > 0),
+                           jnp.minimum(radius, jnp.sqrt(n_sd2)), radius)
+        dx_bd = jnp.where(gg > 0,
+                          -(bd_len / jnp.sqrt(jnp.maximum(gg, tiny))),
+                          dtype.type(0)) * g
+        reg_scale = jnp.minimum(
+            1.0, radius / jnp.sqrt(jnp.maximum(n_reg2, tiny)))
+        dx_reg = reg_scale * dx_reg
+        dvec = dx_gn - dx_sd
+        qa = jnp.maximum(rowsum(dvec * dvec), tiny)
+        qb = 2.0 * rowsum(dx_sd * dvec)
+        qc = n_sd2 - radius * radius
+        disc = jnp.maximum(qb * qb - 4.0 * qa * qc, 0.0)
+        tau = (-qb + jnp.sqrt(disc)) / (2.0 * qa)
+        dx_mid = dx_sd + jnp.clip(tau, 0.0, 1.0) * dvec
+        use_gn = gn_sane & (n_gn2 <= radius * radius)
+        use_reg = (~gn_sane) & ok_reg
+        use_bd = (~use_gn) & (~use_reg) & (
+            (n_sd2 >= radius * radius) | (~pos_curv) | (~gn_sane))
+        dx = jnp.where(use_gn, dx_gn,
+                       jnp.where(use_reg, dx_reg,
+                                 jnp.where(use_bd, dx_bd, dx_mid)))
+        return dx, all_lanes(jnp.isfinite(dx))
+
+    def propose(jvp_fn, vjp_fn, diagH, g, lam):
+        """Step proposal: damped PCG (LM), undamped PCG (GN), or dogleg."""
+        if is_dl:
+            return propose_dogleg(jvp_fn, vjp_fn, diagH, g, lam)
+        if is_lm:
+            damp = jnp.where(diagH == 0, jnp.ones_like(diagH), diagH)
+            dampl = damp * lam                    # (BT, d)
         else:
-            dx = pcg_core(matvec, dinv, -g, cg_iters, unroll=True)
+            dampl = jnp.zeros_like(diagH)
+        dx = nm_solve(jvp_fn, vjp_fn, diagH, g, dampl)
         ok = all_lanes(jnp.isfinite(dx))
         return dx, ok
 
@@ -376,6 +456,14 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
 
     def lm_bad(lam, bad):
         return jnp.clip(lam * bad, lam_lo, lam_hi), bad * base_bad
+
+    def dl_bad(lam, bad):
+        # DOGLEG rejection/failure: FIXED shrink of the trust radius, no
+        # compounding (solvers/lm.tr_bad_step — compounding collapses Δ
+        # double-geometrically through rejection/rollback pairs).
+        return jnp.clip(lam * base_bad, lam_lo, lam_hi), bad
+
+    sched_bad = dl_bad if is_dl else lm_bad
 
     # ---- Outer loop carry (per-instance, loop.py _Carry no-carry mode) ----
     # Inits are derived from the loaded x0 (not plain constants) so the
@@ -445,8 +533,8 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
             nc2 = nc + jnp.where(upd & (~ok_new), 1, 0).astype(_I32)
             gu_new = (~ok_new) & (opts.max_consec_failures > 0) & (
                 nc2 >= opts.max_consec_failures)
-            if is_lm:
-                f_lam, f_bad = lm_bad(r_lam, r_bad)
+            if lam_sched:
+                f_lam, f_bad = sched_bad(r_lam, r_bad)
             else:
                 f_lam, f_bad = r_lam, r_bad
             esc = upd & (~ok_new) & (~gu_new)
@@ -519,11 +607,14 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         first_eval = ~jnp.isfinite(best_cost)
         good = is_good | first_eval
 
-        if is_lm:
-            quality = (rel_derr if opts.use_step_quality_approx
+        if lam_sched:
+            # DOGLEG ignores the quality heuristic (loop.py: a low-quality
+            # good step must not shrink a trust RADIUS).
+            quality = (rel_derr
+                       if opts.use_step_quality_approx and not is_dl
                        else jnp.zeros((BT, 1), dtype))
             g_lam, g_bad = lm_good(lam, bad, quality)
-            b_lam, b_bad = lm_bad(lam, bad)
+            b_lam, b_bad = sched_bad(lam, bad)
             apply_good = act & (~early_fail) & good & (~first_eval)
             apply_bad = act & (~early_fail) & (~good)
             lam = jnp.where(apply_good, g_lam,

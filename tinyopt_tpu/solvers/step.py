@@ -156,6 +156,20 @@ def _dogleg_step(H, g, lam, opts):
         return dogleg_core(
             g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
             lambda le: H.damp(le).solve(-g, cg_iters=iters))
+    if opts.hessian.solver in ("cg", "fused"):
+        # CG dense path (same preconditioned iterates as the fused
+        # whole-solve kernel's in-kernel dogleg — parity-tested there).
+        iters = opts.hessian.cg_iters or g.shape[-1]
+        cg = _cg_solver(iters)
+
+        def _cg_ok(Hm):
+            dx = cg(Hm, -g)
+            return dx, jnp.all(jnp.isfinite(dx))
+
+        dx_gn, ok_gn = _cg_ok(H)
+        return dogleg_core(
+            g, lam, dx_gn, ok_gn, jnp.vdot(g, H @ g),
+            lambda le: _cg_ok(damp_diagonal(H, le)))
     dx_gn, ok_gn = solve_psd(H, -g, use_cholesky=opts.hessian.use_ldlt)
     return dogleg_core(
         g, lam, dx_gn, ok_gn, jnp.vdot(g, H @ g),

@@ -154,6 +154,53 @@ def measure_block(n_list=(1, 2, 4, 8), per_dev_blocks: int = 256,
     return out
 
 
+def measure_schur(n_list=(1, 2, 4, 8), per_dev_landmarks: int = 512,
+                  n_cams: int = 12, reps: int = 5) -> dict:
+    """Weak scaling of the landmark-sharded Schur BA axis.
+
+    One BA problem; landmarks grow with the mesh (per-device count fixed),
+    so per-device linearize/eliminate work is constant and the two psums
+    + KB-scale all_gathers are the only cross-device cost.  Returns
+    {n: landmark_iterations_per_second_total}.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tinyopt_tpu.models.bundle_adjustment import make_ba_problem, project
+    from tinyopt_tpu.parallel.schur import sharded_schur_optimize
+
+    opts = _fixed_iter_options()
+    # the Schur path materializes no dense H; carry the system as usual
+    import dataclasses
+    opts = opts.replace(hessian=dataclasses.replace(
+        opts.hessian, carry_system=True))
+    devs = jax.devices()
+    out = {}
+    for n in n_list:
+        if n > len(devs):
+            continue
+        n_pts = per_dev_landmarks * n
+        data, x0, _ = make_ba_problem(n_cams=n_cams, n_pts=n_pts,
+                                      noise=1e-3, seed=3, dtype=jnp.float32)
+
+        def pair_fn(pose, point, obs):
+            return project(pose, point[None, :])[0] - obs
+
+        mesh = Mesh(np.asarray(devs[:n]), ("block",))
+        xt = (x0["poses"], x0["points"])
+
+        def run():
+            x, o = sharded_schur_optimize(
+                xt, pair_fn, data.observations, data.mask, opts,
+                mesh=mesh, axis="block")
+            return x[1]
+
+        wall = _time_min(run, reps)
+        out[n] = n_pts * ITERS / wall
+    return out
+
+
 def measure_tpu_batch_sweep(batches=(10_000, 20_000, 50_000, 100_000),
                             total_solves: int = 10_000_000):
     """Within-chip weak scaling on the real TPU: fused-kernel throughput
@@ -257,6 +304,8 @@ def main():
     for row in _report("dp", measure_dp(per_dev=args.per_dev), cores):
         print(json.dumps(row))
     for row in _report("block", measure_block(), cores):
+        print(json.dumps(row))
+    for row in _report("schur", measure_schur(), cores):
         print(json.dumps(row))
 
 

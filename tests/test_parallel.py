@@ -121,3 +121,97 @@ class TestPadding:
             float(out_ref.final_cost.cost), abs=1e-10)
         np.testing.assert_allclose(np.asarray(x[0]), np.asarray(x_ref),
                                    atol=1e-8)
+
+
+class TestShardedSchur:
+    """Landmark-sharded Schur BA (parallel/schur.py) vs the single-device
+    schur_optimize: same trajectory up to psum summation order."""
+
+    def _problem(self, n_a=5, n_b=16, seed=7):
+        def pair_fn(a_i, b_j, d_ij):
+            return jnp.stack([a_i[0] + b_j[0] - d_ij,
+                              0.3 * a_i[0], 0.3 * b_j[0]])
+        rng = np.random.default_rng(seed)
+        d = jnp.asarray(rng.normal(size=(n_a, n_b)))
+        mask = jnp.asarray((rng.uniform(size=(n_a, n_b)) > 0.3)
+                           .astype(float))
+        x0 = (jnp.zeros((n_a, 1)), jnp.zeros((n_b, 1)))
+        return pair_fn, d, mask, x0
+
+    @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg,
+                                        to.GaussNewton])
+    def test_matches_unsharded(self, solver):
+        from tinyopt_tpu.parallel import sharded_schur_optimize
+        pair_fn, d, mask, x0 = self._problem()
+        o = to.Options(max_iters=15, solver_type=solver,
+                       max_consec_failures=0)
+        x_ref, out_ref = to.schur_optimize(x0, pair_fn, d, mask, o)
+        mesh = local_mesh("block")
+        x_sh, out_sh = sharded_schur_optimize(x0, pair_fn, d, mask, o,
+                                              mesh=mesh)
+        np.testing.assert_allclose(np.asarray(x_sh[0]), np.asarray(x_ref[0]),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(x_sh[1]), np.asarray(x_ref[1]),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(out_sh.num_iters) == int(out_ref.num_iters)
+        assert int(out_sh.stop_reason) == int(out_ref.stop_reason)
+        assert float(out_sh.final_cost.cost) == pytest.approx(
+            float(out_ref.final_cost.cost), rel=1e-9, abs=1e-12)
+        assert int(out_sh.final_cost.num_residuals) == int(
+            out_ref.final_cost.num_residuals)
+
+    def test_mask_padding_matches_smaller_problem(self):
+        """The documented scaling contract: pad the landmark axis with
+        mask=0 columns to reach divisibility — padded columns change
+        nothing (zero residual AND zero Jacobian)."""
+        from tinyopt_tpu.parallel import sharded_schur_optimize
+        pair_fn, d, mask, x0 = self._problem(n_b=16)
+        # solve a 13-landmark problem by masking the last 3 columns
+        mask13 = mask.at[:, 13:].set(0.0)
+        o = to.Options(max_iters=15)
+        x_ref, out_ref = to.schur_optimize(
+            (x0[0], x0[1][:13]), pair_fn, d[:, :13], mask13[:, :13], o)
+        mesh = local_mesh("block")
+        x_sh, out_sh = sharded_schur_optimize(x0, pair_fn, d, mask13, o,
+                                              mesh=mesh)
+        np.testing.assert_allclose(np.asarray(x_sh[0]),
+                                   np.asarray(x_ref[0]),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(x_sh[1][:13]),
+                                   np.asarray(x_ref[1]),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(out_sh.final_cost.num_residuals) == int(
+            out_ref.final_cost.num_residuals)
+
+    def test_indivisible_landmarks_raise(self):
+        from tinyopt_tpu.parallel import sharded_schur_optimize
+        pair_fn, d, mask, x0 = self._problem(n_b=15)
+        with pytest.raises(ValueError, match="divisible"):
+            sharded_schur_optimize(x0, pair_fn, d, mask,
+                                   to.Options(), mesh=local_mesh("block"))
+
+    def test_se3_ba_matches_unsharded(self):
+        """The real BA shape: SE(3) cameras x 3-d landmarks."""
+        from tinyopt_tpu.models.bundle_adjustment import (make_ba_problem,
+                                                          project)
+        from tinyopt_tpu.parallel import sharded_schur_optimize
+
+        data, x0, _ = make_ba_problem(n_cams=4, n_pts=16, noise=1e-4,
+                                      seed=5, dtype=jnp.float64)
+
+        def pair_fn(pose, point, obs):
+            return project(pose, point[None, :])[0] - obs
+
+        o = to.Options(max_iters=8, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False))
+        xt = (x0["poses"], x0["points"])
+        x_ref, out_ref = to.schur_optimize(xt, pair_fn, data.observations,
+                                           data.mask, o)
+        x_sh, out_sh = sharded_schur_optimize(
+            xt, pair_fn, data.observations, data.mask, o,
+            mesh=local_mesh("block"))
+        np.testing.assert_allclose(
+            np.asarray(x_sh[1]), np.asarray(x_ref[1]), rtol=1e-7, atol=1e-9)
+        assert int(out_sh.num_iters) == int(out_ref.num_iters)
+        assert float(out_sh.final_cost.cost) == pytest.approx(
+            float(out_ref.final_cost.cost), rel=1e-8)

@@ -34,7 +34,8 @@ from . import sparse
 from . import utils
 from . import implicit
 from . import checkpoint
-from .parallel import batched_optimize, batched_solver, sharded_optimize
+from .parallel import (batched_optimize, batched_solver,
+                       sharded_optimize, sharded_schur_optimize)
 from .checkpoint import stepper, Stepper
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
@@ -72,6 +73,7 @@ __all__ = [
     "diff", "losses", "manifolds", "models", "parallel", "sparse", "utils",
     "checkpoint",
     "batched_optimize", "batched_solver", "sharded_optimize",
+    "sharded_schur_optimize",
     "stepper", "Stepper",
     "block_optimize", "matfree_optimize", "sparse_optimize",
     "schur_optimize", "BlockDiag",

@@ -143,6 +143,113 @@ def _damp_blocks(M: jax.Array, lam) -> jax.Array:
     return M + eye * add[..., None, :]  # broadcast add on diagonal
 
 
+def linearize_grid(pair_fn: Callable, a, b, data, mask,
+                   spec_a: mf.TangentSpec, spec_b: mf.TangentSpec, dtype):
+    """Masked (r, Ja, Jb) of EVERY A-element against the given B-elements.
+
+    ``a``/``b`` are leading-axis pytrees of elements; ``data``/``mask``
+    carry the (n_a, n_b_cols, ...) observation grid for exactly the B
+    columns passed in — callers may pass the full grid (schur_system) or
+    one device's landmark shard (parallel.schur).  Shapes:
+    r (n_a, n_b, m), Ja (n_a, n_b, m, da), Jb (n_a, n_b, m, db).
+
+    AD is batched for vectorization: the da A-tangent sweeps each
+    differentiate the whole (n_b, m) residual row at once, and the db
+    B-tangent sweeps run under one vmap over the B axis — n_b·m wide XLA
+    ops instead of n_a·n_b tiny per-pair traces (measured meaningfully
+    faster at BA scale than per-pair ``jacfwd`` on the (da+db) product
+    tangent).
+    """
+    da, db = spec_a.dims, spec_b.dims
+
+    def pair_r(a_i, b_j, d_ij):
+        return flatten_residuals(pair_fn(a_i, b_j, d_ij)).astype(dtype)
+
+    def cam_lin(a_i, d_i, m_i):
+        def row(a_r):
+            return jax.vmap(
+                lambda b_j, d_ij, m_ij: pair_r(a_r, b_j, d_ij) * m_ij)(
+                    b, d_i, m_i)                          # (n_b, m)
+
+        def row_of_da(delta_a):
+            return row(mf.retract(a_i, delta_a, spec_a))
+
+        za = jnp.zeros((da,), dtype)
+        r = row_of_da(za)
+        Ja = jax.jacfwd(row_of_da)(za)                    # (n_b, m, da)
+
+        a_r0 = mf.retract(a_i, za, spec_a)
+
+        def one_b(b_j, d_ij, m_ij):
+            def r_of_db(delta_b):
+                return pair_r(a_r0, mf.retract(b_j, delta_b, spec_b),
+                              d_ij) * m_ij
+            return jax.jacfwd(r_of_db)(jnp.zeros((db,), dtype))
+
+        Jb = jax.vmap(one_b)(b, d_i, m_i)                 # (n_b, m, db)
+        return r, Ja, Jb
+
+    return jax.vmap(cam_lin)(a, data, mask)
+
+
+def blocks_from(r, Ja, Jb, dtype):
+    """Arrow-system blocks from the grid linearization.
+
+    Returns ``(Ba, C, E, g_a, g_b, rss)``; when (r, Ja, Jb) cover only a
+    landmark shard, ``Ba``/``g_a``/``rss`` are cross-shard PARTIALS (sum
+    over landmarks — psum to complete) while ``C``/``E``/``g_b`` are the
+    shard's own complete blocks.
+    """
+    Ba = jnp.einsum("ijra,ijrb->iab", Ja, Ja,
+                    preferred_element_type=dtype)
+    C = jnp.einsum("ijra,ijrb->jab", Jb, Jb,
+                   preferred_element_type=dtype)
+    E = jnp.einsum("ijra,ijrb->ijab", Ja, Jb,
+                   preferred_element_type=dtype)
+    g_a = jnp.einsum("ijra,ijr->ia", Ja, r)
+    g_b = jnp.einsum("ijrb,ijr->jb", Jb, r)
+    return Ba, C, E, g_a, g_b, jnp.vdot(r, r)
+
+
+def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
+                    reduce_fn=None):
+    """Schur elimination + back-substitution of the (damped) arrow system
+    [Bd, E; Eᵀ, Cd] dx = −g.  Returns ``(dx_a, dx_b, ok)``.
+
+    ``reduce_fn`` completes cross-landmark partial sums (identity when E
+    spans all landmarks; ``lax.psum`` over the mesh axis when it is one
+    device's shard — parallel.schur).  ``ok`` covers the reduced solve
+    and dx_a; the caller folds in dx_b finiteness (locally or globally).
+    """
+    red = reduce_fn if reduce_fn is not None else (lambda t: t)
+    n_a, da = g_a.shape
+    db = g_b.shape[-1]
+
+    # Batched inverse of the damped B-side blocks (db x db, PSD).
+    # Cholesky-based: a non-PSD block yields NaNs -> ok False -> the
+    # loop's λ-escalation (optimizer.h:356-399 route).
+    chol = jax.vmap(jnp.linalg.cholesky)(Cd)
+    eye = jnp.broadcast_to(jnp.eye(db, dtype=g_a.dtype), Cd.shape)
+    Cinv = jax.vmap(
+        lambda L, I: jax.scipy.linalg.cho_solve((L, True), I))(chol, eye)
+
+    EC = jnp.einsum("ijab,jbc->ijac", E, Cinv,
+                    preferred_element_type=g_a.dtype)
+    S_red = red(jnp.einsum("ijac,kjdc->ikad", EC, E,
+                           preferred_element_type=g_a.dtype))
+    idx = jnp.arange(n_a)
+    S_blocks = (-S_red).at[idx, idx].add(Bd)
+    S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
+    rhs = (-g_a + red(jnp.einsum("ijac,jc->ia", EC, g_b))).reshape(-1)
+    dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
+    dx_a = dx_a.reshape(n_a, da)
+    dx_b = jnp.einsum(
+        "jbc,jc->jb", Cinv,
+        -g_b - jnp.einsum("ijab,ia->jb", E, dx_a))
+    ok = ok & jnp.all(jnp.isfinite(dx_a))
+    return dx_a, dx_b, ok
+
+
 def schur_system(pair_fn: Callable, a0, b0, data, mask,
                  spec: mf.TangentSpec):
     """Build (accumulate, evaluate, n_res, propose) for a bipartite NLLS.
@@ -182,59 +289,18 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
     def pair_r(a_i, b_j, d_ij):
         return flatten_residuals(pair_fn(a_i, b_j, d_ij)).astype(dtype)
 
-    def cam_lin(a_i, d_i, m_i, b):
-        """Masked (r, Ja, Jb) of ONE A-element against ALL B-elements.
-
-        AD is batched for vectorization: the da A-tangent sweeps each
-        differentiate the whole (n_b, m) residual row at once, and the
-        db B-tangent sweeps run under one vmap over the B axis — n_b·m
-        wide XLA ops instead of n_a·n_b tiny per-pair traces (measured
-        meaningfully faster at BA scale than per-pair ``jacfwd`` on the
-        (da+db) product tangent)."""
-        def row(a_r):
-            return jax.vmap(
-                lambda b_j, d_ij, m_ij: pair_r(a_r, b_j, d_ij) * m_ij)(
-                    b, d_i, m_i)                          # (n_b, m)
-
-        def row_of_da(delta_a):
-            return row(mf.retract(a_i, delta_a, spec_a))
-
-        za = jnp.zeros((da,), dtype)
-        r = row_of_da(za)
-        Ja = jax.jacfwd(row_of_da)(za)                    # (n_b, m, da)
-
-        a_r0 = mf.retract(a_i, za, spec_a)
-
-        def one_b(b_j, d_ij, m_ij):
-            def r_of_db(delta_b):
-                return pair_r(a_r0, mf.retract(b_j, delta_b, spec_b),
-                              d_ij) * m_ij
-            return jax.jacfwd(r_of_db)(jnp.zeros((db,), dtype))
-
-        Jb = jax.vmap(one_b)(b, d_i, m_i)                 # (n_b, m, db)
-        return r, Ja, Jb
-
     def grid(f, a, b):
         over_b = jax.vmap(f, in_axes=(None, 0, 0, 0))
         return jax.vmap(over_b, in_axes=(0, None, 0, 0))(a, b, data, mask)
 
     def accumulate(x):
         a, b = split(x)
-        a = mf.as_pytree(a)
-        b = mf.as_pytree(b)
-        r, Ja, Jb = jax.vmap(cam_lin, in_axes=(0, 0, 0, None))(
-            a, data, mask, b)                   # (n_a, n_b, m, ·)
-        Ba = jnp.einsum("ijra,ijrb->iab", Ja, Ja,
-                        preferred_element_type=dtype)
-        C = jnp.einsum("ijra,ijrb->jab", Jb, Jb,
-                       preferred_element_type=dtype)
-        E = jnp.einsum("ijra,ijrb->ijab", Ja, Jb,
-                       preferred_element_type=dtype)
-        g_a = jnp.einsum("ijra,ijr->ia", Ja, r)
-        g_b = jnp.einsum("ijrb,ijr->jb", Jb, r)
+        r, Ja, Jb = linearize_grid(pair_fn, mf.as_pytree(a),
+                                   mf.as_pytree(b), data, mask,
+                                   spec_a, spec_b, dtype)
+        Ba, C, E, g_a, g_b, rss = blocks_from(r, Ja, Jb, dtype)
         g = jnp.concatenate([g_a.reshape(-1), g_b.reshape(-1)])
-        cost = Cost.make(jnp.vdot(r, r), n_res)
-        return SchurSystem(Ba, C, E), g, cost
+        return SchurSystem(Ba, C, E), g, Cost.make(rss, n_res)
 
     def evaluate(x):
         a, b = split(x)
@@ -250,30 +316,10 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         system [Bd, E; Eᵀ, Cd] dx = −g. (dx, ok)."""
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b = g[n_a * da:].reshape(n_b, db)
-
-        # Batched inverse of the damped B-side blocks (db x db, PSD).
-        # Cholesky-based: a non-PSD block yields NaNs -> ok False -> the
-        # loop's λ-escalation (optimizer.h:356-399 route).
-        chol = jax.vmap(jnp.linalg.cholesky)(Cd)
-        eye = jnp.broadcast_to(jnp.eye(db, dtype=g.dtype), Cd.shape)
-        Cinv = jax.vmap(
-            lambda L, I: jax.scipy.linalg.cho_solve((L, True), I))(chol, eye)
-
-        EC = jnp.einsum("ijab,jbc->ijac", H.E, Cinv,
-                        preferred_element_type=g.dtype)
-        S_red = jnp.einsum("ijac,kjdc->ikad", EC, H.E,
-                           preferred_element_type=g.dtype)
-        idx = jnp.arange(n_a)
-        S_blocks = (-S_red).at[idx, idx].add(Bd)
-        S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
-        rhs = (-g_a + jnp.einsum("ijac,jc->ia", EC, g_b)).reshape(-1)
-        dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
-        dx_a = dx_a.reshape(n_a, da)
-        dx_b = jnp.einsum(
-            "jbc,jc->jb", Cinv,
-            -g_b - jnp.einsum("ijab,ia->jb", H.E, dx_a))
+        dx_a, dx_b, ok = schur_eliminate(H.E, Bd, Cd, g_a, g_b,
+                                         use_cholesky=use_cholesky)
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
-        ok = ok & jnp.all(jnp.isfinite(dx))
+        ok = ok & jnp.all(jnp.isfinite(dx_b))
         return dx, ok
 
     def propose(H: SchurSystem, g, lam, opts):

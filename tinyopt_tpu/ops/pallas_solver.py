@@ -385,18 +385,34 @@ def _solver_kernel(*refs, residual_fn, layout: _XLayout, data_treedef,
         n_sd2 = rowsum(dx_sd * dx_sd)
         kappa2 = dtype.type(1e6)
         gn_sane = ok_gn & ((n_sd2 <= 0) | (n_gn2 <= kappa2 * n_sd2))
-        # Insane GN → Levenberg fallback at λ_eff = max(λ, 1); solved for
-        # the whole tile only when at least one instance needs it.
-        lam_eff = jnp.maximum(lam, dtype.type(1.0))
+        # Insane GN → two-stage Levenberg fallback (solvers/step.
+        # dogleg_core): first the schedule's own λ (gauge-singular
+        # problems — LM-grade step), escalating to λ_eff = max(λ, 1)
+        # only when that step is itself κ-insane (truly singular
+        # minima).  Each stage is solved for the whole tile only when
+        # at least one instance needs it.
         need_reg = ~gn_sane
+        damp = jnp.where(diagH == 0, jnp.ones_like(diagH), diagH)
 
-        def run_reg(_):
-            damp = jnp.where(diagH == 0, jnp.ones_like(diagH), diagH)
+        def run_reg1(_):
+            return nm_solve(jvp_fn, vjp_fn, diagH, g, damp * lam)
+
+        dx_r1 = jax.lax.cond(any_inst(need_reg), run_reg1,
+                             lambda _: jnp.zeros_like(g), 0)
+        ok_r1 = need_reg & all_lanes(jnp.isfinite(dx_r1))
+        n_r1 = rowsum(dx_r1 * dx_r1)
+        r1_sane = ok_r1 & ((n_sd2 <= 0) | (n_r1 <= kappa2 * n_sd2))
+        need2 = need_reg & (~r1_sane)
+
+        def run_reg2(_):
+            lam_eff = jnp.maximum(lam, dtype.type(1.0))
             return nm_solve(jvp_fn, vjp_fn, diagH, g, damp * lam_eff)
 
-        dx_reg = jax.lax.cond(any_inst(need_reg), run_reg,
-                              lambda _: jnp.zeros_like(g), 0)
-        ok_reg = need_reg & all_lanes(jnp.isfinite(dx_reg))
+        dx_r2 = jax.lax.cond(any_inst(need2), run_reg2,
+                             lambda _: jnp.zeros_like(g), 0)
+        ok_r2 = need2 & all_lanes(jnp.isfinite(dx_r2))
+        dx_reg = jnp.where(r1_sane, dx_r1, dx_r2)
+        ok_reg = r1_sane | ok_r2
         dx_reg = jnp.where(ok_reg, dx_reg, dx_sd)
         n_reg2 = rowsum(dx_reg * dx_reg)
         ref2 = jnp.where(gn_sane, n_gn2,

@@ -60,18 +60,34 @@ def dogleg_core(g, lam, dx_gn, ok_gn, gHg, solve_reg):
                                 jnp.ones((), bool))
     # Insane/failed GN (singular or near-singular H: measured GN/Cauchy
     # ratios of 1e7-1e11 near Freudenstein-Roth's and Jennrich-Sampson's
-    # minima, cond(H) 1e8-1e16): substitute a LEVENBERG step with
-    # λ_eff = max(λ, 1) — a damped step is itself a trust-region step
-    # (for every λ there is a Δ making them equal, Nocedal & Wright
-    # §4.3), it regularizes exactly where the raw GN direction is
-    # garbage, and it restores LM-grade convergence near singular
-    # minima where a pure Cauchy fallback crawls.
-    lam_eff = jnp.maximum(lam, dtype.type(1.0))
-    dx_reg, ok_reg = jax.lax.cond(
+    # minima, cond(H) 1e8-1e16): substitute a LEVENBERG step — a damped
+    # step is itself a trust-region step (for every λ there is a Δ making
+    # them equal, Nocedal & Wright §4.3), and it regularizes exactly
+    # where the raw GN direction is garbage.  TWO-STAGE damping: first
+    # the schedule's own λ (gauge-singular problems — BA's 7-dim gauge
+    # null space has ZERO gradient component, so the lightly-damped step
+    # is an LM-grade step; a λ_eff = 1 floor over-damps those into a
+    # permanent crawl: measured rmse 4.4e-3 after 30 dogleg iterations
+    # vs noise level 1e-4 in 7 LM iterations on a 6-cam BA), and only
+    # when that step is itself κ-insane vs the Cauchy scale (truly
+    # singular minima where g DOES excite the null space — Jennrich-
+    # Sampson) escalate to λ_eff = max(λ, 1), which restores LM-grade
+    # convergence where a pure Cauchy fallback crawls.
+    dx_r1, ok_r1 = jax.lax.cond(
         gn_sane,
         lambda _: (jnp.zeros_like(dx_gn), jnp.zeros((), bool)),
         lambda le: solve_reg(le),
-        lam_eff)
+        lam)
+    n_r1_2 = jnp.vdot(dx_r1, dx_r1)
+    r1_sane = ok_r1 & jnp.where(n_sd2 > 0, n_r1_2 <= kappa2 * n_sd2,
+                                jnp.ones((), bool))
+    dx_r2, ok_r2 = jax.lax.cond(
+        gn_sane | r1_sane,
+        lambda _: (jnp.zeros_like(dx_gn), jnp.zeros((), bool)),
+        lambda le: solve_reg(le),
+        jnp.maximum(lam, dtype.type(1.0)))
+    dx_reg = jnp.where(r1_sane, dx_r1, dx_r2)
+    ok_reg = jnp.where(r1_sane, ok_r1, ok_r2)
     dx_reg = jnp.where(ok_reg, dx_reg, dx_sd)
     n_reg2 = jnp.vdot(dx_reg, dx_reg)
     ref2 = jnp.where(gn_sane, n_gn2,

@@ -196,3 +196,86 @@ class TestBA:
             to.schur_optimize((x0["poses"], x0["points"]), pair_fn,
                               data.observations, data.mask,
                               to.Options(solver_type=to.Adam))
+
+
+class TestRobustSchur:
+    """Robust M-estimation composes with the Schur path: a whitened
+    pair_fn (losses.robust_whiten) carries the robustification into the
+    per-pair Jacobians by AD — the production outlier-contaminated BA
+    pattern.  Measured landscape on this instance (43/378 observed pairs
+    corrupted by ~0.5-magnitude gross offsets, noise 1e-3):
+
+      plain LM                    clean-inlier rmse 7.2e-2  (dragged off)
+      Huber th=5e-3 (one stage)   1.25e-2 — its own global optimum (the
+                                  oracle point has HIGHER Huber cost:
+                                  0.3237 vs 0.3190, and re-solving FROM
+                                  the oracle point returns here), i.e.
+                                  the linear tail's estimator bias
+      GNC Geman-McClure anneal    8.35e-4 == oracle (outliers masked)
+    """
+
+    def _contaminated(self):
+        noise = 1e-3
+        data, x0, x_true = make_ba_problem(n_cams=6, n_pts=64,
+                                           noise=noise, seed=13)
+        rng = np.random.default_rng(99)
+        out_grid = (rng.uniform(size=data.mask.shape) < 0.15)
+        gross = rng.uniform(0.3, 0.7, data.observations.shape) * \
+            rng.choice([-1.0, 1.0], data.observations.shape)
+        obs_bad = jnp.where(jnp.asarray(out_grid)[:, :, None]
+                            * data.mask[:, :, None] > 0,
+                            data.observations + jnp.asarray(gross),
+                            data.observations)
+        clean_mask = data.mask * (1.0 - jnp.asarray(
+            out_grid.astype(float)))
+        from tinyopt_tpu.models.bundle_adjustment import BAData
+        clean_data = BAData(data.observations, clean_mask)
+
+        def clean_rmse(x):
+            r = ba_residuals({"poses": x[0], "points": x[1]}, clean_data)
+            n = jnp.maximum(jnp.sum(clean_mask) * 2.0, 1.0)
+            return float(jnp.sqrt(jnp.sum(r * r) / n))
+
+        return data, obs_bad, clean_mask, clean_rmse, \
+            (x0["poses"], x0["points"])
+
+    def test_gnc_geman_mcclure_reaches_oracle(self):
+        """Annealed (graduated non-convexity) Geman-McClure whitening
+        recovers the outlier-free geometry exactly: final clean-inlier
+        rmse matches the oracle solve (corrupted pairs masked away)."""
+        from tinyopt_tpu.losses.robust_norms import (geman_mcclure,
+                                                     robust_whiten)
+        data, obs_bad, clean_mask, clean_rmse, xt = self._contaminated()
+        o = to.Options(max_iters=60, max_consec_failures=0, min_error=0.0)
+
+        x_orc, _ = to.schur_optimize(xt, pair_fn, obs_bad, clean_mask, o)
+        oracle = clean_rmse(x_orc)
+
+        x = xt
+        for th in [0.5, 0.15, 0.05, 0.015, 5e-3]:
+            def rp(pose, point, obs, th2=th * th):
+                return robust_whiten(pair_fn(pose, point, obs),
+                                     geman_mcclure, th2)
+            x, out = to.schur_optimize(x, rp, obs_bad, data.mask, o)
+        assert bool(out.succeeded())
+        got = clean_rmse(x)
+        assert got < 1.05 * oracle, (got, oracle)
+
+    def test_single_stage_huber_beats_plain(self):
+        """One-stage Huber lands at its own (tail-biased) optimum —
+        far better than plain LM, far worse than GNC (docstring table)."""
+        from tinyopt_tpu.losses.robust_norms import huber, robust_whiten
+        data, obs_bad, clean_mask, clean_rmse, xt = self._contaminated()
+        o = to.Options(max_iters=60, max_consec_failures=0, min_error=0.0)
+        x_plain, _ = to.schur_optimize(xt, pair_fn, obs_bad, data.mask, o)
+
+        th2 = (5e-3) ** 2
+
+        def rp(pose, point, obs):
+            return robust_whiten(pair_fn(pose, point, obs), huber, th2)
+
+        x_rob, out = to.schur_optimize(xt, rp, obs_bad, data.mask, o)
+        assert bool(out.succeeded())
+        e_plain, e_rob = clean_rmse(x_plain), clean_rmse(x_rob)
+        assert e_rob < 2e-2, e_rob
+        assert e_plain > 4 * e_rob, (e_plain, e_rob)

@@ -54,7 +54,8 @@ def robust_gnc():
     HIGHER Huber cost — measured in tests/test_schur.py TestRobustSchur).
     """
     import numpy as np
-    from tinyopt_tpu.losses.robust_norms import geman_mcclure, robust_whiten
+    from tinyopt_tpu.losses.robust_norms import (geman_mcclure, gnc_anneal,
+                                                 gnc_schedule, robust_whiten)
     from tinyopt_tpu.models.bundle_adjustment import BAData, project
 
     noise = 1e-3
@@ -76,15 +77,19 @@ def robust_gnc():
         return float(reprojection_rmse({"poses": x[0], "points": x[1]},
                                        clean))
 
-    x = (x0["poses"], x0["points"])
     opts = to.Options(max_iters=60, max_consec_failures=0, min_error=0.0)
-    for th in [0.5, 0.15, 0.05, 0.015, 5 * noise]:
-        def rp(pose, point, ob, th2=th * th):
+
+    def stage(x, th2):
+        def rp(pose, point, ob):
             return robust_whiten(pair_fn(pose, point, ob),
                                  geman_mcclure, th2)
         x, out = to.schur_optimize(x, rp, obs, data.mask, opts)
-        print(f"  GNC stage th={th:<6}: clean-inlier RMSE "
+        print(f"  GNC stage th={th2 ** 0.5:<7.4f}: clean-inlier RMSE "
               f"{rmse_on_inliers(x):.2e}")
+        return x, out
+
+    x, out = gnc_anneal(stage, (x0["poses"], x0["points"]),
+                        gnc_schedule(0.5, 5 * noise, steps=5))
     print(f"final: {rmse_on_inliers(x):.2e} (noise level {noise:.0e}, "
           "despite 15% gross outliers)")
 

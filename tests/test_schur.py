@@ -244,6 +244,8 @@ class TestRobustSchur:
         recovers the outlier-free geometry exactly: final clean-inlier
         rmse matches the oracle solve (corrupted pairs masked away)."""
         from tinyopt_tpu.losses.robust_norms import (geman_mcclure,
+                                                     gnc_anneal,
+                                                     gnc_schedule,
                                                      robust_whiten)
         data, obs_bad, clean_mask, clean_rmse, xt = self._contaminated()
         o = to.Options(max_iters=60, max_consec_failures=0, min_error=0.0)
@@ -251,12 +253,15 @@ class TestRobustSchur:
         x_orc, _ = to.schur_optimize(xt, pair_fn, obs_bad, clean_mask, o)
         oracle = clean_rmse(x_orc)
 
-        x = xt
-        for th in [0.5, 0.15, 0.05, 0.015, 5e-3]:
-            def rp(pose, point, obs, th2=th * th):
+        def stage(x, th2):
+            def rp(pose, point, obs):
                 return robust_whiten(pair_fn(pose, point, obs),
                                      geman_mcclure, th2)
-            x, out = to.schur_optimize(x, rp, obs_bad, data.mask, o)
+            return to.schur_optimize(x, rp, obs_bad, data.mask, o)
+
+        sched = gnc_schedule(0.5, 5e-3, steps=5)
+        assert sched[0] == 0.5 and abs(sched[-1] - 5e-3) < 1e-12
+        x, out = gnc_anneal(stage, xt, sched)
         assert bool(out.succeeded())
         got = clean_rmse(x)
         assert got < 1.05 * oracle, (got, oracle)

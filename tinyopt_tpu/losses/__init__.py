@@ -5,6 +5,7 @@ from .robust_norms import (
     robust_cost,
     truncated_loss, huber_loss, tukey_loss, arctan_loss, cauchy_loss,
     geman_mcclure_loss, blake_zisserman_loss, robust_whiten,
+    gnc_anneal, gnc_schedule,
 )
 from .mahalanobis import (
     maha_squared_norm, maha_norm, maha_whitened, maha_whitened_info_u,
@@ -22,6 +23,7 @@ __all__ = [
     "truncated_loss", "huber_loss", "tukey_loss", "arctan_loss",
     "cauchy_loss", "geman_mcclure_loss", "blake_zisserman_loss",
     "robust_whiten",
+    "gnc_anneal", "gnc_schedule",
     "maha_squared_norm", "maha_norm", "maha_whitened",
     "maha_whitened_info_u",
     "sigmoid", "tanh", "relu", "leaky_relu",

@@ -145,3 +145,41 @@ def robust_cost(residuals, robust_fn, th2):
     return Cost(cost=jnp.sum(loss),
                 num_residuals=jnp.asarray(r.shape[0], jnp.int32),
                 inlier_ratio=inl)
+
+
+def gnc_schedule(th_coarse, th_fine, steps: int = 5):
+    """Geometric threshold ladder for graduated non-convexity.
+
+    Start near-quadratic (``th_coarse`` at/above the gross-error scale —
+    the surrogate is convex-ish and pulls everything), finish at the
+    inlier noise scale (``th_fine``, typically 3-5 σ).  Returns a tuple
+    of ``steps`` thresholds.  Measured on outlier-contaminated BA
+    (tests/test_schur.py TestRobustSchur): annealed Geman-McClure
+    recovers the oracle geometry exactly, where a single fine-scale
+    stage converges to the estimator's tail-biased optimum.
+    """
+    if steps < 2:
+        return (float(th_fine),)
+    import math
+    ratio = (float(th_fine) / float(th_coarse)) ** (1.0 / (steps - 1))
+    return tuple(float(th_coarse) * ratio ** i for i in range(steps))
+
+
+def gnc_anneal(solve_stage, x0, thresholds):
+    """Graduated non-convexity driver: re-solve at each threshold.
+
+    ``solve_stage(x, th2) -> (x, Output)`` runs ONE robust solve with
+    squared threshold ``th2`` (build it from any entry point —
+    ``optimize``, ``schur_optimize``, ``sharded_schur_optimize`` … —
+    with a ``robust_whiten``-wrapped residual).  Each stage warm-starts
+    from the previous solution.  Returns the last ``(x, Output)``.
+
+    The stage loop is a HOST loop (each threshold is a different
+    compiled program — th2 is a trace-time constant in the whitening),
+    so per-stage compiles are cached by the entry points' solve caches
+    across repeated calls.
+    """
+    x, out = x0, None
+    for th in thresholds:
+        x, out = solve_stage(x, float(th) ** 2)
+    return x, out

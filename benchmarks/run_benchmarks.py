@@ -298,10 +298,58 @@ def bench_ba(n_cams: int = 100, n_pts: int = 5000, noise: float = 1e-3,
     return rows
 
 
+def bench_ba_sparse(n_cams: int = 1000, n_pts: int = 50_000,
+                    k_obs: int = 8, noise: float = 1e-3, seed: int = 7,
+                    max_iters: int = 12):
+    """Sparse-visibility BA at a scale the dense grid CANNOT represent:
+    1000 cameras x 50k landmarks = 156,000 tangent dims, 400k
+    observations (a dense grid would need a 50M-slot E tensor ~ 3.6 TB;
+    the point-major layout holds ~60 MB).  Criterion: reprojection RMSE
+    <= 1.2x the observation noise.  Returns (wall_s, rmse, converged).
+    """
+    import jax
+    # x64 enables the f64 residual of the mixed-precision refinement on
+    # the reduced camera solve (hessian.schur_refine); every other array
+    # stays f32.
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import tinyopt_tpu as to
+    from tinyopt_tpu.models.bundle_adjustment import (
+        make_ba_problem_sparse, reprojection_rmse_sparse, project)
+
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    (obs, cam_idx, mask), x0, _ = make_ba_problem_sparse(
+        n_cams=n_cams, n_pts=n_pts, k_obs=k_obs, noise=noise, seed=seed,
+        dtype=dtype)
+    opts = to.Options(max_iters=max_iters, max_consec_failures=0,
+                      min_error=0.0,
+                      hessian=to.HessianOptions(save_last=False,
+                                                schur_refine=2))
+    if dtype == jnp.float32:
+        opts = opts.for_dtype(dtype)
+
+    def pair_fn(pose, point, ob):
+        return project(pose, point[None, :])[0] - ob
+
+    def run(pts0):
+        return to.schur_sparse_optimize(
+            (x0["poses"], pts0), pair_fn, obs, cam_idx, mask, opts)
+
+    # warm with perturbed landmarks (cache honesty, see bench_ba)
+    x, out = run(x0["points"] + jnp.asarray(1e-3, dtype))
+    jax.block_until_ready(jax.tree_util.tree_leaves(x))
+    t0 = time.perf_counter()
+    x, out = run(x0["points"])
+    rmse = float(reprojection_rmse_sparse(
+        {"poses": x[0], "points": x[1]}, obs, cam_idx, mask))
+    wall = time.perf_counter() - t0
+    return wall, rmse, rmse <= 1.2 * max(noise, 1e-9)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("only", nargs="?", default=None,
-                    choices=["bench_ba"],
+                    choices=["bench_ba", "bench_ba_sparse"],
                     help="run a single benchmark instead of the full sweep")
     ap.add_argument("--batch", type=int, default=10_000)
     ap.add_argument("--skip-tpu", action="store_true")
@@ -318,6 +366,14 @@ def main():
         for k, (wall, rmse, ok) in ba.items():
             print(f"  {k:<8} {wall:7.2f} s  rmse={rmse:.2e}  "
                   f"{'converged' if ok else 'NOT CONVERGED'}")
+        return
+    if args.only == "bench_ba_sparse":
+        wall, rmse, ok = bench_ba_sparse()
+        print("Sparse-visibility BA 1000 cams x 50,000 landmarks "
+              "(156,000 tangent dims, 400k observations, K=8, "
+              "criterion RMSE<=1.2e-3):")
+        print(f"  schur_sparse {wall:7.2f} s  rmse={rmse:.2e}  "
+              f"{'converged' if ok else 'NOT CONVERGED'}")
         return
 
     dims = args.dims

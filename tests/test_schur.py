@@ -284,3 +284,84 @@ class TestRobustSchur:
         e_plain, e_rob = clean_rmse(x_plain), clean_rmse(x_rob)
         assert e_rob < 2e-2, e_rob
         assert e_plain > 4 * e_rob, (e_plain, e_rob)
+
+
+class TestSchurSparseObs:
+    """Point-major sparse-observation Schur (ops/schur_obs.py): the
+    memory-scalable form — O(n_obs) instead of the grid's O(n_a·n_b).
+    Same algebra, so the grid and obs layouts of one instance must
+    produce identical trajectories."""
+
+    def _instance(self):
+        data, x0, _ = make_ba_problem(n_cams=6, n_pts=40, noise=1e-4,
+                                      seed=5, visibility=0.5)
+        return data, x0
+
+    @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg])
+    def test_matches_grid_layout(self, solver):
+        from tinyopt_tpu.ops.schur_obs import grid_to_obs
+        data, x0 = self._instance()
+        xt = (x0["poses"], x0["points"])
+        o = to.Options(max_iters=10, max_consec_failures=0,
+                       solver_type=solver,
+                       hessian=to.HessianOptions(save_last=False))
+        x_g, out_g = to.schur_optimize(xt, pair_fn, data.observations,
+                                       data.mask, o)
+        obs, cam_idx, smask = grid_to_obs(data.observations, data.mask)
+        x_s, out_s = to.schur_sparse_optimize(xt, pair_fn, obs, cam_idx,
+                                              smask, o)
+        np.testing.assert_allclose(np.asarray(x_s[1]), np.asarray(x_g[1]),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(x_s[0].translation),
+                                   np.asarray(x_g[0].translation),
+                                   rtol=1e-7, atol=1e-9)
+        assert int(out_s.num_iters) == int(out_g.num_iters)
+        assert int(out_s.stop_reason) == int(out_g.stop_reason)
+        assert int(out_s.final_cost.num_residuals) == int(
+            out_g.final_cost.num_residuals)
+
+    def test_corridor_rig_converges(self):
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, reprojection_rmse_sparse)
+        (obs, cam_idx, mask), x0, _ = make_ba_problem_sparse(
+            n_cams=50, n_pts=500, k_obs=6, noise=1e-4, seed=3)
+        o = to.Options(max_iters=15, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False))
+        (p, l), out = to.schur_sparse_optimize(
+            (x0["poses"], x0["points"]), pair_fn, obs, cam_idx, mask, o)
+        assert bool(out.succeeded())
+        rmse = float(reprojection_rmse_sparse(
+            {"poses": p, "points": l}, obs, cam_idx, mask))
+        assert rmse < 1.2e-4, rmse
+
+    def test_grid_to_obs_k_too_small_raises(self):
+        from tinyopt_tpu.ops.schur_obs import grid_to_obs
+        data, _ = self._instance()
+        dense_count = int(np.asarray(data.mask).astype(bool)
+                          .sum(axis=0).max())
+        with pytest.raises(ValueError, match="densest"):
+            grid_to_obs(data.observations, data.mask, K=dense_count - 1)
+
+    def test_matvec_matches_dense_assembly(self):
+        """SchurObsSystem.matvec (gather + segment_sum arrow products)
+        == the dense H of the equivalent grid system."""
+        from tinyopt_tpu.ops.schur import schur_system
+        from tinyopt_tpu.ops.schur_obs import grid_to_obs, schur_obs_system
+        from tinyopt_tpu import manifold as mf
+        data, x0 = self._instance()
+        xt = (x0["poses"], x0["points"])
+        spec = mf.tangent_spec(xt)
+        acc_g, *_ = schur_system(pair_fn, xt[0], xt[1],
+                                 data.observations, data.mask, spec)
+        obs, cam_idx, smask = grid_to_obs(data.observations, data.mask)
+        acc_s, *_ = schur_obs_system(pair_fn, xt[0], xt[1], obs, cam_idx,
+                                     smask, spec)
+        Hg, gg_, _ = jax.jit(acc_g)(xt)
+        Hs, gs_, _ = jax.jit(acc_s)(xt)
+        np.testing.assert_allclose(np.asarray(gs_), np.asarray(gg_),
+                                   rtol=1e-9, atol=1e-12)
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=(spec.dims,)))
+        np.testing.assert_allclose(np.asarray(Hs.matvec(v)),
+                                   np.asarray(Hg.matvec(v)),
+                                   rtol=1e-9, atol=1e-12)

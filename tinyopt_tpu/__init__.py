@@ -39,7 +39,7 @@ from .parallel import (batched_optimize, batched_solver,
 from .checkpoint import stepper, Stepper
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
-                     sparse_optimize)
+                     schur_sparse_optimize, sparse_optimize)
 from .ops.block import BlockDiag
 from .version import __version__
 
@@ -76,7 +76,7 @@ __all__ = [
     "sharded_schur_optimize",
     "stepper", "Stepper",
     "block_optimize", "matfree_optimize", "sparse_optimize",
-    "schur_optimize", "BlockDiag",
+    "schur_optimize", "schur_sparse_optimize", "BlockDiag",
     "implicit", "implicit_solver",
     "__version__",
 ]

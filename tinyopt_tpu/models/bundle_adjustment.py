@@ -127,3 +127,85 @@ def reprojection_rmse(params, data: BAData) -> jax.Array:
     r = ba_residuals(params, data)
     n = jnp.maximum(jnp.sum(data.mask) * 2.0, 1.0)
     return jnp.sqrt(jnp.sum(r * r) / n)
+
+
+def make_ba_problem_sparse(n_cams: int = 200, n_pts: int = 2000,
+                           k_obs: int = 8, noise: float = 0.0,
+                           pose_noise: float = 0.02,
+                           point_noise: float = 0.02,
+                           dtype=jnp.float64, seed: int = 0):
+    """Sparse-visibility BA in the point-major layout (ops/schur_obs.py).
+
+    A corridor rig: cameras along a straight rail looking forward (+z),
+    landmarks scattered in front of the rail, each observed by its
+    ``k_obs`` nearest cameras — the visibility pattern of a real SLAM
+    trajectory, O(n_pts · k_obs) observations instead of the dense
+    grid's O(n_cams · n_pts).
+
+    Returns ``((obs, cam_idx, mask), x0, x_true)`` with
+    obs (n_pts, k_obs, 2), cam_idx (n_pts, k_obs) int32,
+    mask (n_pts, k_obs) all-ones, and
+    x0/x_true = {"poses": SE3 batch, "points": (n_pts, 3)}.
+    """
+    rng = np.random.default_rng(seed)
+    rail = 0.5 * np.arange(n_cams)                     # camera x positions
+    # landmarks spread along the rail, in front of it
+    px = rng.uniform(rail[0], rail[-1] if n_cams > 1 else 1.0, n_pts)
+    py = rng.uniform(-1.0, 1.0, n_pts)
+    pz = rng.uniform(3.0, 5.0, n_pts)
+    true_points = jnp.asarray(np.stack([px, py, pz], 1), dtype)
+
+    # identity rotations, camera centers on the rail: x_c = x_w - c
+    qs = np.zeros((n_cams, 4)); qs[:, 0] = 1.0
+    ts = np.stack([-rail, np.zeros(n_cams), np.zeros(n_cams)], 1)
+    true_poses = SE3(SO3(jnp.asarray(qs, dtype)), jnp.asarray(ts, dtype))
+
+    # each landmark: k_obs cameras nearest in x
+    nearest = np.clip(np.searchsorted(rail, px), 0, n_cams - 1)
+    lo = np.clip(nearest - k_obs // 2, 0, max(n_cams - k_obs, 0))
+    cam_idx = (lo[:, None] + np.arange(k_obs)[None, :]).astype(np.int32)
+
+    def slot_project(q, t, pt):
+        return project(SE3(SO3(q), t), pt[None, :])[0]
+
+    obs = jax.vmap(lambda pt, cams: jax.vmap(
+        lambda c: slot_project(true_poses.rotation.wxyz[c],
+                               true_poses.translation[c], pt))(cams))(
+        true_points, jnp.asarray(cam_idx))
+    obs = obs + noise * jnp.asarray(rng.normal(size=obs.shape), dtype)
+    mask = jnp.ones((n_pts, k_obs), dtype)
+
+    # Perturbed start, camera 0 / point 0 anchored (gauge, as in
+    # make_ba_problem).  LEFT-multiplicative perturbation: T' = exp(w)∘T
+    # perturbs in the CAMERA frame, where the lever arm is the scene
+    # depth (~4) — a right perturbation's lever arm is the camera's
+    # distance to the world origin (hundreds of units down the rail),
+    # which throws landmarks behind the camera.
+    dw = pose_noise * rng.normal(size=(n_cams, 6))
+    dw[0] = 0.0
+    x0_poses = jax.vmap(lambda q, t, w: SE3.exp(jnp.asarray(w, dtype))
+                        @ SE3(SO3(q), t))(
+        true_poses.rotation.wxyz, true_poses.translation, jnp.asarray(dw))
+    dp = point_noise * rng.normal(size=(n_pts, 3))
+    dp[0] = 0.0
+    x0_points = true_points + jnp.asarray(dp, dtype)
+
+    x0 = {"poses": x0_poses, "points": x0_points}
+    x_true = {"poses": true_poses, "points": true_points}
+    return (obs, jnp.asarray(cam_idx), mask), x0, x_true
+
+
+def reprojection_rmse_sparse(params, obs, cam_idx, mask) -> jax.Array:
+    """Reprojection RMSE in the point-major layout."""
+    poses, pts = params["poses"], params["points"]
+
+    def point(pt, d_j, cams, m_j):
+        def slot(c, d_k, m_k):
+            return (project(SE3(SO3(poses.rotation.wxyz[c]),
+                                poses.translation[c]), pt[None, :])[0]
+                    - d_k) * m_k
+        return jax.vmap(slot)(cams, d_j, m_j)
+
+    r = jax.vmap(point)(pts, obs, cam_idx, mask)
+    n = jnp.maximum(jnp.sum(mask) * 2.0, 1.0)
+    return jnp.sqrt(jnp.sum(r * r) / n)

@@ -212,7 +212,7 @@ def blocks_from(r, Ja, Jb, dtype):
 
 
 def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
-                    reduce_fn=None):
+                    reduce_fn=None, refine: int = 0):
     """Schur elimination + back-substitution of the (damped) arrow system
     [Bd, E; Eᵀ, Cd] dx = −g.  Returns ``(dx_a, dx_b, ok)``.
 
@@ -220,6 +220,8 @@ def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
     spans all landmarks; ``lax.psum`` over the mesh axis when it is one
     device's shard — parallel.schur).  ``ok`` covers the reduced solve
     and dx_a; the caller folds in dx_b finiteness (locally or globally).
+    ``refine`` = hessian.schur_refine mixed-precision rounds on the
+    reduced solve (ops/linalg.refine_psd_solve).
     """
     red = reduce_fn if reduce_fn is not None else (lambda t: t)
     n_a, da = g_a.shape
@@ -242,6 +244,10 @@ def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
     rhs = (-g_a + red(jnp.einsum("ijac,jc->ia", EC, g_b))).reshape(-1)
     dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
+    if refine > 0:
+        from .linalg import refine_psd_solve
+        dx_a = refine_psd_solve(S, rhs, dx_a, refine,
+                                use_cholesky=use_cholesky)
     dx_a = dx_a.reshape(n_a, da)
     dx_b = jnp.einsum(
         "jbc,jc->jb", Cinv,
@@ -311,13 +317,15 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         r = grid(one, mf.as_pytree(a), mf.as_pytree(b))
         return Cost.make(jnp.vdot(r, r), n_res)
 
-    def eliminate(H: SchurSystem, Bd, Cd, g, use_cholesky=True):
+    def eliminate(H: SchurSystem, Bd, Cd, g, use_cholesky=True,
+                  refine=0):
         """Schur elimination + back-substitution of the (damped) arrow
         system [Bd, E; Eᵀ, Cd] dx = −g. (dx, ok)."""
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b = g[n_a * da:].reshape(n_b, db)
         dx_a, dx_b, ok = schur_eliminate(H.E, Bd, Cd, g_a, g_b,
-                                         use_cholesky=use_cholesky)
+                                         use_cholesky=use_cholesky,
+                                         refine=refine)
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         ok = ok & jnp.all(jnp.isfinite(dx_b))
         return dx, ok
@@ -325,6 +333,7 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
     def propose(H: SchurSystem, g, lam, opts):
         """Damped Schur elimination per solver type. (dx, ok)."""
         use_chol = opts.hessian.use_ldlt
+        refine = opts.hessian.schur_refine
         if opts.solver_type == SolverType.DOGLEG:
             # Dogleg over the elimination: GN point from the undamped
             # arrow solve, exact curvature via the block matvec, and the
@@ -332,14 +341,16 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
             # (lazily, under lax.cond — solvers/step.dogleg_core).
             from ..solvers.step import dogleg_core  # local: avoid cycle
 
-            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol)
+            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol,
+                                     refine)
             return dogleg_core(
                 g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
                 lambda le: eliminate(H, _damp_blocks(H.Ba, le),
-                                     _damp_blocks(H.C, le), g, use_chol))
+                                     _damp_blocks(H.C, le), g, use_chol,
+                                     refine))
         is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
         Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
         Cd = _damp_blocks(H.C, lam) if is_lm else H.C
-        return eliminate(H, Bd, Cd, g, use_chol)
+        return eliminate(H, Bd, Cd, g, use_chol, refine)
 
     return accumulate, evaluate, n_res, propose

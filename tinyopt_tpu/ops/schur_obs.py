@@ -1,0 +1,438 @@
+"""Sparse-observation Schur elimination (point-major padded layout).
+
+The dense-grid Schur path (ops/schur.py) stores every (camera, landmark)
+pair: E is (n_a, n_b, da, db) and the linearization grids are
+O(n_a · n_b · m) — perfect for dense visibility, but a few hundred
+cameras is its memory ceiling.  Real SfM visibility is SPARSE: each
+landmark is seen by a handful of cameras.  This module stores exactly
+the observations, in the point-major padded layout every production BA
+solver uses (Agarwal et al., "Bundle Adjustment in the Large"):
+
+  * ``obs``      — pytree, leaves (n_b, K, ...): per-landmark data for
+                   up to K observations (padded),
+  * ``cam_idx``  — (n_b, K) int32: which camera made each observation,
+  * ``mask``     — (n_b, K): 1 for real slots (padded slots contribute
+                   exactly zero residual AND Jacobian).
+
+Memory is O(n_obs) = O(n_b · K) instead of O(n_a · n_b).
+
+TPU layout discipline (the part that makes this scale): Mosaic/XLA pad
+an array's last TWO dims to the (8, 128) register tile, so any big
+tensor whose trailing dims are small blocks explodes — (n_b, K, 6, 3)
+costs (n_b, K, 8, 128) = 28x its logical bytes, and the naive
+per-point camera-pair block tensor (n_b, K, K, 6, 6) measures 13 GB at
+50k landmarks (OOM'd a 16 GB chip).  Therefore:
+
+  * persistent per-point state is stored FLAT with one big trailing dim
+    — E as (n_b, K·da·db), C as (n_b, db²) — so padding is bounded by
+    one lane tile;
+  * all expanded small-block algebra (linearize sweeps, C⁻¹, EC, the
+    (K·K, da, da) pair blocks) runs CHUNKED over points inside a
+    ``lax.fori_loop``: transients are O(chunk), independent of n_b;
+  * the reduced camera system accumulates into a flat (n_a², da²)
+    scatter target and the camera-side blocks via per-chunk
+    ``segment_sum`` — two scatters per chunk, no dynamic shapes.
+
+Same loop contract as ops/schur.py: ``accumulate`` returns a
+:class:`SchurObsSystem` as the pluggable H, ``propose`` eliminates with
+multiplicative (1+λ) block damping; LM/GN/DogLeg via the shared
+dogleg_core.  The reference concedes this regime entirely ("not fast
+for large systems yet", /root/reference/README.md:30).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import manifold as mf
+from ..cost import Cost
+from ..diff.auto import flatten_residuals
+from ..options import SolverType
+from .linalg import refine_psd_solve, solve_psd
+from .schur import _damp_blocks
+
+
+class SchurObsSystem(NamedTuple):
+    """Arrow system in sparse-observation form (pluggable H).
+
+    Per-point blocks are stored FLAT (see module docstring): ``C`` is
+    (n_b, db²) row-major, ``E`` is (n_b, K·da·db) with slot-major
+    (k, a, b) order.  ``n_a``/``da``/``db`` are recoverable from Ba; K
+    from cam_idx.
+    """
+
+    Ba: jax.Array       #: (n_a, da, da) camera diagonal blocks
+    C: jax.Array        #: (n_b, db*db) landmark diagonal blocks, flat
+    E: jax.Array        #: (n_b, K*da*db) couplings, flat
+    cam_idx: jax.Array  #: (n_b, K) int32 camera of each observation
+
+    def _dims(self):
+        n_a, da, _ = self.Ba.shape
+        n_b = self.C.shape[0]
+        K = self.cam_idx.shape[1]
+        db = int(round(math.isqrt(self.C.shape[1])))
+        return n_a, da, n_b, db, K
+
+    @property
+    def dims(self) -> int:
+        n_a, da, n_b, db, _ = self._dims()
+        return n_a * da + n_b * db
+
+    @property
+    def shape(self):
+        d = self.dims
+        return (d, d)
+
+    @property
+    def dtype(self):
+        return self.Ba.dtype
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        """H·v from the sparse blocks (one gather + one segment_sum).
+
+        Expands E per call — transient (n_b, K, da, db); used once per
+        dogleg propose, not in inner loops.
+        """
+        n_a, da, n_b, db, K = self._dims()
+        v_a = v[:n_a * da].reshape(n_a, da)
+        v_b = v[n_a * da:].reshape(n_b, db)
+        E4 = self.E.reshape(n_b, K, da, db)
+        C3 = self.C.reshape(n_b, db, db)
+        o_a = jnp.einsum("iab,ib->ia", self.Ba, v_a)
+        Evb = jnp.einsum("jkab,jb->jka", E4, v_b)         # (n_b, K, da)
+        o_a = o_a + jax.ops.segment_sum(
+            Evb.reshape(n_b * K, da), self.cam_idx.reshape(-1),
+            num_segments=n_a)
+        va_g = v_a[self.cam_idx]                          # (n_b, K, da)
+        o_b = (jnp.einsum("jab,jb->ja", C3, v_b)
+               + jnp.einsum("jkab,jka->jb", E4, va_g))
+        return jnp.concatenate([o_a.reshape(-1), o_b.reshape(-1)])
+
+    def to_dense(self) -> jax.Array:
+        """Assemble the full arrow H (testing / covariance at small n)."""
+        d = self.dims
+        eye = jnp.eye(d, dtype=self.dtype)
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(eye)
+
+
+def _damp_flat(M_flat: jax.Array, db: int, lam) -> jax.Array:
+    """_damp_blocks on (n, db²) row-major flat blocks."""
+    diag_pos = jnp.arange(db) * (db + 1)
+    diag = M_flat[:, diag_pos]
+    add = jnp.where(diag == 0, lam, diag * lam)
+    return M_flat.at[:, diag_pos].add(add)
+
+
+def obs_linearize(pair_fn: Callable, a, b, obs, cam_idx, mask,
+                  spec_a: mf.TangentSpec, spec_b: mf.TangentSpec, dtype):
+    """Masked (r, Ja, Jb) per observation slot.
+
+    Shapes: r (n_b, K, m), Ja (n_b, K, m, da), Jb (n_b, K, m, db).
+    Camera parameters are gathered per slot (ONE XLA gather of the
+    camera pytree rows); tangent sweeps run under vmap over all
+    n_b · K slots at once.  Call on CHUNKS of points at scale.
+    """
+    da, db = spec_a.dims, spec_b.dims
+
+    def pair_r(a_i, b_j, d_ij):
+        return flatten_residuals(pair_fn(a_i, b_j, d_ij)).astype(dtype)
+
+    def slot(a_k, b_j, d_k, m_k):
+        za = jnp.zeros((da,), dtype)
+
+        def r_of_da(delta_a):
+            return pair_r(mf.retract(a_k, delta_a, spec_a), b_j, d_k) * m_k
+
+        r = r_of_da(za)
+        Ja = jax.jacfwd(r_of_da)(za)                     # (m, da)
+        a_r0 = mf.retract(a_k, za, spec_a)
+
+        def r_of_db(delta_b):
+            return pair_r(a_r0, mf.retract(b_j, delta_b, spec_b),
+                          d_k) * m_k
+
+        Jb = jax.jacfwd(r_of_db)(jnp.zeros((db,), dtype))  # (m, db)
+        return r, Ja, Jb
+
+    def point(b_j, d_j, cam_j, m_j):
+        a_g = jax.tree_util.tree_map(lambda l: l[cam_j], a)  # (K, ...)
+        return jax.vmap(slot, in_axes=(0, None, 0, 0))(a_g, b_j, d_j, m_j)
+
+    return jax.vmap(point)(b, obs, cam_idx, mask)
+
+
+def _pick_chunk(n_bp: int, requested: int) -> int:
+    """Largest divisor of n_bp that is <= requested (n_bp is padded to a
+    multiple of the requested chunk at build time, so this is exact)."""
+    ch = min(requested, n_bp)
+    while n_bp % ch:
+        ch -= 1
+    return ch
+
+
+def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
+                     spec: mf.TangentSpec, chunk: int = 1024):
+    """Build (accumulate, evaluate, n_res, propose) for sparse-obs BA.
+
+    Contract mirrors ops/schur.schur_system with the point-major layout
+    documented in the module docstring; ``spec`` must be
+    ``mf.tangent_spec((a0, b0))``.  ``chunk`` bounds every expanded
+    transient to O(chunk · K² · da²); the point axis is padded to a
+    chunk multiple internally (padded points: mask 0, camera 0 — exact
+    zero contributions everywhere).
+    """
+    a0 = mf.as_pytree(a0)
+    b0 = mf.as_pytree(b0)
+    n_a = jnp.shape(jax.tree_util.tree_leaves(a0)[0])[0]
+    n_b = jnp.shape(jax.tree_util.tree_leaves(b0)[0])[0]
+    a_ex = jax.tree_util.tree_map(lambda l: l[0], a0)
+    b_ex = jax.tree_util.tree_map(lambda l: l[0], b0)
+    spec_a = mf.tangent_spec(a_ex)
+    spec_b = mf.tangent_spec(b_ex)
+    da, db = spec_a.dims, spec_b.dims
+    dtype = spec.dtype
+    cam_idx = jnp.asarray(cam_idx, jnp.int32)
+    mask = jnp.asarray(mask)
+    K = cam_idx.shape[1]
+
+    # Pad the point axis of the DATA to a chunk multiple (build-time,
+    # once).  b itself stays n_b; accumulate pads its copy per call.
+    n_bp = int(-(-n_b // min(chunk, max(n_b, 1))) * min(chunk, max(n_b, 1)))
+    pad = n_bp - n_b
+    if pad:
+        obs = jax.tree_util.tree_map(
+            lambda l: jnp.concatenate(
+                [jnp.asarray(l),
+                 jnp.zeros((pad,) + jnp.shape(l)[1:],
+                           jnp.result_type(l))]), obs)
+        cam_idx_p = jnp.concatenate(
+            [cam_idx, jnp.zeros((pad, K), jnp.int32)])
+        mask_p = jnp.concatenate([mask, jnp.zeros((pad, K), mask.dtype)])
+    else:
+        cam_idx_p, mask_p = cam_idx, mask
+    CH = _pick_chunk(n_bp, chunk)
+    n_ch = n_bp // CH
+
+    d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], obs)
+    m = int(sum(math.prod(l.shape) for l in jax.tree_util.tree_leaves(
+        jax.eval_shape(lambda a, b, d: flatten_residuals(pair_fn(a, b, d)),
+                       a_ex, b_ex, d_ex))))
+    # Observed-slot residual count (ops/schur.py semantics).
+    n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
+
+    def split(x):
+        return mf.as_pytree(x[0]), mf.as_pytree(x[1])
+
+    def _pad_b(b):
+        if not pad:
+            return b
+        return jax.tree_util.tree_map(
+            lambda l: jnp.concatenate(
+                [l, jnp.broadcast_to(l[:1], (pad,) + l.shape[1:])]), b)
+
+    def _sl(arr, c):
+        return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
+
+    def _upd(arr, val, c):
+        return jax.lax.dynamic_update_slice_in_dim(arr, val, c * CH, 0)
+
+    def accumulate(x):
+        a, b = split(x)
+        b_p = _pad_b(b)
+
+        def body(c, carry):
+            Ba, g_a, E_f, C_f, g_b, rss = carry
+            b_c = jax.tree_util.tree_map(lambda l: _sl(l, c), b_p)
+            obs_c = jax.tree_util.tree_map(lambda l: _sl(l, c), obs)
+            cam_c = _sl(cam_idx_p, c)
+            m_c = _sl(mask_p, c)
+            r, Ja, Jb = obs_linearize(pair_fn, a, b_c, obs_c, cam_c, m_c,
+                                      spec_a, spec_b, dtype)
+            Ba = Ba + jax.ops.segment_sum(
+                jnp.einsum("jkra,jkrb->jkab", Ja, Ja,
+                           preferred_element_type=dtype).reshape(
+                               CH * K, da, da),
+                cam_c.reshape(-1), num_segments=n_a)
+            g_a = g_a + jax.ops.segment_sum(
+                jnp.einsum("jkra,jkr->jka", Ja, r).reshape(CH * K, da),
+                cam_c.reshape(-1), num_segments=n_a)
+            E_f = _upd(E_f, jnp.einsum(
+                "jkra,jkrb->jkab", Ja, Jb,
+                preferred_element_type=dtype).reshape(CH, K * da * db), c)
+            C_f = _upd(C_f, jnp.einsum(
+                "jkra,jkrb->jab", Jb, Jb,
+                preferred_element_type=dtype).reshape(CH, db * db), c)
+            g_b = _upd(g_b, jnp.einsum("jkrb,jkr->jb", Jb, r), c)
+            return Ba, g_a, E_f, C_f, g_b, rss + jnp.vdot(r, r)
+
+        init = (jnp.zeros((n_a, da, da), dtype),
+                jnp.zeros((n_a, da), dtype),
+                jnp.zeros((n_bp, K * da * db), dtype),
+                jnp.zeros((n_bp, db * db), dtype),
+                jnp.zeros((n_bp, db), dtype),
+                jnp.zeros((), dtype))
+        Ba, g_a, E_f, C_f, g_b, rss = jax.lax.fori_loop(
+            0, n_ch, body, init)
+        g = jnp.concatenate([g_a.reshape(-1), g_b[:n_b].reshape(-1)])
+        cost = Cost.make(rss, n_res)
+        return SchurObsSystem(Ba, C_f[:n_b], E_f[:n_b], cam_idx), g, cost
+
+    def evaluate(x):
+        a, b = split(x)
+        b_p = _pad_b(b)
+
+        def pair_r(a_i, b_j, d_ij):
+            return flatten_residuals(pair_fn(a_i, b_j, d_ij)).astype(dtype)
+
+        def body(c, rss):
+            b_c = jax.tree_util.tree_map(lambda l: _sl(l, c), b_p)
+            obs_c = jax.tree_util.tree_map(lambda l: _sl(l, c), obs)
+            cam_c = _sl(cam_idx_p, c)
+            m_c = _sl(mask_p, c)
+
+            def point(b_j, d_j, cam_j, m_j):
+                a_g = jax.tree_util.tree_map(lambda l: l[cam_j], a)
+                return jax.vmap(
+                    lambda a_k, d_k, m_k: pair_r(a_k, b_j, d_k) * m_k)(
+                        a_g, d_j, m_j)
+
+            r = jax.vmap(point)(b_c, obs_c, cam_c, m_c)
+            return rss + jnp.vdot(r, r)
+
+        rss = jax.lax.fori_loop(0, n_ch, body, jnp.zeros((), dtype))
+        return Cost.make(rss, n_res)
+
+    def _pad_rows(arr):
+        if not pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+    def eliminate(H: SchurObsSystem, Bd, Cd_flat, g, use_cholesky=True,
+                  refine: int = 0):
+        """Chunked Schur elimination + back-substitution. (dx, ok).
+
+        Pass A accumulates the reduced system S (flat (n_a², da²)
+        scatter target) and its rhs while stashing C⁻¹; pass B solves S;
+        pass C back-substitutes the landmarks.  Every expanded tensor is
+        O(CH · K² · da²).
+        """
+        g_a = g[:n_a * da].reshape(n_a, da)
+        g_b = _pad_rows(g[n_a * da:].reshape(n_b, db))
+        E_p = _pad_rows(H.E)
+        Cd_p = _pad_rows(Cd_flat)
+        eye = jnp.eye(db, dtype=dtype)
+
+        def bodyA(c, carry):
+            S_f, rhs, Cinv_f = carry
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
+            cam_c = _sl(cam_idx_p, c)
+            # Padded points carry all-zero Cd blocks; Cholesky(0) is NaN,
+            # which would poison the scatter — substitute identity for
+            # exactly-zero blocks (their E rows are zero, contributions
+            # exact zeros either way).
+            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
+            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
+            chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
+            Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
+                (L, True), eye))(chol)
+            EC_c = jnp.einsum("jkab,jbc->jkac", E_c, Cinv_c,
+                              preferred_element_type=dtype)
+            blocks = jnp.einsum("jkac,jlbc->jklab", EC_c, E_c,
+                                preferred_element_type=dtype)
+            ids = (cam_c[:, :, None] * n_a
+                   + cam_c[:, None, :]).reshape(-1)
+            S_f = S_f.at[ids].add(blocks.reshape(CH * K * K, da * da))
+            g_b_c = _sl(g_b, c)
+            rhs = rhs.at[cam_c.reshape(-1)].add(
+                jnp.einsum("jkac,jc->jka", EC_c, g_b_c).reshape(
+                    CH * K, da))
+            Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
+            return S_f, rhs, Cinv_f
+
+        initA = (jnp.zeros((n_a * n_a, da * da), dtype),
+                 jnp.zeros((n_a, da), dtype),
+                 jnp.zeros((n_bp, db * db), dtype))
+        S_f, rhs_acc, Cinv_f = jax.lax.fori_loop(0, n_ch, bodyA, initA)
+
+        S_red = S_f.reshape(n_a, n_a, da, da)
+        idx = jnp.arange(n_a)
+        S_blocks = (-S_red).at[idx, idx].add(Bd)
+        S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
+        rhs = (-g_a + rhs_acc).reshape(-1)
+        dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
+        if refine > 0:
+            # hessian.schur_refine: f64-residual iterative refinement of
+            # the f32 reduced solve (ops/linalg.refine_psd_solve).
+            dx_a = refine_psd_solve(S, rhs, dx_a, refine,
+                                    use_cholesky=use_cholesky)
+        dx_a = dx_a.reshape(n_a, da)
+
+        def bodyC(c, dx_b_f):
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cinv_c = _sl(Cinv_f, c).reshape(CH, db, db)
+            cam_c = _sl(cam_idx_p, c)
+            dxa_g = dx_a[cam_c]                          # (CH, K, da)
+            t = -_sl(g_b, c) - jnp.einsum("jkab,jka->jb", E_c, dxa_g)
+            return _upd(dx_b_f, jnp.einsum("jbc,jc->jb", Cinv_c, t), c)
+
+        dx_b = jax.lax.fori_loop(
+            0, n_ch, bodyC, jnp.zeros((n_bp, db), dtype))[:n_b]
+        dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
+        ok = ok & jnp.all(jnp.isfinite(dx))
+        return dx, ok
+
+    def propose(H: SchurObsSystem, g, lam, opts):
+        use_chol = opts.hessian.use_ldlt
+        refine = opts.hessian.schur_refine
+        if opts.solver_type == SolverType.DOGLEG:
+            from ..solvers.step import dogleg_core  # local: avoid cycle
+
+            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine)
+            return dogleg_core(
+                g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
+                lambda le: eliminate(H, _damp_blocks(H.Ba, le),
+                                     _damp_flat(H.C, db, le), g,
+                                     use_chol, refine))
+        is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+        Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
+        Cd = _damp_flat(H.C, db, lam) if is_lm else H.C
+        return eliminate(H, Bd, Cd, g, use_chol, refine)
+
+    return accumulate, evaluate, n_res, propose
+
+
+def grid_to_obs(data, mask, K: int | None = None):
+    """Convert a dense (n_a, n_b) observation grid to the point-major
+    padded layout.  Returns ``(obs, cam_idx, slot_mask)``.
+
+    ``K`` defaults to the densest landmark's observation count.  Host-
+    side (numpy) utility — layouts are built once, outside jit.
+    """
+    import numpy as np
+
+    mask_np = np.asarray(mask)
+    n_a, n_b = mask_np.shape
+    counts = mask_np.astype(bool).sum(axis=0)
+    K = int(counts.max()) if K is None else int(K)
+    if int(counts.max()) > K:
+        raise ValueError(
+            f"K={K} < densest landmark's {int(counts.max())} observations")
+    cam_idx = np.zeros((n_b, K), np.int32)
+    slot_mask = np.zeros((n_b, K), np.asarray(mask).dtype)
+    sel = np.zeros((n_b, K), np.int64)      # flat (cam, pt) gather index
+    for j in range(n_b):
+        cams = np.nonzero(mask_np[:, j])[0]
+        cam_idx[j, :len(cams)] = cams
+        slot_mask[j, :len(cams)] = 1
+        sel[j, :len(cams)] = cams * n_b + j
+    obs = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(np.asarray(l).reshape(
+            (n_a * n_b,) + np.asarray(l).shape[2:])[sel.reshape(-1)]
+            .reshape((n_b, K) + np.asarray(l).shape[2:])), data)
+    return obs, jnp.asarray(cam_idx), jnp.asarray(slot_mask)

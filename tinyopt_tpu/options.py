@@ -137,6 +137,17 @@ class HessianOptions:
     #: tiles pay more for the convergence tail (the tile runs until its
     #: slowest instance stops) and risk exceeding VMEM.
     fused_block: int = 0
+    #: Mixed-precision iterative-refinement rounds on the Schur-family
+    #: REDUCED camera solve (schur_optimize / schur_sparse_optimize /
+    #: sharded_schur_optimize).  Each round computes the residual
+    #: r = rhs − S·dx in float64 (cheap: one matvec, even emulated on
+    #: TPU) and re-solves for the correction with the float32 factor —
+    #: error contracts by ~eps32·cond(S) per round, recovering
+    #: near-f64-quality steps from an f32 factorization.  Needs
+    #: jax_enable_x64 (silently a no-op improvement-wise without it).
+    #: Measured: a 1000-camera corridor BA stalls at 3×-noise rmse in
+    #: plain f32 and converges to noise with 2 rounds.  0 = off.
+    schur_refine: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -498,3 +498,57 @@ def schur_optimize(x0: tuple, pair_fn: Callable, data, mask,
             solve = jax.jit(solve)
         _solver_cache_put(key, solve, data_leaves)
     return solve(x0)
+
+
+def schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs, cam_idx,
+                          mask, options: Options | None = None, *,
+                          jit: bool = True):
+    """Sparse-observation bundle adjustment (point-major padded layout).
+
+    The memory-scalable form of :func:`schur_optimize` for SPARSE
+    visibility: instead of a dense (n_a, n_b) grid, pass exactly the
+    observations —
+
+      * ``obs`` — pytree, leaves (n_b, K, ...): per-landmark data for up
+        to ``K`` observations,
+      * ``cam_idx`` — (n_b, K) int32: the camera of each slot,
+      * ``mask`` — (n_b, K): 1 for real slots (padded slots contribute
+        exactly zero residual and Jacobian).
+
+    Memory is O(n_obs) instead of O(n_a · n_b) — thousands of cameras
+    where the grid path caps at hundreds.  Same Schur elimination per LM
+    iteration (batched landmark-block inverses + one reduced camera
+    solve, assembled by ``segment_sum`` scatters — ops/schur_obs.py);
+    LM/GN/DogLeg.  ``ops.schur_obs.grid_to_obs`` converts grid-form data.
+    ``Cost.num_residuals`` counts real slots only.
+    """
+    from .ops.schur_obs import schur_obs_system
+
+    options = options or Options()
+    if options.solver_type in FIRST_ORDER_TYPES:
+        raise ValueError(
+            "schur_sparse_optimize is a Gauss-Newton/LM method; use "
+            "to.optimize with a first-order solver type for gradient-only "
+            "solves")
+    if not (isinstance(x0, tuple) and len(x0) == 2):
+        raise ValueError("schur_sparse_optimize needs x0 = (a0, b0)")
+    x0 = (mf.as_pytree(x0[0]), mf.as_pytree(x0[1]))
+    cam_idx = jnp.asarray(cam_idx, jnp.int32)
+    mask = jnp.asarray(mask)
+    data_leaves = jax.tree_util.tree_leaves((obs, cam_idx, mask))
+    key = _solver_cache_key("schur_obs", pair_fn, options, jit, x0,
+                            data_leaves)
+    solve = _solver_cache_get(key)
+    if solve is None:
+        spec = mf.tangent_spec(x0)
+        acc, ev, n_res, propose = schur_obs_system(
+            pair_fn, x0[0], x0[1], obs, cam_idx, mask, spec)
+
+        def solve(x):
+            return optimize_from_acc(x, acc, ev, options, spec,
+                                     propose=propose)
+
+        if jit:
+            solve = jax.jit(solve)
+        _solver_cache_put(key, solve, data_leaves)
+    return solve(x0)

@@ -215,3 +215,135 @@ class TestShardedSchur:
         assert int(out_sh.num_iters) == int(out_ref.num_iters)
         assert float(out_sh.final_cost.cost) == pytest.approx(
             float(out_ref.final_cost.cost), rel=1e-8)
+
+
+class TestShardedSchurObs:
+    """Landmark-sharded sparse-observation Schur (parallel/schur_obs.py)
+    vs single-device schur_sparse_optimize: the same slab kernels
+    (ops/schur_obs.make_obs_kernels) composed over the mesh, so the
+    trajectory must match up to psum summation order (f64: exact)."""
+
+    def _problem(self, n_a=5, n_b=16, seed=7):
+        from tinyopt_tpu.ops.schur_obs import grid_to_obs
+
+        def pair_fn(a_i, b_j, d_ij):
+            return jnp.stack([a_i[0] + b_j[0] - d_ij,
+                              0.3 * a_i[0], 0.3 * b_j[0]])
+        rng = np.random.default_rng(seed)
+        d = jnp.asarray(rng.normal(size=(n_a, n_b)))
+        mask = jnp.asarray((rng.uniform(size=(n_a, n_b)) > 0.3)
+                           .astype(float))
+        obs, cam_idx, smask = grid_to_obs(d, mask)
+        x0 = (jnp.zeros((n_a, 1)), jnp.zeros((n_b, 1)))
+        return pair_fn, obs, cam_idx, smask, x0
+
+    @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg,
+                                        to.GaussNewton])
+    def test_matches_unsharded(self, solver):
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        pair_fn, obs, cam_idx, smask, x0 = self._problem()
+        o = to.Options(max_iters=15, solver_type=solver,
+                       max_consec_failures=0)
+        x_ref, out_ref = to.schur_sparse_optimize(x0, pair_fn, obs,
+                                                  cam_idx, smask, o)
+        x_sh, out_sh = sharded_schur_sparse_optimize(
+            x0, pair_fn, obs, cam_idx, smask, o, mesh=local_mesh("block"))
+        np.testing.assert_allclose(np.asarray(x_sh[0]),
+                                   np.asarray(x_ref[0]),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(x_sh[1]),
+                                   np.asarray(x_ref[1]),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(out_sh.num_iters) == int(out_ref.num_iters)
+        assert int(out_sh.stop_reason) == int(out_ref.stop_reason)
+        assert float(out_sh.final_cost.cost) == pytest.approx(
+            float(out_ref.final_cost.cost), rel=1e-9, abs=1e-12)
+        assert int(out_sh.final_cost.num_residuals) == int(
+            out_ref.final_cost.num_residuals)
+
+    def test_se3_corridor_matches_unsharded(self):
+        """Real manifold BA (SE3 poses + R³ landmarks) on the corridor
+        rig: sharded == single-device, f64."""
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+
+        def pair_fn(pose, point, obs):
+            return project(pose, point[None, :])[0] - obs
+
+        (obs, cam_idx, mask), x0, _ = make_ba_problem_sparse(
+            n_cams=10, n_pts=48, k_obs=4, noise=1e-4, seed=3)
+        xt = (x0["poses"], x0["points"])
+        o = to.Options(max_iters=10, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False))
+        x_ref, out_ref = to.schur_sparse_optimize(xt, pair_fn, obs,
+                                                  cam_idx, mask, o)
+        x_sh, out_sh = sharded_schur_sparse_optimize(
+            xt, pair_fn, obs, cam_idx, mask, o, mesh=local_mesh("block"))
+        np.testing.assert_allclose(np.asarray(x_sh[1]),
+                                   np.asarray(x_ref[1]),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(x_sh[0].translation),
+                                   np.asarray(x_ref[0].translation),
+                                   rtol=1e-7, atol=1e-9)
+        assert int(out_sh.num_iters) == int(out_ref.num_iters)
+        assert int(out_sh.stop_reason) == int(out_ref.stop_reason)
+
+    def test_mask_padding_matches_smaller_problem(self):
+        """The documented scaling contract: pad the landmark axis with
+        mask=0 points (cam_idx 0, zero obs) to reach divisibility —
+        padded points change nothing and stay at their initial value."""
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        pair_fn, obs, cam_idx, smask, x0 = self._problem(n_b=13)
+        o = to.Options(max_iters=15, max_consec_failures=0)
+        x_ref, out_ref = to.schur_sparse_optimize(x0, pair_fn, obs,
+                                                  cam_idx, smask, o)
+        pad = 3   # 13 -> 16, divisible by 8
+        obs_p = jnp.concatenate([obs, jnp.zeros((pad,) + obs.shape[1:],
+                                                obs.dtype)])
+        cam_p = jnp.concatenate(
+            [cam_idx, jnp.zeros((pad, cam_idx.shape[1]), cam_idx.dtype)])
+        mask_p = jnp.concatenate(
+            [smask, jnp.zeros((pad, smask.shape[1]), smask.dtype)])
+        x0_p = (x0[0], jnp.concatenate(
+            [x0[1], jnp.full((pad, 1), 0.7)]))
+        x_sh, out_sh = sharded_schur_sparse_optimize(
+            x0_p, pair_fn, obs_p, cam_p, mask_p, o,
+            mesh=local_mesh("block"))
+        np.testing.assert_allclose(np.asarray(x_sh[0]),
+                                   np.asarray(x_ref[0]),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(x_sh[1][:13]),
+                                   np.asarray(x_ref[1]),
+                                   rtol=1e-9, atol=1e-11)
+        # padded landmarks: zero gradient, zero step — stay at x0
+        np.testing.assert_array_equal(np.asarray(x_sh[1][13:]),
+                                      np.full((3, 1), 0.7))
+        assert int(out_sh.final_cost.num_residuals) == int(
+            out_ref.final_cost.num_residuals)
+
+    def test_refine_flows_through_sharded_propose(self):
+        """hessian.schur_refine reaches the sharded eliminate: refine=2
+        runs under shard_map and refine=0 matches the single-device
+        trajectory bit-compatibly (f64)."""
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        pair_fn, obs, cam_idx, smask, x0 = self._problem()
+        o2 = to.Options(max_iters=15, max_consec_failures=0,
+                        hessian=to.HessianOptions(schur_refine=2))
+        x_sh, out_sh = sharded_schur_sparse_optimize(
+            x0, pair_fn, obs, cam_idx, smask, o2,
+            mesh=local_mesh("block"))
+        assert bool(out_sh.succeeded()), int(out_sh.stop_reason)
+        x_ref, out_ref = to.schur_sparse_optimize(x0, pair_fn, obs,
+                                                  cam_idx, smask, o2)
+        np.testing.assert_allclose(np.asarray(x_sh[1]),
+                                   np.asarray(x_ref[1]),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(out_sh.num_iters) == int(out_ref.num_iters)
+
+    def test_indivisible_landmarks_raise(self):
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        pair_fn, obs, cam_idx, smask, x0 = self._problem(n_b=15)
+        with pytest.raises(ValueError, match="divisible"):
+            sharded_schur_sparse_optimize(x0, pair_fn, obs, cam_idx,
+                                          smask, mesh=local_mesh("block"))

@@ -33,6 +33,13 @@ per-point camera-pair block tensor (n_b, K, K, 6, 6) measures 13 GB at
     scatter target and the camera-side blocks via per-chunk
     ``segment_sum`` — two scatters per chunk, no dynamic shapes.
 
+The chunked per-point passes are factored as SLAB KERNELS
+(:func:`make_obs_kernels`): pure functions over any point-major slab
+whose length is a chunk multiple.  ``schur_obs_system`` composes them
+with identity reductions (one device holds all points);
+``parallel.schur_obs`` composes the same kernels over a landmark-sharded
+mesh, completing the camera-side partial sums with ``psum``.
+
 Same loop contract as ops/schur.py: ``accumulate`` returns a
 :class:`SchurObsSystem` as the pluggable H, ``propose`` eliminates with
 multiplicative (1+λ) block damping; LM/GN/DogLeg via the shared
@@ -174,65 +181,25 @@ def _pick_chunk(n_bp: int, requested: int) -> int:
     return ch
 
 
-def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
-                     spec: mf.TangentSpec, chunk: int = 1024):
-    """Build (accumulate, evaluate, n_res, propose) for sparse-obs BA.
+def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
+                     dtype, n_a: int, K: int, CH: int):
+    """Chunked slab kernels over a point-major slab (length = CH multiple).
 
-    Contract mirrors ops/schur.schur_system with the point-major layout
-    documented in the module docstring; ``spec`` must be
-    ``mf.tangent_spec((a0, b0))``.  ``chunk`` bounds every expanded
-    transient to O(chunk · K² · da²); the point axis is padded to a
-    chunk multiple internally (padded points: mask 0, camera 0 — exact
-    zero contributions everywhere).
+    Every function operates on a SLAB — the point-major padded arrays of
+    however many landmarks one device holds (all of them on one device;
+    a landmark shard under ``shard_map``).  Padded points must carry
+    mask 0 / cam_idx 0 / zero obs, which makes their every contribution
+    exactly zero; zero C blocks are substituted by identity before the
+    Cholesky so they cannot poison the scatters with NaNs.
+
+    Camera-side outputs (``Ba``/``g_a``/``rss`` of ``accumulate_slab``;
+    ``S_f``/``rhs_acc`` of ``reduce_pass``) are cross-slab PARTIALS —
+    sums over the slab's points — so multi-slab callers complete them
+    with a reduction (``psum``); landmark-side outputs are the slab's
+    own complete rows.
     """
-    a0 = mf.as_pytree(a0)
-    b0 = mf.as_pytree(b0)
-    n_a = jnp.shape(jax.tree_util.tree_leaves(a0)[0])[0]
-    n_b = jnp.shape(jax.tree_util.tree_leaves(b0)[0])[0]
-    a_ex = jax.tree_util.tree_map(lambda l: l[0], a0)
-    b_ex = jax.tree_util.tree_map(lambda l: l[0], b0)
-    spec_a = mf.tangent_spec(a_ex)
-    spec_b = mf.tangent_spec(b_ex)
     da, db = spec_a.dims, spec_b.dims
-    dtype = spec.dtype
-    cam_idx = jnp.asarray(cam_idx, jnp.int32)
-    mask = jnp.asarray(mask)
-    K = cam_idx.shape[1]
-
-    # Pad the point axis of the DATA to a chunk multiple (build-time,
-    # once).  b itself stays n_b; accumulate pads its copy per call.
-    n_bp = int(-(-n_b // min(chunk, max(n_b, 1))) * min(chunk, max(n_b, 1)))
-    pad = n_bp - n_b
-    if pad:
-        obs = jax.tree_util.tree_map(
-            lambda l: jnp.concatenate(
-                [jnp.asarray(l),
-                 jnp.zeros((pad,) + jnp.shape(l)[1:],
-                           jnp.result_type(l))]), obs)
-        cam_idx_p = jnp.concatenate(
-            [cam_idx, jnp.zeros((pad, K), jnp.int32)])
-        mask_p = jnp.concatenate([mask, jnp.zeros((pad, K), mask.dtype)])
-    else:
-        cam_idx_p, mask_p = cam_idx, mask
-    CH = _pick_chunk(n_bp, chunk)
-    n_ch = n_bp // CH
-
-    d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], obs)
-    m = int(sum(math.prod(l.shape) for l in jax.tree_util.tree_leaves(
-        jax.eval_shape(lambda a, b, d: flatten_residuals(pair_fn(a, b, d)),
-                       a_ex, b_ex, d_ex))))
-    # Observed-slot residual count (ops/schur.py semantics).
-    n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
-
-    def split(x):
-        return mf.as_pytree(x[0]), mf.as_pytree(x[1])
-
-    def _pad_b(b):
-        if not pad:
-            return b
-        return jax.tree_util.tree_map(
-            lambda l: jnp.concatenate(
-                [l, jnp.broadcast_to(l[:1], (pad,) + l.shape[1:])]), b)
+    eye = jnp.eye(db, dtype=dtype)
 
     def _sl(arr, c):
         return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
@@ -240,15 +207,16 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
     def _upd(arr, val, c):
         return jax.lax.dynamic_update_slice_in_dim(arr, val, c * CH, 0)
 
-    def accumulate(x):
-        a, b = split(x)
-        b_p = _pad_b(b)
+    def accumulate_slab(a, b_p, obs_p, cam_p, mask_p):
+        """(Ba, g_a, E_f, C_f, g_b, rss) over the slab (camera side =
+        partials)."""
+        n_p = cam_p.shape[0]
 
         def body(c, carry):
             Ba, g_a, E_f, C_f, g_b, rss = carry
             b_c = jax.tree_util.tree_map(lambda l: _sl(l, c), b_p)
-            obs_c = jax.tree_util.tree_map(lambda l: _sl(l, c), obs)
-            cam_c = _sl(cam_idx_p, c)
+            obs_c = jax.tree_util.tree_map(lambda l: _sl(l, c), obs_p)
+            cam_c = _sl(cam_p, c)
             m_c = _sl(mask_p, c)
             r, Ja, Jb = obs_linearize(pair_fn, a, b_c, obs_c, cam_c, m_c,
                                       spec_a, spec_b, dtype)
@@ -271,27 +239,23 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
 
         init = (jnp.zeros((n_a, da, da), dtype),
                 jnp.zeros((n_a, da), dtype),
-                jnp.zeros((n_bp, K * da * db), dtype),
-                jnp.zeros((n_bp, db * db), dtype),
-                jnp.zeros((n_bp, db), dtype),
+                jnp.zeros((n_p, K * da * db), dtype),
+                jnp.zeros((n_p, db * db), dtype),
+                jnp.zeros((n_p, db), dtype),
                 jnp.zeros((), dtype))
-        Ba, g_a, E_f, C_f, g_b, rss = jax.lax.fori_loop(
-            0, n_ch, body, init)
-        g = jnp.concatenate([g_a.reshape(-1), g_b[:n_b].reshape(-1)])
-        cost = Cost.make(rss, n_res)
-        return SchurObsSystem(Ba, C_f[:n_b], E_f[:n_b], cam_idx), g, cost
+        return jax.lax.fori_loop(0, n_p // CH, body, init)
 
-    def evaluate(x):
-        a, b = split(x)
-        b_p = _pad_b(b)
+    def evaluate_slab(a, b_p, obs_p, cam_p, mask_p):
+        """Σ‖r‖² over the slab (a cross-slab partial)."""
+        n_p = cam_p.shape[0]
 
         def pair_r(a_i, b_j, d_ij):
             return flatten_residuals(pair_fn(a_i, b_j, d_ij)).astype(dtype)
 
         def body(c, rss):
             b_c = jax.tree_util.tree_map(lambda l: _sl(l, c), b_p)
-            obs_c = jax.tree_util.tree_map(lambda l: _sl(l, c), obs)
-            cam_c = _sl(cam_idx_p, c)
+            obs_c = jax.tree_util.tree_map(lambda l: _sl(l, c), obs_p)
+            cam_c = _sl(cam_p, c)
             m_c = _sl(mask_p, c)
 
             def point(b_j, d_j, cam_j, m_j):
@@ -303,7 +267,164 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
             r = jax.vmap(point)(b_c, obs_c, cam_c, m_c)
             return rss + jnp.vdot(r, r)
 
-        rss = jax.lax.fori_loop(0, n_ch, body, jnp.zeros((), dtype))
+        return jax.lax.fori_loop(0, n_p // CH, body, jnp.zeros((), dtype))
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        """Pass A: (S_f, rhs_acc, Cinv_f) — the reduced-camera-system
+        partials E C⁻¹ Eᵀ (flat (n_a², da²) scatter target) and E C⁻¹ g_b,
+        stashing C⁻¹ per point.  Every expanded tensor is O(CH · K² · da²).
+        """
+        n_p = cam_p.shape[0]
+
+        def bodyA(c, carry):
+            S_f, rhs, Cinv_f = carry
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
+            cam_c = _sl(cam_p, c)
+            # Padded points carry all-zero Cd blocks; Cholesky(0) is NaN,
+            # which would poison the scatter — substitute identity for
+            # exactly-zero blocks (their E rows are zero, contributions
+            # exact zeros either way).
+            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
+            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
+            chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
+            Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
+                (L, True), eye))(chol)
+            EC_c = jnp.einsum("jkab,jbc->jkac", E_c, Cinv_c,
+                              preferred_element_type=dtype)
+            blocks = jnp.einsum("jkac,jlbc->jklab", EC_c, E_c,
+                                preferred_element_type=dtype)
+            ids = (cam_c[:, :, None] * n_a
+                   + cam_c[:, None, :]).reshape(-1)
+            S_f = S_f.at[ids].add(blocks.reshape(CH * K * K, da * da))
+            g_b_c = _sl(g_b_p, c)
+            rhs = rhs.at[cam_c.reshape(-1)].add(
+                jnp.einsum("jkac,jc->jka", EC_c, g_b_c).reshape(
+                    CH * K, da))
+            Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
+            return S_f, rhs, Cinv_f
+
+        initA = (jnp.zeros((n_a * n_a, da * da), dtype),
+                 jnp.zeros((n_a, da), dtype),
+                 jnp.zeros((n_p, db * db), dtype))
+        return jax.lax.fori_loop(0, n_p // CH, bodyA, initA)
+
+    def backsub_pass(E_p, Cinv_f, cam_p, g_b_p, dx_a):
+        """Pass C: landmark back-substitution dx_b = C⁻¹(−g_b − Eᵀ dx_a)."""
+        n_p = cam_p.shape[0]
+
+        def bodyC(c, dx_b_f):
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cinv_c = _sl(Cinv_f, c).reshape(CH, db, db)
+            cam_c = _sl(cam_p, c)
+            dxa_g = dx_a[cam_c]                          # (CH, K, da)
+            t = -_sl(g_b_p, c) - jnp.einsum("jkab,jka->jb", E_c, dxa_g)
+            return _upd(dx_b_f, jnp.einsum("jbc,jc->jb", Cinv_c, t), c)
+
+        return jax.lax.fori_loop(
+            0, n_p // CH, bodyC, jnp.zeros((n_p, db), dtype))
+
+    return accumulate_slab, evaluate_slab, reduce_pass, backsub_pass
+
+
+def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
+                     refine: int = 0):
+    """Solve the reduced camera system from the completed pass-A sums.
+
+    ``S = diag(Bd) − scatter(S_f)``, ``rhs = −g_a + rhs_acc``; ``refine``
+    = hessian.schur_refine mixed-precision rounds (ops/linalg
+    .refine_psd_solve).  Returns ``(dx_a (n_a, da), ok)``.
+    """
+    n_a, da = g_a.shape
+    S_red = S_f.reshape(n_a, n_a, da, da)
+    idx = jnp.arange(n_a)
+    S_blocks = (-S_red).at[idx, idx].add(Bd)
+    S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
+    rhs = (-g_a + rhs_acc).reshape(-1)
+    dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
+    if refine > 0:
+        # hessian.schur_refine: f64-residual iterative refinement of
+        # the f32 reduced solve (ops/linalg.refine_psd_solve).
+        dx_a = refine_psd_solve(S, rhs, dx_a, refine,
+                                use_cholesky=use_cholesky)
+    return dx_a.reshape(n_a, da), ok
+
+
+def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
+                     spec: mf.TangentSpec, chunk: int = 1024):
+    """Build (accumulate, evaluate, n_res, propose) for sparse-obs BA.
+
+    Contract mirrors ops/schur.schur_system with the point-major layout
+    documented in the module docstring; ``spec`` must be
+    ``mf.tangent_spec((a0, b0))``.  ``chunk`` bounds every expanded
+    transient to O(chunk · K² · da²); the point axis is padded to a
+    chunk multiple internally (padded points: mask 0, camera 0 — exact
+    zero contributions everywhere).
+    """
+    a0 = mf.as_pytree(a0)
+    b0 = mf.as_pytree(b0)
+    n_a = jnp.shape(jax.tree_util.tree_leaves(a0)[0])[0]
+    n_b = jnp.shape(jax.tree_util.tree_leaves(b0)[0])[0]
+    a_ex = jax.tree_util.tree_map(lambda l: l[0], a0)
+    b_ex = jax.tree_util.tree_map(lambda l: l[0], b0)
+    spec_a = mf.tangent_spec(a_ex)
+    spec_b = mf.tangent_spec(b_ex)
+    da, db = spec_a.dims, spec_b.dims
+    dtype = spec.dtype
+    cam_idx = jnp.asarray(cam_idx, jnp.int32)
+    # Mask rides as a residual multiplier — cast to the solve dtype so a
+    # float64 mask cannot silently promote an f32 solve under x64.
+    mask = jnp.asarray(mask, dtype)
+    K = cam_idx.shape[1]
+
+    # Pad the point axis of the DATA to a chunk multiple (build-time,
+    # once).  b itself stays n_b; accumulate pads its copy per call.
+    n_bp = int(-(-n_b // min(chunk, max(n_b, 1))) * min(chunk, max(n_b, 1)))
+    pad = n_bp - n_b
+    if pad:
+        obs = jax.tree_util.tree_map(
+            lambda l: jnp.concatenate(
+                [jnp.asarray(l),
+                 jnp.zeros((pad,) + jnp.shape(l)[1:],
+                           jnp.result_type(l))]), obs)
+        cam_idx_p = jnp.concatenate(
+            [cam_idx, jnp.zeros((pad, K), jnp.int32)])
+        mask_p = jnp.concatenate([mask, jnp.zeros((pad, K), mask.dtype)])
+    else:
+        cam_idx_p, mask_p = cam_idx, mask
+    CH = _pick_chunk(n_bp, chunk)
+
+    d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], obs)
+    m = int(sum(math.prod(l.shape) for l in jax.tree_util.tree_leaves(
+        jax.eval_shape(lambda a, b, d: flatten_residuals(pair_fn(a, b, d)),
+                       a_ex, b_ex, d_ex))))
+    # Observed-slot residual count (ops/schur.py semantics).
+    n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
+
+    acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
+        pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
+
+    def split(x):
+        return mf.as_pytree(x[0]), mf.as_pytree(x[1])
+
+    def _pad_b(b):
+        if not pad:
+            return b
+        return jax.tree_util.tree_map(
+            lambda l: jnp.concatenate(
+                [l, jnp.broadcast_to(l[:1], (pad,) + l.shape[1:])]), b)
+
+    def accumulate(x):
+        a, b = split(x)
+        Ba, g_a, E_f, C_f, g_b, rss = acc_slab(
+            a, _pad_b(b), obs, cam_idx_p, mask_p)
+        g = jnp.concatenate([g_a.reshape(-1), g_b[:n_b].reshape(-1)])
+        cost = Cost.make(rss, n_res)
+        return SchurObsSystem(Ba, C_f[:n_b], E_f[:n_b], cam_idx), g, cost
+
+    def evaluate(x):
+        a, b = split(x)
+        rss = eval_slab(a, _pad_b(b), obs, cam_idx_p, mask_p)
         return Cost.make(rss, n_res)
 
     def _pad_rows(arr):
@@ -325,64 +446,11 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         g_b = _pad_rows(g[n_a * da:].reshape(n_b, db))
         E_p = _pad_rows(H.E)
         Cd_p = _pad_rows(Cd_flat)
-        eye = jnp.eye(db, dtype=dtype)
 
-        def bodyA(c, carry):
-            S_f, rhs, Cinv_f = carry
-            E_c = _sl(E_p, c).reshape(CH, K, da, db)
-            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
-            cam_c = _sl(cam_idx_p, c)
-            # Padded points carry all-zero Cd blocks; Cholesky(0) is NaN,
-            # which would poison the scatter — substitute identity for
-            # exactly-zero blocks (their E rows are zero, contributions
-            # exact zeros either way).
-            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
-            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
-            chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
-            Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
-                (L, True), eye))(chol)
-            EC_c = jnp.einsum("jkab,jbc->jkac", E_c, Cinv_c,
-                              preferred_element_type=dtype)
-            blocks = jnp.einsum("jkac,jlbc->jklab", EC_c, E_c,
-                                preferred_element_type=dtype)
-            ids = (cam_c[:, :, None] * n_a
-                   + cam_c[:, None, :]).reshape(-1)
-            S_f = S_f.at[ids].add(blocks.reshape(CH * K * K, da * da))
-            g_b_c = _sl(g_b, c)
-            rhs = rhs.at[cam_c.reshape(-1)].add(
-                jnp.einsum("jkac,jc->jka", EC_c, g_b_c).reshape(
-                    CH * K, da))
-            Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
-            return S_f, rhs, Cinv_f
-
-        initA = (jnp.zeros((n_a * n_a, da * da), dtype),
-                 jnp.zeros((n_a, da), dtype),
-                 jnp.zeros((n_bp, db * db), dtype))
-        S_f, rhs_acc, Cinv_f = jax.lax.fori_loop(0, n_ch, bodyA, initA)
-
-        S_red = S_f.reshape(n_a, n_a, da, da)
-        idx = jnp.arange(n_a)
-        S_blocks = (-S_red).at[idx, idx].add(Bd)
-        S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
-        rhs = (-g_a + rhs_acc).reshape(-1)
-        dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
-        if refine > 0:
-            # hessian.schur_refine: f64-residual iterative refinement of
-            # the f32 reduced solve (ops/linalg.refine_psd_solve).
-            dx_a = refine_psd_solve(S, rhs, dx_a, refine,
-                                    use_cholesky=use_cholesky)
-        dx_a = dx_a.reshape(n_a, da)
-
-        def bodyC(c, dx_b_f):
-            E_c = _sl(E_p, c).reshape(CH, K, da, db)
-            Cinv_c = _sl(Cinv_f, c).reshape(CH, db, db)
-            cam_c = _sl(cam_idx_p, c)
-            dxa_g = dx_a[cam_c]                          # (CH, K, da)
-            t = -_sl(g_b, c) - jnp.einsum("jkab,jka->jb", E_c, dxa_g)
-            return _upd(dx_b_f, jnp.einsum("jbc,jc->jb", Cinv_c, t), c)
-
-        dx_b = jax.lax.fori_loop(
-            0, n_ch, bodyC, jnp.zeros((n_bp, db), dtype))[:n_b]
+        S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_idx_p, g_b)
+        dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a,
+                                    use_cholesky, refine)
+        dx_b = backsub_pass(E_p, Cinv_f, cam_idx_p, g_b, dx_a)[:n_b]
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         ok = ok & jnp.all(jnp.isfinite(dx))
         return dx, ok

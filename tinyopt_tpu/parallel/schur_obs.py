@@ -1,0 +1,321 @@
+"""Mesh-sharded sparse-observation Schur bundle adjustment.
+
+Composes the two scale stories of this framework: the memory-scalable
+point-major observation layout (ops/schur_obs.py — O(n_obs) state, the
+"Bundle Adjustment in the Large" layout) sharded over a device mesh on
+the LANDMARK axis (parallel/schur.py's decomposition).  Where the
+dense-grid sharded path carries O(n_a · n_b) per mesh, this one carries
+O(n_obs) split across devices — the regime that justifies a mesh in the
+first place (a 1000-cam × 50k-landmark grid E is ≈3.6 TB; its 400k
+observations are ~80 MB/device on 8 devices).
+
+Decomposition (identical algebra to the single-device path, so the
+trajectory matches up to psum summation order):
+
+* each device holds a contiguous slab of landmarks — its rows of
+  obs/cam_idx/mask and of the C/E/g_b state; the chunked slab kernels
+  (ops/schur_obs.make_obs_kernels) run unchanged on the local slab;
+* camera-side partials (Ba, g_a, rss) and the reduced-camera-system
+  partials (the flat (n_a², da²) E C⁻¹ Eᵀ scatter target and E C⁻¹ g_b)
+  are completed with ONE ``psum`` each over the mesh axis (ICI) — the
+  only cross-landmark coupling the algebra has;
+* the (n_a·da)² reduced solve runs replicated (tiny next to the
+  landmark work; ``hessian.schur_refine`` applies there), and the local
+  landmark back-substitutions are ``all_gather``-ed so the loop carry
+  (x, g, dx) stays fully replicated — accept/reject control flow never
+  diverges across the mesh.
+
+No reference counterpart: the reference is single-threaded and concedes
+large systems ("not fast for large systems yet",
+/root/reference/README.md:30).  Scaling contract: n_b must be divisible
+by the mesh axis size — pad with mask=0 points (cam_idx 0, zero obs):
+padded points contribute exactly zero residual AND Jacobian.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import manifold as mf
+from ..cost import Cost
+from ..diff.auto import flatten_residuals
+from ..optimizers.loop import optimize_from_acc
+from ..options import Options, SolverType
+from ..ops.schur import _damp_blocks
+from ..ops.schur_obs import (SchurObsSystem, _damp_flat, _pick_chunk,
+                             assemble_reduced, make_obs_kernels)
+from .sharded import _shard_map
+
+
+def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
+                                  cam_idx, mask, mesh: Mesh, axis: str,
+                                  spec: mf.TangentSpec,
+                                  chunk: int = 1024):
+    """Build landmark-sharded (accumulate, evaluate, n_res, make_propose).
+
+    Same contract as ops/schur_obs.schur_obs_system; ``obs``/``cam_idx``/
+    ``mask`` leaves are (n_b, K, ...) point-major arrays sharded (or
+    shardable) on the leading landmark axis.
+    """
+    a0 = mf.as_pytree(a0)
+    b0 = mf.as_pytree(b0)
+    n_a = jnp.shape(jax.tree_util.tree_leaves(a0)[0])[0]
+    n_b = jnp.shape(jax.tree_util.tree_leaves(b0)[0])[0]
+    a_ex = jax.tree_util.tree_map(lambda l: l[0], a0)
+    b_ex = jax.tree_util.tree_map(lambda l: l[0], b0)
+    spec_a = mf.tangent_spec(a_ex)
+    spec_b = mf.tangent_spec(b_ex)
+    da, db = spec_a.dims, spec_b.dims
+    dtype = spec.dtype
+    # Residual-multiplier mask follows the solve dtype (a float64 mask
+    # must not promote an f32 solve); sharding is preserved by the cast.
+    if jnp.result_type(mask) != dtype:
+        mask = jnp.asarray(mask).astype(dtype)
+    K = jnp.shape(cam_idx)[1]
+
+    axis_size = mesh.shape[axis]
+    if n_b % axis_size != 0:
+        raise ValueError(
+            f"n_b={n_b} not divisible by mesh axis '{axis}'={axis_size}; "
+            "pad the landmark axis with mask=0 points (padded points "
+            "contribute zero residual and zero Jacobian)")
+    nb_loc = n_b // axis_size
+
+    # Per-device slab padding to a chunk multiple (traced, zero-filled —
+    # exactly-zero contributions, like the single-device build padding).
+    step = min(chunk, max(nb_loc, 1))
+    n_lp = int(-(-nb_loc // step) * step)
+    pad = n_lp - nb_loc
+    CH = _pick_chunk(n_lp, chunk)
+
+    d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], obs)
+    m = int(sum(math.prod(l.shape) for l in jax.tree_util.tree_leaves(
+        jax.eval_shape(lambda a, b, d: flatten_residuals(pair_fn(a, b, d)),
+                       a_ex, b_ex, d_ex))))
+    # Observed-slot residual count, from the global mask BEFORE sharding.
+    n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
+
+    acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
+        pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
+
+    x_spec = jax.tree_util.tree_map(lambda _: P(), (a0, b0))
+    obs_spec = jax.tree_util.tree_map(lambda _: P(axis), obs)
+    # SchurObsSystem leaves: Ba replicated; C/E/cam_idx landmark-sharded.
+    H_spec = SchurObsSystem(Ba=P(), C=P(axis), E=P(axis), cam_idx=P(axis))
+
+    def _local_b(b):
+        """This device's landmark rows of the replicated b pytree."""
+        j = jax.lax.axis_index(axis)
+        return jax.tree_util.tree_map(
+            lambda l: jax.lax.dynamic_slice_in_dim(l, j * nb_loc, nb_loc, 0),
+            b)
+
+    def _local_gb(g):
+        g_b = g[n_a * da:].reshape(n_b, db)
+        j = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(g_b, j * nb_loc, nb_loc, 0)
+
+    def _gather_b(v_loc):
+        """(nb_loc, k) local rows -> (n_b, k) replicated."""
+        return jax.lax.all_gather(v_loc, axis, axis=0, tiled=True)
+
+    def _pad_rows(arr):
+        if not pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+    def _pad_b_rows(b):
+        if not pad:
+            return b
+        # Broadcast the first row (manifold leaves cannot be zero-padded:
+        # a zero quaternion breaks retraction; mask 0 zeroes the math).
+        return jax.tree_util.tree_map(
+            lambda l: jnp.concatenate(
+                [l, jnp.broadcast_to(l[:1], (pad,) + l.shape[1:])]), b)
+
+    @partial(_shard_map, mesh=mesh,
+             in_specs=(x_spec, obs_spec, P(axis), P(axis)),
+             out_specs=(H_spec, P(), P()))
+    def _accumulate_sm(x, obs_l, cam_l, mask_l):
+        a = mf.as_pytree(x[0])
+        b_loc = _local_b(mf.as_pytree(x[1]))
+        Ba_p, ga_p, E_f, C_f, g_b, rss_p = acc_slab(
+            a, _pad_b_rows(b_loc),
+            jax.tree_util.tree_map(_pad_rows, obs_l),
+            _pad_rows(cam_l), _pad_rows(mask_l))
+        Ba = jax.lax.psum(Ba_p, axis)
+        g_a = jax.lax.psum(ga_p, axis)
+        rss = jax.lax.psum(rss_p, axis)
+        g = jnp.concatenate(
+            [g_a.reshape(-1), _gather_b(g_b[:nb_loc]).reshape(-1)])
+        return SchurObsSystem(Ba, C_f[:nb_loc], E_f[:nb_loc], cam_l), g, rss
+
+    @partial(_shard_map, mesh=mesh,
+             in_specs=(x_spec, obs_spec, P(axis), P(axis)), out_specs=P())
+    def _evaluate_sm(x, obs_l, cam_l, mask_l):
+        a = mf.as_pytree(x[0])
+        b_loc = _local_b(mf.as_pytree(x[1]))
+        rss = eval_slab(a, _pad_b_rows(b_loc),
+                        jax.tree_util.tree_map(_pad_rows, obs_l),
+                        _pad_rows(cam_l), _pad_rows(mask_l))
+        return jax.lax.psum(rss, axis)
+
+    def _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol, refine=0):
+        """Sharded elimination: (dx replicated, ok replicated)."""
+        g_a = g[:n_a * da].reshape(n_a, da)
+        g_b_p = _pad_rows(_local_gb(g))
+        E_p = _pad_rows(E_l)
+        Cd_p = _pad_rows(Cd_l)
+        cam_p = _pad_rows(cam_l)
+        S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_p, g_b_p)
+        # The ONLY cross-landmark sums in the algebra: complete them once.
+        S_f = jax.lax.psum(S_f, axis)
+        rhs_acc = jax.lax.psum(rhs_acc, axis)
+        dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a, use_chol,
+                                    refine)
+        ok = ok & jnp.all(jnp.isfinite(dx_a))
+        dx_b_l = backsub_pass(E_p, Cinv_f, cam_p, g_b_p, dx_a)[:nb_loc]
+        bad_b = jax.lax.psum(
+            jnp.any(~jnp.isfinite(dx_b_l)).astype(jnp.int32), axis)
+        ok = ok & (bad_b == 0)
+        dx = jnp.concatenate(
+            [dx_a.reshape(-1), _gather_b(dx_b_l).reshape(-1)])
+        return dx, ok
+
+    def _ghg_local(H: SchurObsSystem, g):
+        """Replicated gᵀHg from the local slab (expands the local E —
+        transient O(nb_loc · K · da · db), once per dogleg propose)."""
+        v_a = g[:n_a * da].reshape(n_a, da)
+        v_b_l = _local_gb(g)
+        E4 = H.E.reshape(nb_loc, K, da, db)
+        C3 = H.C.reshape(nb_loc, db, db)
+        t_a = jnp.vdot(v_a, jnp.einsum("iab,ib->ia", H.Ba, v_a))
+        va_g = v_a[H.cam_idx]                             # (nb_loc, K, da)
+        Evb = jnp.einsum("jkab,jb->jka", E4, v_b_l)
+        t_cross = 2.0 * jnp.vdot(va_g, Evb)
+        t_b = jnp.vdot(v_b_l, jnp.einsum("jab,jb->ja", C3, v_b_l))
+        return t_a + jax.lax.psum(t_cross + t_b, axis)
+
+    def make_propose(opts: Options):
+        use_chol = opts.hessian.use_ldlt
+        refine = opts.hessian.schur_refine
+
+        @partial(_shard_map, mesh=mesh,
+                 in_specs=(H_spec, P(), P()), out_specs=(P(), P()))
+        def _propose_sm(H, g, lam):
+            E_l, cam_l = H.E, H.cam_idx
+            if opts.solver_type == SolverType.DOGLEG:
+                from ..solvers.step import dogleg_core
+                dx_gn, ok_gn = _eliminate_local(E_l, cam_l, H.Ba, H.C, g,
+                                                use_chol, refine)
+                return dogleg_core(
+                    g, lam, dx_gn, ok_gn, _ghg_local(H, g),
+                    lambda le: _eliminate_local(
+                        E_l, cam_l, _damp_blocks(H.Ba, le),
+                        _damp_flat(H.C, db, le), g, use_chol, refine))
+            is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+            Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
+            Cd_l = _damp_flat(H.C, db, lam) if is_lm else H.C
+            return _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol,
+                                    refine)
+
+        def propose(H, g, lam, opts_inner):
+            return _propose_sm(H, g, lam)
+
+        return propose
+
+    def accumulate(x, obs=obs, cam_idx=cam_idx, mask=mask):
+        H, g, rss = _accumulate_sm(x, obs, cam_idx, mask)
+        return H, g, Cost.make(rss, n_res)
+
+    def evaluate(x, obs=obs, cam_idx=cam_idx, mask=mask):
+        return Cost.make(_evaluate_sm(x, obs, cam_idx, mask), n_res)
+
+    return accumulate, evaluate, n_res, make_propose
+
+
+def sharded_schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs,
+                                  cam_idx, mask,
+                                  options: Options | None = None, *,
+                                  mesh: Mesh | None = None,
+                                  axis: str = "block",
+                                  chunk: int = 1024, jit: bool = True):
+    """Landmark-sharded sparse-observation BA over the mesh.
+
+    Drop-in for :func:`tinyopt_tpu.sparse.schur_sparse_optimize` at
+    multi-device scale — same point-major obs/cam_idx/mask contract,
+    same Output semantics, same trajectory up to psum summation order.
+    ``obs``/``cam_idx``/``mask`` are placed with
+    ``NamedSharding(mesh, P(axis))`` on the landmark axis unless already
+    global.  Returns ``(x_opt, Output)``.
+    """
+    options = options or Options()
+    if mesh is None:
+        from .mesh import local_mesh
+        mesh = local_mesh(axis)
+    if not (isinstance(x0, tuple) and len(x0) == 2):
+        raise ValueError(
+            "sharded_schur_sparse_optimize needs x0 = (a0, b0)")
+    x0 = (mf.as_pytree(x0[0]), mf.as_pytree(x0[1]))
+    cam_idx = jnp.asarray(cam_idx, jnp.int32)
+    spec = mf.tangent_spec(x0)
+    # Residual-multiplier mask follows the solve dtype (ops/schur_obs.py).
+    mask = jnp.asarray(mask, spec.dtype)
+
+    # Check divisibility BEFORE device_put (whose sharding error is
+    # opaque); same message as make_sharded_schur_obs_system.
+    n_b = jnp.shape(jax.tree_util.tree_leaves(x0[1])[0])[0]
+    if n_b % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"n_b={n_b} not divisible by mesh axis "
+            f"'{axis}'={mesh.shape[axis]}; pad the landmark axis with "
+            "mask=0 points (padded points contribute zero residual and "
+            "zero Jacobian)")
+
+    from ..sparse import (_solver_cache_get, _solver_cache_key,
+                          _solver_cache_put)
+    orig_leaves = jax.tree_util.tree_leaves((obs, cam_idx, mask))
+    key = _solver_cache_key("sharded_schur_obs", pair_fn, options, jit,
+                            x0, orig_leaves, extra=(mesh, axis, chunk))
+    run = _solver_cache_get(key)
+    if run is None:
+        sharding = NamedSharding(mesh, P(axis))
+        already_global = any(
+            getattr(l, "sharding", None) is not None
+            and not getattr(l, "is_fully_addressable", True)
+            for l in jax.tree_util.tree_leaves((obs, cam_idx, mask)))
+        if not already_global:
+            obs = jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), sharding), obs)
+            cam_idx = jax.device_put(cam_idx, sharding)
+            mask = jax.device_put(mask, sharding)
+
+        acc, ev, n_res, make_propose = make_sharded_schur_obs_system(
+            pair_fn, x0[0], x0[1], obs, cam_idx, mask, mesh, axis, spec,
+            chunk)
+        propose = make_propose(options)
+
+        # obs/cam_idx/mask ride as jit ARGUMENTS (multi-process global
+        # arrays cannot be closed over — parallel/sharded.py).
+        def solve(x, o, ci, mk):
+            return optimize_from_acc(
+                x, lambda xv: acc(xv, o, ci, mk),
+                lambda xv: ev(xv, o, ci, mk), options, spec,
+                propose=propose)
+
+        if jit:
+            solve = jax.jit(solve)
+        obs_g, cam_g, mask_g = obs, cam_idx, mask
+
+        def run(x):
+            return solve(x, obs_g, cam_g, mask_g)
+
+        _solver_cache_put(key, run, orig_leaves)
+    return run(x0)

@@ -165,6 +165,42 @@ def as_pytree(x):
     return jax.tree_util.tree_map(conv, x, is_leaf=_is_manifold_leaf)
 
 
+def element_perm(x_batched, n: int) -> np.ndarray | None:
+    """Index map from the ELEMENT-MAJOR flat tangent of a leading-axis
+    batched pytree (element 0's full tangent, then element 1's, …) to
+    the global leaf-major layout of ``tangent_spec(x_batched)``.
+
+    Returns ``em2gl`` with ``t_global = t_elem_major[em2gl]`` — or
+    ``None`` when the two layouts coincide (single-leaf pytrees: a
+    batched SE3 array, a plain (n, d) array — the common case).
+
+    Why: bipartite (Schur) systems do their algebra element-major (each
+    camera's tangent block contiguous), while the loop retraction uses
+    the leaf-major global layout; with a multi-leaf per-element pytree
+    (e.g. BAL cameras {"pose": SE3, "intr": (3,)}) the two differ, and
+    the Schur builders adapt at their boundary with this permutation.
+    """
+    leaves, _ = _leaves(x_batched)
+    if len(leaves) <= 1:
+        return None
+    d_tot = [_leaf_dims(l) for l in leaves]
+    d_el = [d // n for d in d_tot]
+    if any(d != de * n for d, de in zip(d_tot, d_el)):
+        raise ValueError(
+            f"batched pytree leaf tangent dims {d_tot} not divisible by "
+            f"the batch size {n}")
+    da = sum(d_el)
+    goff = np.cumsum([0] + [n * de for de in d_el])[:-1]
+    eoff = np.cumsum([0] + d_el[:-1])
+    em2gl = np.empty(n * da, np.int64)
+    i = np.arange(n)[:, None]
+    for l, de in enumerate(d_el):
+        c = np.arange(de)[None, :]
+        em2gl[(goff[l] + i * de + c).reshape(-1)] = \
+            (i * da + eoff[l] + c).reshape(-1)
+    return em2gl
+
+
 def flatten_values(x) -> jax.Array:
     """Flatten the *values* (not tangents) of a pytree into one vector."""
     arrs = [jnp.ravel(jnp.asarray(a)) for a in jax.tree_util.tree_leaves(x)]

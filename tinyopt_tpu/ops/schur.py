@@ -50,12 +50,31 @@ from ..options import SolverType
 from .linalg import inv_cov, solve_psd
 
 
+
+def _esum(spec, *ops, **kw):
+    """einsum pinned to HIGHEST multiply precision (see
+    ops/schur_obs._esum: TPU DEFAULT truncates f32 multiplies to bf16,
+    corrupting the assembled blocks; the assembly contractions are
+    bandwidth-bound so the exact multiply is ~free)."""
+    kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.einsum(spec, *ops, **kw)
+
 class SchurSystem(NamedTuple):
-    """Arrow-shaped normal equations (the pluggable H of the loop)."""
+    """Arrow-shaped normal equations (the pluggable H of the loop).
+
+    All public vector interfaces (``matvec``, ``to_dense``, ``inv`` and
+    the g/dx of the owning system's accumulate/propose) use the LOOP'S
+    global leaf-major tangent layout; the internal block algebra is
+    element-major.  ``em2gl``/``gl2em`` (None for single-leaf element
+    pytrees, where the layouts coincide) adapt between the two — see
+    :func:`tinyopt_tpu.manifold.element_perm`.
+    """
 
     Ba: jax.Array   #: (n_a, da, da) A-side diagonal blocks
     C: jax.Array    #: (n_b, db, db) B-side diagonal blocks
     E: jax.Array    #: (n_a, n_b, da, db) coupling blocks
+    em2gl: Any = None  #: element-major → global layout index (or None)
+    gl2em: Any = None  #: global → element-major layout index (or None)
 
     @property
     def dims(self) -> int:
@@ -72,8 +91,15 @@ class SchurSystem(NamedTuple):
     def dtype(self):
         return self.Ba.dtype
 
+    def _to_gl(self, v: jax.Array) -> jax.Array:
+        return v if self.em2gl is None else v[self.em2gl]
+
+    def _to_em(self, v: jax.Array) -> jax.Array:
+        return v if self.gl2em is None else v[self.gl2em]
+
     def to_dense(self) -> jax.Array:
-        """Assemble the full arrow-shaped H (for covariance / testing)."""
+        """Assemble the full arrow-shaped H (for covariance / testing),
+        in the loop's global tangent layout."""
         n_a, da, _ = self.Ba.shape
         n_b, db, _ = self.C.shape
         ia, ib = jnp.arange(n_a), jnp.arange(n_b)
@@ -82,19 +108,25 @@ class SchurSystem(NamedTuple):
         Cf = (jnp.zeros((n_b, db, n_b, db), self.dtype)
               .at[ib, :, ib, :].set(self.C).reshape(n_b * db, n_b * db))
         Ef = self.E.transpose(0, 2, 1, 3).reshape(n_a * da, n_b * db)
-        return jnp.block([[A, Ef], [Ef.T, Cf]])
+        H = jnp.block([[A, Ef], [Ef.T, Cf]])
+        if self.em2gl is not None:
+            H = H[self.em2gl][:, self.em2gl]
+        return H
 
     def matvec(self, v: jax.Array) -> jax.Array:
-        """H·v without assembling H (arrow-block products)."""
+        """H·v without assembling H (arrow-block products); ``v`` and the
+        result are in the loop's global tangent layout."""
         n_a, da, _ = self.Ba.shape
         n_b, db, _ = self.C.shape
+        v = self._to_em(v)
         v_a = v[:n_a * da].reshape(n_a, da)
         v_b = v[n_a * da:].reshape(n_b, db)
-        o_a = (jnp.einsum("iab,ib->ia", self.Ba, v_a)
-               + jnp.einsum("ijab,jb->ia", self.E, v_b))
-        o_b = (jnp.einsum("jab,jb->ja", self.C, v_b)
-               + jnp.einsum("ijab,ia->jb", self.E, v_a))
-        return jnp.concatenate([o_a.reshape(-1), o_b.reshape(-1)])
+        o_a = (_esum("iab,ib->ia", self.Ba, v_a)
+               + _esum("ijab,jb->ia", self.E, v_b))
+        o_b = (_esum("jab,jb->ja", self.C, v_b)
+               + _esum("ijab,ia->jb", self.E, v_a))
+        return self._to_gl(
+            jnp.concatenate([o_a.reshape(-1), o_b.reshape(-1)]))
 
     def inv(self) -> "_SchurCov":
         """Posterior covariance H⁻¹ by block inversion (Schur complement):
@@ -106,9 +138,9 @@ class SchurSystem(NamedTuple):
         n_b, db, _ = self.C.shape
         dtype = self.dtype
         Cinv = jnp.linalg.inv(self.C)                     # (n_b, db, db)
-        EC = jnp.einsum("ijab,jbc->ijac", self.E, Cinv,
+        EC = _esum("ijab,jbc->ijac", self.E, Cinv,
                         preferred_element_type=dtype)
-        S_red = jnp.einsum("ijac,kjdc->ikad", EC, self.E,
+        S_red = _esum("ijac,kjdc->ikad", EC, self.E,
                            preferred_element_type=dtype)
         ia = jnp.arange(n_a)
         S = ((-S_red).at[ia, ia].add(self.Ba)
@@ -120,7 +152,10 @@ class SchurSystem(NamedTuple):
         Cinv_f = (jnp.zeros((n_b, db, n_b, db), dtype)
                   .at[ib, :, ib, :].set(Cinv).reshape(n_b * db, n_b * db))
         cov_bb = Cinv_f + ECf.T @ Sinv @ ECf
-        return _SchurCov(jnp.block([[Sinv, cov_ab], [cov_ab.T, cov_bb]]))
+        cov = jnp.block([[Sinv, cov_ab], [cov_ab.T, cov_bb]])
+        if self.em2gl is not None:
+            cov = cov[self.em2gl][:, self.em2gl]
+        return _SchurCov(cov)
 
 
 class _SchurCov(NamedTuple):
@@ -131,6 +166,25 @@ class _SchurCov(NamedTuple):
 
     def to_dense(self) -> jax.Array:
         return self.dense
+
+
+def bipartite_perms(a0, b0, n_a: int, n_b: int, da: int, db: int):
+    """Full-tangent (em2gl, gl2em) index arrays for a bipartite system.
+
+    Element-major layout = [cam 0's da dims, cam 1's, …, landmark 0's db
+    dims, …]; global layout = ``mf.tangent_spec((a0, b0))``'s leaf-major
+    concatenation.  Returns ``(None, None)`` when they coincide (both
+    sides single-leaf — the common case, zero overhead)."""
+    import numpy as np
+
+    p_a = mf.element_perm(a0, n_a)
+    p_b = mf.element_perm(b0, n_b)
+    if p_a is None and p_b is None:
+        return None, None
+    ia = p_a if p_a is not None else np.arange(n_a * da)
+    ib = p_b if p_b is not None else np.arange(n_b * db)
+    em2gl = np.concatenate([ia, n_a * da + ib])
+    return jnp.asarray(em2gl), jnp.asarray(np.argsort(em2gl))
 
 
 def _damp_blocks(M: jax.Array, lam) -> jax.Array:
@@ -200,14 +254,14 @@ def blocks_from(r, Ja, Jb, dtype):
     over landmarks — psum to complete) while ``C``/``E``/``g_b`` are the
     shard's own complete blocks.
     """
-    Ba = jnp.einsum("ijra,ijrb->iab", Ja, Ja,
+    Ba = _esum("ijra,ijrb->iab", Ja, Ja,
                     preferred_element_type=dtype)
-    C = jnp.einsum("ijra,ijrb->jab", Jb, Jb,
+    C = _esum("ijra,ijrb->jab", Jb, Jb,
                    preferred_element_type=dtype)
-    E = jnp.einsum("ijra,ijrb->ijab", Ja, Jb,
+    E = _esum("ijra,ijrb->ijab", Ja, Jb,
                    preferred_element_type=dtype)
-    g_a = jnp.einsum("ijra,ijr->ia", Ja, r)
-    g_b = jnp.einsum("ijrb,ijr->jb", Jb, r)
+    g_a = _esum("ijra,ijr->ia", Ja, r)
+    g_b = _esum("ijrb,ijr->jb", Jb, r)
     return Ba, C, E, g_a, g_b, jnp.vdot(r, r)
 
 
@@ -229,29 +283,33 @@ def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
 
     # Batched inverse of the damped B-side blocks (db x db, PSD).
     # Cholesky-based: a non-PSD block yields NaNs -> ok False -> the
-    # loop's λ-escalation (optimizer.h:356-399 route).
-    chol = jax.vmap(jnp.linalg.cholesky)(Cd)
-    eye = jnp.broadcast_to(jnp.eye(db, dtype=g_a.dtype), Cd.shape)
-    Cinv = jax.vmap(
-        lambda L, I: jax.scipy.linalg.cho_solve((L, True), I))(chol, eye)
+    # loop's λ-escalation (optimizer.h:356-399 route).  Exact multiplies:
+    # TPU DEFAULT bf16-truncates the cho_solve dot_generals, poisoning
+    # everything downstream of C⁻¹ (ops/schur_obs._esum).
+    with jax.default_matmul_precision("highest"):
+        chol = jax.vmap(jnp.linalg.cholesky)(Cd)
+        eye = jnp.broadcast_to(jnp.eye(db, dtype=g_a.dtype), Cd.shape)
+        Cinv = jax.vmap(
+            lambda L, I: jax.scipy.linalg.cho_solve((L, True), I))(chol,
+                                                                   eye)
 
-    EC = jnp.einsum("ijab,jbc->ijac", E, Cinv,
+    EC = _esum("ijab,jbc->ijac", E, Cinv,
                     preferred_element_type=g_a.dtype)
-    S_red = red(jnp.einsum("ijac,kjdc->ikad", EC, E,
+    S_red = red(_esum("ijac,kjdc->ikad", EC, E,
                            preferred_element_type=g_a.dtype))
     idx = jnp.arange(n_a)
     S_blocks = (-S_red).at[idx, idx].add(Bd)
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
-    rhs = (-g_a + red(jnp.einsum("ijac,jc->ia", EC, g_b))).reshape(-1)
+    rhs = (-g_a + red(_esum("ijac,jc->ia", EC, g_b))).reshape(-1)
     dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
     if refine > 0:
         from .linalg import refine_psd_solve
         dx_a = refine_psd_solve(S, rhs, dx_a, refine,
                                 use_cholesky=use_cholesky)
     dx_a = dx_a.reshape(n_a, da)
-    dx_b = jnp.einsum(
+    dx_b = _esum(
         "jbc,jc->jb", Cinv,
-        -g_b - jnp.einsum("ijab,ia->jb", E, dx_a))
+        -g_b - _esum("ijab,ia->jb", E, dx_a))
     ok = ok & jnp.all(jnp.isfinite(dx_a))
     return dx_a, dx_b, ok
 
@@ -299,6 +357,9 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         over_b = jax.vmap(f, in_axes=(None, 0, 0, 0))
         return jax.vmap(over_b, in_axes=(0, None, 0, 0))(a, b, data, mask)
 
+    em2gl, gl2em = bipartite_perms(mf.as_pytree(a0), mf.as_pytree(b0),
+                                   n_a, n_b, da, db)
+
     def accumulate(x):
         a, b = split(x)
         r, Ja, Jb = linearize_grid(pair_fn, mf.as_pytree(a),
@@ -306,7 +367,9 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
                                    spec_a, spec_b, dtype)
         Ba, C, E, g_a, g_b, rss = blocks_from(r, Ja, Jb, dtype)
         g = jnp.concatenate([g_a.reshape(-1), g_b.reshape(-1)])
-        return SchurSystem(Ba, C, E), g, Cost.make(rss, n_res)
+        if em2gl is not None:
+            g = g[em2gl]
+        return SchurSystem(Ba, C, E, em2gl, gl2em), g, Cost.make(rss, n_res)
 
     def evaluate(x):
         a, b = split(x)
@@ -320,13 +383,18 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
     def eliminate(H: SchurSystem, Bd, Cd, g, use_cholesky=True,
                   refine=0):
         """Schur elimination + back-substitution of the (damped) arrow
-        system [Bd, E; Eᵀ, Cd] dx = −g. (dx, ok)."""
+        system [Bd, E; Eᵀ, Cd] dx = −g. (dx, ok); g/dx in the loop's
+        global layout, algebra element-major."""
+        if gl2em is not None:
+            g = g[gl2em]
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b = g[n_a * da:].reshape(n_b, db)
         dx_a, dx_b, ok = schur_eliminate(H.E, Bd, Cd, g_a, g_b,
                                          use_cholesky=use_cholesky,
                                          refine=refine)
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
+        if em2gl is not None:
+            dx = dx[em2gl]
         ok = ok & jnp.all(jnp.isfinite(dx_b))
         return dx, ok
 

@@ -50,7 +50,7 @@ for large systems yet", /root/reference/README.md:30).
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +60,52 @@ from ..cost import Cost
 from ..diff.auto import flatten_residuals
 from ..options import SolverType
 from .linalg import refine_psd_solve, solve_psd
-from .schur import _damp_blocks
+from .schur import _damp_blocks, bipartite_perms
+
+
+
+def _esum(spec, a, b, preferred_element_type=None, **_):
+    """Exact small-contraction einsum, evaluated as broadcast multiply +
+    sum (VPU) instead of dot_general (MXU).
+
+    Why: TPU DEFAULT precision truncates f32 dot_general operands to
+    bf16, which corrupts the assembled S/E/C blocks enough to stall
+    large-BA convergence — measured on the 1000-cam/50k-landmark corridor
+    (f32, schur_refine=2): rmse stalls at 3.2e-3 with bf16 assembly vs
+    converging at 9.0e-4 with exact multiplies (noise 1e-3).  Pinning
+    einsum precision=HIGHEST fixes accuracy but pays the 6-pass multiply
+    on contractions of length 2-6 (measured 3x wall).  These block
+    contractions (over m residuals or db=3 landmark dims) are exactly
+    the shapes the MXU is WRONG for: broadcast-multiply + sum fuses into
+    one exact f32 VPU loop.  XLA fuses the multiply into the reduce, so
+    the product space is never materialized beyond the operand tiles.
+    """
+    ins, out = spec.split("->")
+    sa, sb = ins.split(",")
+    axes = []
+    for c in out + sa + sb:
+        if c not in axes:
+            axes.append(c)
+
+    def align(x, labels):
+        order = [c for c in axes if c in labels]
+        perm = [labels.index(c) for c in order]
+        xt = jnp.transpose(x, perm)
+        shape, k = [], 0
+        for c in axes:
+            if c in labels:
+                shape.append(xt.shape[k])
+                k += 1
+            else:
+                shape.append(1)
+        return xt.reshape(shape)
+
+    prod = align(a, sa) * align(b, sb)
+    res = jnp.sum(prod, axis=tuple(
+        i for i, c in enumerate(axes) if c not in out))
+    if preferred_element_type is not None:
+        res = res.astype(preferred_element_type)
+    return res
 
 
 class SchurObsSystem(NamedTuple):
@@ -76,6 +121,11 @@ class SchurObsSystem(NamedTuple):
     C: jax.Array        #: (n_b, db*db) landmark diagonal blocks, flat
     E: jax.Array        #: (n_b, K*da*db) couplings, flat
     cam_idx: jax.Array  #: (n_b, K) int32 camera of each observation
+    #: element-major → loop-global tangent index maps (None when the
+    #: layouts coincide — single-leaf element pytrees; see
+    #: ops/schur.bipartite_perms / manifold.element_perm)
+    em2gl: Any = None
+    gl2em: Any = None
 
     def _dims(self):
         n_a, da, _ = self.Ba.shape
@@ -101,23 +151,27 @@ class SchurObsSystem(NamedTuple):
     def matvec(self, v: jax.Array) -> jax.Array:
         """H·v from the sparse blocks (one gather + one segment_sum).
 
-        Expands E per call — transient (n_b, K, da, db); used once per
-        dogleg propose, not in inner loops.
+        ``v``/result in the loop's global tangent layout.  Expands E per
+        call — transient (n_b, K, da, db); used once per dogleg propose,
+        not in inner loops.
         """
         n_a, da, n_b, db, K = self._dims()
+        if self.gl2em is not None:
+            v = v[self.gl2em]
         v_a = v[:n_a * da].reshape(n_a, da)
         v_b = v[n_a * da:].reshape(n_b, db)
         E4 = self.E.reshape(n_b, K, da, db)
         C3 = self.C.reshape(n_b, db, db)
-        o_a = jnp.einsum("iab,ib->ia", self.Ba, v_a)
-        Evb = jnp.einsum("jkab,jb->jka", E4, v_b)         # (n_b, K, da)
+        o_a = _esum("iab,ib->ia", self.Ba, v_a)
+        Evb = _esum("jkab,jb->jka", E4, v_b)         # (n_b, K, da)
         o_a = o_a + jax.ops.segment_sum(
             Evb.reshape(n_b * K, da), self.cam_idx.reshape(-1),
             num_segments=n_a)
         va_g = v_a[self.cam_idx]                          # (n_b, K, da)
-        o_b = (jnp.einsum("jab,jb->ja", C3, v_b)
-               + jnp.einsum("jkab,jka->jb", E4, va_g))
-        return jnp.concatenate([o_a.reshape(-1), o_b.reshape(-1)])
+        o_b = (_esum("jab,jb->ja", C3, v_b)
+               + _esum("jkab,jka->jb", E4, va_g))
+        out = jnp.concatenate([o_a.reshape(-1), o_b.reshape(-1)])
+        return out if self.em2gl is None else out[self.em2gl]
 
     def to_dense(self) -> jax.Array:
         """Assemble the full arrow H (testing / covariance at small n)."""
@@ -221,12 +275,12 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
             r, Ja, Jb = obs_linearize(pair_fn, a, b_c, obs_c, cam_c, m_c,
                                       spec_a, spec_b, dtype)
             Ba = Ba + jax.ops.segment_sum(
-                jnp.einsum("jkra,jkrb->jkab", Ja, Ja,
+                _esum("jkra,jkrb->jkab", Ja, Ja,
                            preferred_element_type=dtype).reshape(
                                CH * K, da, da),
                 cam_c.reshape(-1), num_segments=n_a)
             g_a = g_a + jax.ops.segment_sum(
-                jnp.einsum("jkra,jkr->jka", Ja, r).reshape(CH * K, da),
+                _esum("jkra,jkr->jka", Ja, r).reshape(CH * K, da),
                 cam_c.reshape(-1), num_segments=n_a)
             E_f = _upd(E_f, jnp.einsum(
                 "jkra,jkrb->jkab", Ja, Jb,
@@ -234,7 +288,7 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
             C_f = _upd(C_f, jnp.einsum(
                 "jkra,jkrb->jab", Jb, Jb,
                 preferred_element_type=dtype).reshape(CH, db * db), c)
-            g_b = _upd(g_b, jnp.einsum("jkrb,jkr->jb", Jb, r), c)
+            g_b = _upd(g_b, _esum("jkrb,jkr->jb", Jb, r), c)
             return Ba, g_a, E_f, C_f, g_b, rss + jnp.vdot(r, r)
 
         init = (jnp.zeros((n_a, da, da), dtype),
@@ -287,19 +341,23 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
             # exact zeros either way).
             zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
             Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
-            chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
-            Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
-                (L, True), eye))(chol)
-            EC_c = jnp.einsum("jkab,jbc->jkac", E_c, Cinv_c,
+            # Exact multiplies for the tiny C⁻¹ factorizations: cho_solve
+            # lowers to dot_generals, whose TPU DEFAULT bf16 truncation
+            # poisons everything downstream of C⁻¹ (see _esum).
+            with jax.default_matmul_precision("highest"):
+                chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
+                Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
+                    (L, True), eye))(chol)
+            EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
                               preferred_element_type=dtype)
-            blocks = jnp.einsum("jkac,jlbc->jklab", EC_c, E_c,
+            blocks = _esum("jkac,jlbc->jklab", EC_c, E_c,
                                 preferred_element_type=dtype)
             ids = (cam_c[:, :, None] * n_a
                    + cam_c[:, None, :]).reshape(-1)
             S_f = S_f.at[ids].add(blocks.reshape(CH * K * K, da * da))
             g_b_c = _sl(g_b_p, c)
             rhs = rhs.at[cam_c.reshape(-1)].add(
-                jnp.einsum("jkac,jc->jka", EC_c, g_b_c).reshape(
+                _esum("jkac,jc->jka", EC_c, g_b_c).reshape(
                     CH * K, da))
             Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
             return S_f, rhs, Cinv_f
@@ -318,8 +376,8 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
             Cinv_c = _sl(Cinv_f, c).reshape(CH, db, db)
             cam_c = _sl(cam_p, c)
             dxa_g = dx_a[cam_c]                          # (CH, K, da)
-            t = -_sl(g_b_p, c) - jnp.einsum("jkab,jka->jb", E_c, dxa_g)
-            return _upd(dx_b_f, jnp.einsum("jbc,jc->jb", Cinv_c, t), c)
+            t = -_sl(g_b_p, c) - _esum("jkab,jka->jb", E_c, dxa_g)
+            return _upd(dx_b_f, _esum("jbc,jc->jb", Cinv_c, t), c)
 
         return jax.lax.fori_loop(
             0, n_p // CH, bodyC, jnp.zeros((n_p, db), dtype))
@@ -403,6 +461,7 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
 
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
+    em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
 
     def split(x):
         return mf.as_pytree(x[0]), mf.as_pytree(x[1])
@@ -419,8 +478,11 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         Ba, g_a, E_f, C_f, g_b, rss = acc_slab(
             a, _pad_b(b), obs, cam_idx_p, mask_p)
         g = jnp.concatenate([g_a.reshape(-1), g_b[:n_b].reshape(-1)])
+        if em2gl is not None:
+            g = g[em2gl]
         cost = Cost.make(rss, n_res)
-        return SchurObsSystem(Ba, C_f[:n_b], E_f[:n_b], cam_idx), g, cost
+        return (SchurObsSystem(Ba, C_f[:n_b], E_f[:n_b], cam_idx,
+                               em2gl, gl2em), g, cost)
 
     def evaluate(x):
         a, b = split(x)
@@ -440,8 +502,10 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         Pass A accumulates the reduced system S (flat (n_a², da²)
         scatter target) and its rhs while stashing C⁻¹; pass B solves S;
         pass C back-substitutes the landmarks.  Every expanded tensor is
-        O(CH · K² · da²).
+        O(CH · K² · da²).  g/dx in the loop's global layout.
         """
+        if gl2em is not None:
+            g = g[gl2em]
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b = _pad_rows(g[n_a * da:].reshape(n_b, db))
         E_p = _pad_rows(H.E)
@@ -453,6 +517,8 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         dx_b = backsub_pass(E_p, Cinv_f, cam_idx_p, g_b, dx_a)[:n_b]
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         ok = ok & jnp.all(jnp.isfinite(dx))
+        if em2gl is not None:
+            dx = dx[em2gl]
         return dx, ok
 
     def propose(H: SchurObsSystem, g, lam, opts):

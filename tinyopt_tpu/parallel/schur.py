@@ -45,9 +45,11 @@ from ..cost import Cost
 from ..diff.auto import flatten_residuals
 from ..optimizers.loop import optimize_from_acc
 from ..options import Options, SolverType
-from ..ops.schur import (SchurSystem, _damp_blocks, blocks_from,
-                         linearize_grid, schur_eliminate)
+from ..ops.schur import (SchurSystem, _damp_blocks, _esum,
+                         bipartite_perms, blocks_from, linearize_grid,
+                         schur_eliminate)
 from .sharded import _shard_map
+
 
 
 def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
@@ -87,11 +89,24 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
     # from the global mask BEFORE sharding; jit-traceable either way.
     n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
 
+    # Loop-global <-> element-major tangent adapters (multi-leaf element
+    # pytrees only; None = identity, ops/schur.bipartite_perms).
+    em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
+
+    def _to_gl(v):
+        return v if em2gl is None else v[em2gl]
+
+    def _to_em(v):
+        return v if gl2em is None else v[gl2em]
+
     x_spec = jax.tree_util.tree_map(lambda _: P(), (a0, b0))
     grid_spec = jax.tree_util.tree_map(lambda _: P(None, axis), data)
     mask_spec = P(None, axis)
-    # SchurSystem leaves: Ba replicated, C/E sharded on the landmark dim.
-    H_spec = SchurSystem(Ba=P(), C=P(axis), E=P(None, axis))
+    # SchurSystem leaves: Ba replicated, C/E sharded on the landmark dim;
+    # the layout index maps (if any) replicated.
+    H_spec = SchurSystem(Ba=P(), C=P(axis), E=P(None, axis),
+                         em2gl=None if em2gl is None else P(),
+                         gl2em=None if gl2em is None else P())
 
     def _local_b(b):
         """This device's landmark rows of the replicated b pytree."""
@@ -121,8 +136,9 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
         Ba = jax.lax.psum(Ba_p, axis)
         g_a = jax.lax.psum(ga_p, axis)
         rss = jax.lax.psum(rss_p, axis)
-        g = jnp.concatenate([g_a.reshape(-1), _gather_b(gb_l).reshape(-1)])
-        return SchurSystem(Ba, C_l, E_l), g, rss
+        g = _to_gl(jnp.concatenate(
+            [g_a.reshape(-1), _gather_b(gb_l).reshape(-1)]))
+        return SchurSystem(Ba, C_l, E_l, em2gl, gl2em), g, rss
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(x_spec, grid_spec, mask_spec), out_specs=P())
@@ -140,7 +156,9 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
         return jax.lax.psum(jnp.vdot(r, r), axis)
 
     def _eliminate_local(E_l, Bd, Cd_l, g, use_chol, refine=0):
-        """Sharded elimination: (dx replicated, ok replicated)."""
+        """Sharded elimination: (dx replicated, ok replicated); g/dx in
+        the loop's global layout, algebra element-major."""
+        g = _to_em(g)
         g_a = g[:n_a * da].reshape(n_a, da)
         dx_a, dx_b_l, ok = schur_eliminate(
             E_l, Bd, Cd_l, g_a, _local_gb(g), use_cholesky=use_chol,
@@ -150,19 +168,23 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
         bad_b = jax.lax.psum(
             jnp.any(~jnp.isfinite(dx_b_l)).astype(jnp.int32), axis)
         ok = ok & (bad_b == 0)
-        dx = jnp.concatenate([dx_a.reshape(-1), _gather_b(dx_b_l).reshape(-1)])
+        dx = _to_gl(jnp.concatenate(
+            [dx_a.reshape(-1), _gather_b(dx_b_l).reshape(-1)]))
         return dx, ok
 
     def _matvec_local(Ba, C_l, E_l, v):
-        """Replicated arrow-matvec H·v from the local blocks."""
+        """Replicated arrow-matvec H·v from the local blocks (v/result
+        in the loop's global layout)."""
+        v = _to_em(v)
         v_a = v[:n_a * da].reshape(n_a, da)
         v_b_l = _local_gb(v)
-        o_a = (jnp.einsum("iab,ib->ia", Ba, v_a)
+        o_a = (_esum("iab,ib->ia", Ba, v_a)
                + jax.lax.psum(
-                   jnp.einsum("ijab,jb->ia", E_l, v_b_l), axis))
-        o_b_l = (jnp.einsum("jab,jb->ja", C_l, v_b_l)
-                 + jnp.einsum("ijab,ia->jb", E_l, v_a))
-        return jnp.concatenate([o_a.reshape(-1), _gather_b(o_b_l).reshape(-1)])
+                   _esum("ijab,jb->ia", E_l, v_b_l), axis))
+        o_b_l = (_esum("jab,jb->ja", C_l, v_b_l)
+                 + _esum("ijab,ia->jb", E_l, v_a))
+        return _to_gl(jnp.concatenate(
+            [o_a.reshape(-1), _gather_b(o_b_l).reshape(-1)]))
 
     def make_propose(opts: Options):
         use_chol = opts.hessian.use_ldlt

@@ -47,10 +47,12 @@ from ..cost import Cost
 from ..diff.auto import flatten_residuals
 from ..optimizers.loop import optimize_from_acc
 from ..options import Options, SolverType
-from ..ops.schur import _damp_blocks
-from ..ops.schur_obs import (SchurObsSystem, _damp_flat, _pick_chunk,
-                             assemble_reduced, make_obs_kernels)
+from ..ops.schur import _damp_blocks, bipartite_perms
+from ..ops.schur_obs import (SchurObsSystem, _damp_flat, _esum,
+                             _pick_chunk, assemble_reduced,
+                             make_obs_kernels)
 from .sharded import _shard_map
+
 
 
 def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
@@ -104,10 +106,23 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
 
+    # Loop-global <-> element-major tangent adapters (multi-leaf element
+    # pytrees only; None = identity, ops/schur.bipartite_perms).
+    em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
+
+    def _to_gl(v):
+        return v if em2gl is None else v[em2gl]
+
+    def _to_em(v):
+        return v if gl2em is None else v[gl2em]
+
     x_spec = jax.tree_util.tree_map(lambda _: P(), (a0, b0))
     obs_spec = jax.tree_util.tree_map(lambda _: P(axis), obs)
-    # SchurObsSystem leaves: Ba replicated; C/E/cam_idx landmark-sharded.
-    H_spec = SchurObsSystem(Ba=P(), C=P(axis), E=P(axis), cam_idx=P(axis))
+    # SchurObsSystem leaves: Ba replicated; C/E/cam_idx landmark-sharded;
+    # the layout index maps (if any) replicated.
+    H_spec = SchurObsSystem(Ba=P(), C=P(axis), E=P(axis), cam_idx=P(axis),
+                            em2gl=None if em2gl is None else P(),
+                            gl2em=None if gl2em is None else P())
 
     def _local_b(b):
         """This device's landmark rows of the replicated b pytree."""
@@ -153,9 +168,10 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         Ba = jax.lax.psum(Ba_p, axis)
         g_a = jax.lax.psum(ga_p, axis)
         rss = jax.lax.psum(rss_p, axis)
-        g = jnp.concatenate(
-            [g_a.reshape(-1), _gather_b(g_b[:nb_loc]).reshape(-1)])
-        return SchurObsSystem(Ba, C_f[:nb_loc], E_f[:nb_loc], cam_l), g, rss
+        g = _to_gl(jnp.concatenate(
+            [g_a.reshape(-1), _gather_b(g_b[:nb_loc]).reshape(-1)]))
+        return (SchurObsSystem(Ba, C_f[:nb_loc], E_f[:nb_loc], cam_l,
+                               em2gl, gl2em), g, rss)
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(x_spec, obs_spec, P(axis), P(axis)), out_specs=P())
@@ -168,7 +184,9 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         return jax.lax.psum(rss, axis)
 
     def _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol, refine=0):
-        """Sharded elimination: (dx replicated, ok replicated)."""
+        """Sharded elimination: (dx replicated, ok replicated); g/dx in
+        the loop's global layout, algebra element-major."""
+        g = _to_em(g)
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b_p = _pad_rows(_local_gb(g))
         E_p = _pad_rows(E_l)
@@ -185,22 +203,24 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         bad_b = jax.lax.psum(
             jnp.any(~jnp.isfinite(dx_b_l)).astype(jnp.int32), axis)
         ok = ok & (bad_b == 0)
-        dx = jnp.concatenate(
-            [dx_a.reshape(-1), _gather_b(dx_b_l).reshape(-1)])
+        dx = _to_gl(jnp.concatenate(
+            [dx_a.reshape(-1), _gather_b(dx_b_l).reshape(-1)]))
         return dx, ok
 
     def _ghg_local(H: SchurObsSystem, g):
         """Replicated gᵀHg from the local slab (expands the local E —
-        transient O(nb_loc · K · da · db), once per dogleg propose)."""
+        transient O(nb_loc · K · da · db), once per dogleg propose).
+        Layout-invariant scalar: computed element-major."""
+        g = _to_em(g)
         v_a = g[:n_a * da].reshape(n_a, da)
         v_b_l = _local_gb(g)
         E4 = H.E.reshape(nb_loc, K, da, db)
         C3 = H.C.reshape(nb_loc, db, db)
-        t_a = jnp.vdot(v_a, jnp.einsum("iab,ib->ia", H.Ba, v_a))
+        t_a = jnp.vdot(v_a, _esum("iab,ib->ia", H.Ba, v_a))
         va_g = v_a[H.cam_idx]                             # (nb_loc, K, da)
-        Evb = jnp.einsum("jkab,jb->jka", E4, v_b_l)
+        Evb = _esum("jkab,jb->jka", E4, v_b_l)
         t_cross = 2.0 * jnp.vdot(va_g, Evb)
-        t_b = jnp.vdot(v_b_l, jnp.einsum("jab,jb->ja", C3, v_b_l))
+        t_b = jnp.vdot(v_b_l, _esum("jab,jb->ja", C3, v_b_l))
         return t_a + jax.lax.psum(t_cross + t_b, axis)
 
     def make_propose(opts: Options):

@@ -40,6 +40,12 @@ REFERENCE_US = {  # BASELINE.md (tinyopt, 1-thread CPU, max 10 LM iters)
     "prior33": 25.68, "prior50": 56.26,
 }
 
+# Float rows: the reference publishes only sqrt2-float (0.91 µs,
+# BASELINE.md row 0; docs/benchmark-ceres-table.png); its float prior
+# suite exists but has no published numbers (densef.cpp:24-50) — our f32
+# prior rows are reported without a "vs ref" column.
+REFERENCE_US_F32 = {"sqrt2f": 0.91}
+
 
 def _native_ref_options():
     """The reference benchmark options (benchmarks/options.h:10-27) —
@@ -65,6 +71,28 @@ def bench_native(dims_list):
                                       options=opts)
         assert np.allclose(x, y, atol=1e-5)
         rows[f"prior{d}"] = us
+    return rows
+
+
+def bench_native_f32(dims_list):
+    """f32 native rows (reference float suite densef.cpp:24-50; only
+    sqrt2-float has a published number, 0.91 µs)."""
+    from tinyopt_tpu import native
+    opts = native.make_options(
+        "lm", dtype=np.float32, max_iters=10, min_error=0.0,
+        min_rerr_dec=1e-9, min_step_norm2=1e-10, max_consec_failures=3)
+    rows = {}
+    rows["sqrt2f"] = native.bench_sqrt2_us_f32(1.0, reps=100_000,
+                                               options=opts)
+    rng = np.random.default_rng(1)
+    for d in dims_list:
+        y = rng.uniform(-1, 1, d)
+        std = rng.uniform(0.1, 1.1, d)
+        x0 = rng.uniform(-1, 1, d)
+        us, x = native.bench_prior_us_f32(y, 1.0 / std, x0, reps=20_000,
+                                          options=opts)
+        assert np.allclose(x, y.astype(np.float32), atol=1e-3)
+        rows[f"prior{d}f"] = us
     return rows
 
 
@@ -343,7 +371,13 @@ def bench_ba_sparse(n_cams: int = 1000, n_pts: int = 50_000,
     rmse = float(reprojection_rmse_sparse(
         {"poses": x[0], "points": x[1]}, obs, cam_idx, mask))
     wall = time.perf_counter() - t0
-    return wall, rmse, rmse <= 1.2 * max(noise, 1e-9)
+    iters = int(out.num_iters)
+    # Peak-memory evidence for the flat-layout claim (the dense grid's E
+    # alone would be n_cams·n_pts·6·3 f32 ≈ 3.6 TB; memory_stats is
+    # device-real on TPU, absent on CPU).
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
+    return wall, rmse, rmse <= 1.2 * max(noise, 1e-9), iters, peak_gb
 
 
 def main():
@@ -368,11 +402,12 @@ def main():
                   f"{'converged' if ok else 'NOT CONVERGED'}")
         return
     if args.only == "bench_ba_sparse":
-        wall, rmse, ok = bench_ba_sparse()
+        wall, rmse, ok, iters, peak_gb = bench_ba_sparse()
         print("Sparse-visibility BA 1000 cams x 50,000 landmarks "
               "(156,000 tangent dims, 400k observations, K=8, "
               "criterion RMSE<=1.2e-3):")
         print(f"  schur_sparse {wall:7.2f} s  rmse={rmse:.2e}  "
+              f"iters={iters}  peak_mem={peak_gb:.2f} GiB  "
               f"{'converged' if ok else 'NOT CONVERGED'}")
         return
 
@@ -395,6 +430,16 @@ def main():
         print(f"{k:<10} {ref:>8.2f} {n:>10.2f} {ref/n:>6.2f}x "
               f"{t1:>9.0f} {tn:>11.2f} {tf:>9.2f} "
               f"{(ref/best if best == best else float('nan')):>6.2f}x")
+
+    natf = bench_native_f32(dims)
+    print(f"\n{'float32':<10} {'ref µs':>8} {'native µs':>10} {'vs ref':>7}"
+          "   (reference publishes only sqrt2-float; densef.cpp rows "
+          "unpublished)")
+    for k in ["sqrt2f"] + [f"prior{d}f" for d in dims]:
+        ref = REFERENCE_US_F32.get(k, float("nan"))
+        n = natf.get(k, float("nan"))
+        vs = f"{ref/n:>6.2f}x" if ref == ref else "      -"
+        print(f"{k:<10} {ref:>8.2f} {n:>10.2f} {vs}")
 
     if not args.skip_tpu:
         blk, coo = bench_sparse(args.batch)

@@ -119,3 +119,54 @@ class TestAgreementWithXLA:
     def test_unknown_option_name_rejected(self):
         with pytest.raises(TypeError):
             native.make_options(max_iter=5)  # typo for max_iters
+
+
+class TestFloat32:
+    """f32 instantiation of the native core (reference float suite,
+    densef.cpp:24-50; published row: sqrt2-float 0.91 µs)."""
+
+    def test_sqrt2_f32(self):
+        res = native.bench_sqrt2_f32(1.0)
+        assert res.x.dtype == np.float32
+        assert abs(float(res.x[0]) - 2 ** 0.5) < 1e-4
+        assert res.stop_reason > 0
+
+    def test_prior_f32_converges_to_f32_floor(self):
+        rng = np.random.default_rng(2)
+        for d in (3, 12, 50):
+            y = rng.uniform(-1, 1, d)
+            std = rng.uniform(0.1, 1.1, d)
+            res = native.bench_prior_f32(y, 1.0 / std, np.zeros(d))
+            assert res.stop_reason > 0, (d, res.stop_reason)
+            np.testing.assert_allclose(res.x, y.astype(np.float32),
+                                       atol=1e-4)
+
+    def test_f32_matches_f64_iterations_on_sqrt2(self):
+        """Same λ schedule until the f32 floor: the scalar-templated core
+        must not change ACCEPT/REJECT semantics, only precision."""
+        r64 = native.bench_sqrt2(1.0)
+        r32 = native.bench_sqrt2_f32(1.0)
+        # f32 hits min_error (rescaled) one iteration earlier or equal
+        assert 0 < r32.num_iters <= r64.num_iters
+        assert r32.stop_reason == r64.stop_reason == 1  # MIN_ERROR
+
+    def test_callback_f32(self):
+        res = native.native_optimize_f32(
+            np.zeros(2, np.float32),
+            lambda x: (np.array([x[0] - 1.0, x[1] + 2.0]),
+                       np.eye(2, dtype=np.float32)), 2)
+        assert res.x.dtype == np.float32
+        np.testing.assert_allclose(res.x, [1.0, -2.0], atol=1e-3)
+
+    def test_make_options_dtype(self):
+        o32 = native.make_options(dtype=np.float32)
+        o64 = native.make_options()
+        assert o32.min_step_norm2 == pytest.approx(
+            o64.min_step_norm2 * 1e6)
+        assert o32.min_rerr_dec == pytest.approx(o64.min_rerr_dec * 1e3)
+        with pytest.raises(TypeError, match="f32/f64"):
+            native.make_options(dtype=np.int32)
+
+    def test_f32_explicit_threshold_not_rescaled(self):
+        o = native.make_options(dtype=np.float32, min_error=1e-3)
+        assert o.min_error == 1e-3

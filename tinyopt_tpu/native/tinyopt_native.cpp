@@ -4,11 +4,14 @@
 // but a single tiny solve (dims <= ~64) is dominated by dispatch latency
 // there.  The reference library's headline benchmarks are exactly this
 // regime: microsecond dense LM solves on the host (reference:
-// /root/reference/benchmarks/dense.cpp:28-114, ~0.6-56 us per solve).
-// This translation unit provides that regime natively: a self-contained
-// dense Levenberg-Marquardt / Gauss-Newton / gradient-descent core with
-// its own small-matrix Cholesky, no external dependencies, exposed with a
-// C ABI for ctypes.
+// /root/reference/benchmarks/dense.cpp:28-114, ~0.6-56 us per solve;
+// float suite benchmarks/densef.cpp:24-50).  This translation unit
+// provides that regime natively: a self-contained dense
+// Levenberg-Marquardt / Gauss-Newton / gradient-descent core with its own
+// small-matrix Cholesky, no external dependencies, exposed with a C ABI
+// for ctypes.  The core is templated on the scalar (double and float
+// instantiations, mirroring the reference's scalar-templated Jet/solvers)
+// — the f32 entry points carry the `_f32` suffix.
 //
 // Semantics mirror the Python loop (tinyopt_tpu/optimizers/loop.py), which
 // itself mirrors the reference optimizer (reference:
@@ -34,87 +37,58 @@
 
 namespace {
 
-constexpr int kMaxDims = 128;  // stack-allocated scratch bound
+constexpr int kMaxDims = 128;  // scratch bound
 
-// grad = J^T r, H = J^T J (full). Residual-major accumulation: J rows are
+// grad = J^T r, H = J^T J. Residual-major accumulation: J rows are
 // contiguous, so the inner loops are unit-stride and auto-vectorize.
-void BuildNormalEquations(const double* J, const double* r, int n_res,
-                          int dims, double* H, double* g) {
-  std::memset(H, 0, sizeof(double) * dims * dims);
-  std::memset(g, 0, sizeof(double) * dims);
+// Only the LOWER triangle of H is built — the damped Cholesky below reads
+// exactly that triangle, so the explicit symmetrize pass (d² loads+stores
+// per iteration) is skipped entirely.
+template <typename T>
+void BuildNormalEquations(const T* J, const T* r, int n_res, int dims,
+                          T* H, T* g) {
+  std::memset(H, 0, sizeof(T) * dims * dims);
+  std::memset(g, 0, sizeof(T) * dims);
   for (int i = 0; i < n_res; ++i) {
-    const double* Ji = J + static_cast<size_t>(i) * dims;
-    const double ri = r[i];
+    const T* Ji = J + static_cast<size_t>(i) * dims;
+    const T ri = r[i];
     for (int a = 0; a < dims; ++a) {
-      const double v = Ji[a];
-      if (v == 0.0) continue;  // sparse rows (e.g. diagonal J) are common
+      const T v = Ji[a];
+      if (v == T(0)) continue;  // sparse rows (e.g. diagonal J) are common
       g[a] += v * ri;
-      double* Ha = H + static_cast<size_t>(a) * dims;
-      for (int b = a; b < dims; ++b) Ha[b] += v * Ji[b];
+      T* Ha = H + static_cast<size_t>(a) * dims;
+      for (int b = 0; b <= a; ++b) Ha[b] += v * Ji[b];
     }
   }
-  for (int a = 0; a < dims; ++a)
-    for (int b = 0; b < a; ++b) H[a * dims + b] = H[b * dims + a];
 }
 
-// Solve A x = b for symmetric positive-definite A (row-major, n x n) via
-// an in-place Cholesky. Returns false if the factorization fails.
-bool CholeskySolve(double* A, double* b, int n) {
-  // Factor: A = L L^T, L stored in the lower triangle.
+// Damped Cholesky solve reading H's lower triangle without a pre-copy:
+// L is factored into a separate buffer from (H + λ·D) on the fly — skips
+// the O(d²) damped copy every proposal costs otherwise.
+template <typename T>
+bool CholeskySolveDamped(const T* H, const T* g, T lam, int n, T* L,
+                         T* dx) {
   for (int j = 0; j < n; ++j) {
-    double d = A[j * n + j];
-    for (int k = 0; k < j; ++k) d -= A[j * n + k] * A[j * n + k];
-    if (!(d > 0.0) || !std::isfinite(d)) return false;
-    const double lj = std::sqrt(d);
-    A[j * n + j] = lj;
-    const double inv = 1.0 / lj;
-    for (int i = j + 1; i < n; ++i) {
-      double s = A[i * n + j];
-      for (int k = 0; k < j; ++k) s -= A[i * n + k] * A[j * n + k];
-      A[i * n + j] = s * inv;
-    }
-  }
-  // Forward substitution: L y = b.
-  for (int i = 0; i < n; ++i) {
-    double s = b[i];
-    for (int k = 0; k < i; ++k) s -= A[i * n + k] * b[k];
-    b[i] = s / A[i * n + i];
-  }
-  // Back substitution: L^T x = y.
-  for (int i = n - 1; i >= 0; --i) {
-    double s = b[i];
-    for (int k = i + 1; k < n; ++k) s -= A[k * n + i] * b[k];
-    b[i] = s / A[i * n + i];
-  }
-  return true;
-}
-
-// Damped Cholesky solve reading H without a pre-copy: L is factored into
-// a separate buffer from (H + λ·D) on the fly — skips the O(d²) damped
-// copy every proposal costs otherwise.
-bool CholeskySolveDamped(const double* H, const double* g, double lam,
-                         int n, double* L, double* dx) {
-  for (int j = 0; j < n; ++j) {
-    const double hjj = H[j * n + j];
-    double d = hjj + lam * (hjj == 0.0 ? 1.0 : hjj);
+    const T hjj = H[j * n + j];
+    T d = hjj + lam * (hjj == T(0) ? T(1) : hjj);
     for (int k = 0; k < j; ++k) d -= L[j * n + k] * L[j * n + k];
-    if (!(d > 0.0) || !std::isfinite(d)) return false;
-    const double lj = std::sqrt(d);
+    if (!(d > T(0)) || !std::isfinite(d)) return false;
+    const T lj = std::sqrt(d);
     L[j * n + j] = lj;
-    const double inv = 1.0 / lj;
+    const T inv = T(1) / lj;
     for (int i = j + 1; i < n; ++i) {
-      double s = H[i * n + j];
+      T s = H[i * n + j];
       for (int k = 0; k < j; ++k) s -= L[i * n + k] * L[j * n + k];
       L[i * n + j] = s * inv;
     }
   }
   for (int i = 0; i < n; ++i) {
-    double s = -g[i];
+    T s = -g[i];
     for (int k = 0; k < i; ++k) s -= L[i * n + k] * dx[k];
     dx[i] = s / L[i * n + i];
   }
   for (int i = n - 1; i >= 0; --i) {
-    double s = dx[i];
+    T s = dx[i];
     for (int k = i + 1; k < n; ++k) s -= L[k * n + i] * dx[k];
     dx[i] = s / L[i * n + i];
   }
@@ -125,10 +99,12 @@ bool CholeskySolveDamped(const double* H, const double* g, double lam,
 
 extern "C" {
 
-// Residual+Jacobian callback: fill r (n_res) and J (n_res x dims,
+// Residual+Jacobian callbacks: fill r (n_res) and J (n_res x dims,
 // row-major). J may be ignored when jac == 0 (cost-only evaluation).
 typedef void (*ResJacFn)(const double* x, double* r, double* J, int jac,
                          void* ctx);
+typedef void (*ResJacFnF)(const float* x, float* r, float* J, int jac,
+                          void* ctx);
 
 // Stop-reason codes, matching tinyopt_tpu.StopReason / the reference
 // (include/tinyopt/stop_reasons.h:14-43).
@@ -146,6 +122,10 @@ enum StopReason : int32_t {
   kMaxConsecNoDecr = 7,
 };
 
+// Options/Output stay double-typed for a single ABI across scalar
+// instantiations; thresholds are cast to the solve scalar internally
+// (make_options(dtype=float32) on the Python side rescales them to f32
+// floors, the Options.for_dtype analogue).
 struct NativeOptions {
   int32_t solver_type;  // 0 = LM, 1 = GN, 2 = GD
   int32_t max_iters;
@@ -188,11 +168,16 @@ void tinyopt_default_options(NativeOptions* o) {
   o->gd_lr = 1e-3;
 }
 
-// Dense NLLS solve. x is updated in place. Scratch sized by the caller:
-// r (n_res), J (n_res*dims). Returns out->stop_reason.
-int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
-                      double* x, const NativeOptions* opts,
-                      NativeOutput* out, double* r, double* J) {
+}  // extern "C"
+
+namespace {
+
+// Dense NLLS solve core (scalar-templated). x is updated in place.
+// Scratch sized by the caller: r (n_res), J (n_res*dims).
+template <typename T, typename Fn>
+int32_t SolveCore(int32_t dims, int32_t n_res, Fn fn, void* ctx, T* x,
+                  const NativeOptions* opts, NativeOutput* out, T* r,
+                  T* J) {
   out->final_cost = std::numeric_limits<double>::infinity();
   out->stop_reason = kNone;
   out->num_iters = 0;
@@ -206,30 +191,32 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
   // Two system buffers with pointer swapping on accept: the accepted
   // (H, g) is preserved without any O(d²) copy, and rejected iterations
   // read it directly (the Rebuild(false) shortcut, reference
-  // solvers/lm.h:96-105, at zero copy cost).  Stack-allocated (like L
-  // below) so the solver is re-entrant: a residual callback may itself
-  // invoke tinyopt_solve (bilevel problems) without corrupting the outer
-  // solve's accepted system, which static thread_local storage would.
-  // Heap-allocated per call: re-entrancy without the ~400 KB of stack
-  // frames the automatic arrays cost (nested bilevel solves or callers
-  // on small pthread stacks would overflow otherwise; one malloc per
-  // solve is noise next to the O(iters · dims³) factorizations).
-  std::unique_ptr<double[]> scratch(
-      new double[3 * kMaxDims * kMaxDims + 4 * kMaxDims]);
-  double* H = scratch.get();  // build target (current candidate's system)
-  double* H_bst = H + kMaxDims * kMaxDims;  // last accepted system
-  double* L = H_bst + kMaxDims * kMaxDims;  // Cholesky factor scratch
-  double* g = L + kMaxDims * kMaxDims;
-  double* g_bst = g + kMaxDims;
-  double* dx = g_bst + kMaxDims;
-  double* x_best = dx + kMaxDims;
-  std::memcpy(x_best, x, sizeof(double) * dims);
+  // solvers/lm.h:96-105, at zero copy cost).  Heap-allocated per call:
+  // re-entrancy (a residual callback may itself invoke tinyopt_solve —
+  // bilevel problems) without the ~400 KB of stack frames automatic
+  // arrays would cost; one malloc per solve is noise next to the
+  // O(iters · dims³) factorizations.
+  std::unique_ptr<T[]> scratch(
+      new T[3 * kMaxDims * kMaxDims + 4 * kMaxDims]);
+  T* H = scratch.get();  // build target (current candidate's system)
+  T* H_bst = H + kMaxDims * kMaxDims;  // last accepted system
+  T* L = H_bst + kMaxDims * kMaxDims;  // Cholesky factor scratch
+  T* g = L + kMaxDims * kMaxDims;
+  T* g_bst = g + kMaxDims;
+  T* dx = g_bst + kMaxDims;
+  T* x_best = dx + kMaxDims;
+  std::memcpy(x_best, x, sizeof(T) * dims);
 
   const bool is_lm = opts->solver_type == 0;
   const bool is_gd = opts->solver_type == 2;
-  double lam = opts->damping_init;
-  double bad_factor = opts->bad_factor;
-  double best_cost = std::numeric_limits<double>::infinity();
+  T lam = static_cast<T>(opts->damping_init);
+  T bad_factor = static_cast<T>(opts->bad_factor);
+  const T damping_min = static_cast<T>(opts->damping_min);
+  const T damping_max = static_cast<T>(opts->damping_max);
+  const T opt_bad_factor = static_cast<T>(opts->bad_factor);
+  const T good_factor = static_cast<T>(opts->good_factor);
+  const T gd_lr = static_cast<T>(opts->gd_lr);
+  T best_cost = std::numeric_limits<T>::infinity();
   bool have_good = false;
 
   const int max_iters = opts->max_iters + 1;
@@ -237,7 +224,7 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
     out->num_iters = iter + 1;
     // ---- Build: residuals + J at the current x ----
     fn(x, r, J, 1, ctx);
-    double cost = 0.0;
+    T cost = T(0);
     for (int i = 0; i < n_res; ++i) cost += r[i] * r[i];
     if (!std::isfinite(cost)) {
       out->stop_reason = kSystemHasNaNOrInf;
@@ -251,28 +238,28 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
     // of this iteration's step uses λ as updated by the PREVIOUS
     // iteration's outcome; a GoodStep here only affects the NEXT solve,
     // while a BadStep (rollback + retry) escalates the λ used right away.
-    const double lam_pre = lam;
-    const double derr = cost - best_cost;
-    const bool good = (derr < 0.0) || iter == 0;
-    double rel_derr = 0.0;
-    if (have_good && best_cost > 1e-12 && std::isfinite(best_cost))
+    const T lam_pre = lam;
+    const T derr = cost - best_cost;
+    const bool good = (derr < T(0)) || iter == 0;
+    T rel_derr = T(0);
+    if (have_good && best_cost > T(1e-12) && std::isfinite(best_cost))
       rel_derr = (best_cost - cost) / best_cost;
 
-    const double* H_use;
-    const double* g_use;
+    const T* H_use;
+    const T* g_use;
     if (good) {
       if (iter > 0) {
         // GoodStep: revert compounded bad factor, shrink lambda.
-        double s = opts->good_factor;
-        if (bad_factor != opts->bad_factor) s /= bad_factor;
+        T s = good_factor;
+        if (bad_factor != opt_bad_factor) s /= bad_factor;
         lam *= s;
-        if (lam < opts->damping_min) lam = opts->damping_min;
-        bad_factor = opts->bad_factor;
+        if (lam < damping_min) lam = damping_min;
+        bad_factor = opt_bad_factor;
       }
       best_cost = cost;
       have_good = true;
       out->num_consec_failures = 0;
-      std::memcpy(x_best, x, sizeof(double) * dims);
+      std::memcpy(x_best, x, sizeof(T) * dims);
       // The just-built system becomes the accepted one: swap buffers.
       std::swap(H, H_bst);
       std::swap(g, g_bst);
@@ -280,11 +267,11 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
       g_use = g_bst;
     } else {
       lam *= bad_factor;
-      if (lam > opts->damping_max) lam = opts->damping_max;
-      bad_factor *= opts->bad_factor;
+      if (lam > damping_max) lam = damping_max;
+      bad_factor *= opt_bad_factor;
       out->num_failures++;
       out->num_consec_failures++;
-      std::memcpy(x, x_best, sizeof(double) * dims);  // rollback
+      std::memcpy(x, x_best, sizeof(T) * dims);  // rollback
       if (opts->max_consec_failures > 0 &&
           out->num_consec_failures >= opts->max_consec_failures) {
         out->stop_reason = kMaxConsecNoDecr;
@@ -303,18 +290,19 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
 
     // ---- Stop criteria on the (good) state ----
     if (good) {
-      if (opts->min_error > 0 && cost < opts->min_error) {
+      if (opts->min_error > 0 && cost < static_cast<T>(opts->min_error)) {
         out->stop_reason = kMinError;
         break;
       }
-      if (opts->min_rerr_dec > 0 && rel_derr > 0 &&
-          rel_derr < opts->min_rerr_dec) {
+      if (opts->min_rerr_dec > 0 && rel_derr > T(0) &&
+          rel_derr < static_cast<T>(opts->min_rerr_dec)) {
         out->stop_reason = kMinRelError;
         break;
       }
-      double gn2 = 0.0;
+      T gn2 = T(0);
       for (int a = 0; a < dims; ++a) gn2 += g_use[a] * g_use[a];
-      if (opts->min_grad_norm2 > 0 && gn2 < opts->min_grad_norm2) {
+      if (opts->min_grad_norm2 > 0 &&
+          gn2 < static_cast<T>(opts->min_grad_norm2)) {
         out->stop_reason = kMinGradNorm;
         break;
       }
@@ -325,28 +313,28 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
     // Accepted: solve with λ from before this iteration's GoodStep
     // (the reference solves first, updates after). Rejected: solve with
     // the freshly escalated λ (the reference's next-step re-damp).
-    double lam_solve = good ? lam_pre : lam;
+    T lam_solve = good ? lam_pre : lam;
     bool solved = false;
     for (int attempt = 0; attempt <= (opts->max_consec_failures > 0
                                           ? opts->max_consec_failures
                                           : 50);
          ++attempt) {
       if (is_gd) {
-        for (int a = 0; a < dims; ++a) dx[a] = -opts->gd_lr * g_use[a];
+        for (int a = 0; a < dims; ++a) dx[a] = -gd_lr * g_use[a];
         solved = true;
         break;
       }
-      if (CholeskySolveDamped(H_use, g_use, is_lm ? lam_solve : 0.0, dims,
-                              L, dx)) {
+      if (CholeskySolveDamped<T>(H_use, g_use, is_lm ? lam_solve : T(0),
+                                 dims, L, dx)) {
         solved = true;
         break;
       }
       if (!is_lm) break;  // GN has no damping to escalate
       lam_solve *= bad_factor;
       lam *= bad_factor;  // FailedStep escalation persists (lm.h:148)
-      if (lam_solve > opts->damping_max) lam_solve = opts->damping_max;
-      if (lam > opts->damping_max) lam = opts->damping_max;
-      bad_factor *= opts->bad_factor;
+      if (lam_solve > damping_max) lam_solve = damping_max;
+      if (lam > damping_max) lam = damping_max;
+      bad_factor *= opt_bad_factor;
       out->num_failures++;
       out->num_consec_failures++;
       if (opts->max_consec_failures > 0 &&
@@ -357,13 +345,14 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
       break;
     }
 
-    double dn2 = 0.0;
+    T dn2 = T(0);
     for (int a = 0; a < dims; ++a) dn2 += dx[a] * dx[a];
     if (!std::isfinite(dn2)) {
       out->stop_reason = kSystemHasNaNOrInf;
       break;
     }
-    if (opts->min_step_norm2 > 0 && dn2 < opts->min_step_norm2) {
+    if (opts->min_step_norm2 > 0 &&
+        dn2 < static_cast<T>(opts->min_step_norm2)) {
       out->stop_reason = kMinDeltaNorm;
       break;
     }
@@ -372,99 +361,166 @@ int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
 
   if (out->stop_reason == kNone) out->stop_reason = kMaxIters;
   // Return the best point seen.
-  std::memcpy(x, x_best, sizeof(double) * dims);
-  out->final_cost = best_cost;
+  std::memcpy(x, x_best, sizeof(T) * dims);
+  out->final_cost = static_cast<double>(best_cost);
   return out->stop_reason;
 }
 
 // ---------------------------------------------------------------------
 // Built-in benchmark problems (no callback overhead), mirroring the
-// reference benchmark suite (reference: benchmarks/dense.cpp:28-114).
+// reference benchmark suite (reference: benchmarks/dense.cpp:28-114,
+// float variants benchmarks/densef.cpp:24-50).
 // ---------------------------------------------------------------------
 
+template <typename T>
 struct PriorCtx {
-  const double* y;
-  const double* inv_std;
+  const T* y;
+  const T* inv_std;
   int dims;
 };
 
-static void PriorResJac(const double* x, double* r, double* J, int jac,
-                        void* ctx) {
-  const PriorCtx* c = static_cast<const PriorCtx*>(ctx);
+template <typename T>
+void PriorResJac(const T* x, T* r, T* J, int jac, void* ctx) {
+  const PriorCtx<T>* c = static_cast<const PriorCtx<T>*>(ctx);
   const int d = c->dims;
   for (int i = 0; i < d; ++i) r[i] = (x[i] - c->y[i]) * c->inv_std[i];
   if (jac) {
-    std::memset(J, 0, sizeof(double) * d * d);
+    std::memset(J, 0, sizeof(T) * d * d);
     for (int i = 0; i < d; ++i) J[i * d + i] = c->inv_std[i];
   }
 }
 
-static void Sqrt2ResJac(const double* x, double* r, double* J, int jac,
-                        void*) {
-  r[0] = x[0] * x[0] - 2.0;
-  if (jac) J[0] = 2.0 * x[0];
+template <typename T>
+void Sqrt2ResJac(const T* x, T* r, T* J, int jac, void*) {
+  r[0] = x[0] * x[0] - T(2);
+  if (jac) J[0] = T(2) * x[0];
 }
 
-// One full LM solve of the whitened Gaussian prior (dims<=kMaxDims).
-int32_t tinyopt_bench_prior(int32_t dims, const double* y,
-                            const double* inv_std, double* x,
-                            const NativeOptions* opts, NativeOutput* out) {
-  PriorCtx ctx{y, inv_std, dims};
-  double r[kMaxDims];
-  double J[kMaxDims * kMaxDims];
-  return tinyopt_solve(dims, dims, PriorResJac, &ctx, x, opts, out, r, J);
-}
-
-// One full LM solve of sqrt2 (scalar).
-int32_t tinyopt_bench_sqrt2(double* x, const NativeOptions* opts,
-                            NativeOutput* out) {
-  double r[1];
-  double J[1];
-  return tinyopt_solve(1, 1, Sqrt2ResJac, nullptr, x, opts, out, r, J);
-}
-
-// Mean microseconds per full prior solve, timed inside the library (the
-// reference measures the same way: a native benchmark loop around
-// Optimize, benchmarks/dense.cpp:53-114).
-double tinyopt_bench_prior_us(int32_t dims, const double* y,
-                              const double* inv_std, const double* x0,
-                              const NativeOptions* opts, int32_t reps,
-                              double* x_out) {
-  PriorCtx ctx{y, inv_std, dims};
-  double r[kMaxDims];
-  double J[kMaxDims * kMaxDims];
-  double x[kMaxDims];
+template <typename T>
+double BenchPriorUs(int32_t dims, const T* y, const T* inv_std,
+                    const T* x0, const NativeOptions* opts, int32_t reps,
+                    T* x_out) {
+  PriorCtx<T> ctx{y, inv_std, dims};
+  T r[kMaxDims];
+  T J[kMaxDims * kMaxDims];
+  T x[kMaxDims];
   NativeOutput out;
-  volatile double sink = 0.0;
+  volatile T sink = T(0);
   const auto t0 = std::chrono::steady_clock::now();
   for (int i = 0; i < reps; ++i) {
-    std::memcpy(x, x0, sizeof(double) * dims);
-    tinyopt_solve(dims, dims, PriorResJac, &ctx, x, opts, &out, r, J);
+    std::memcpy(x, x0, sizeof(T) * dims);
+    SolveCore<T>(dims, dims, PriorResJac<T>, &ctx, x, opts, &out, r, J);
     sink += x[0];
   }
   const auto t1 = std::chrono::steady_clock::now();
-  if (x_out) std::memcpy(x_out, x, sizeof(double) * dims);
+  if (x_out) std::memcpy(x_out, x, sizeof(T) * dims);
   (void)sink;
   return std::chrono::duration<double, std::micro>(t1 - t0).count() / reps;
 }
 
-double tinyopt_bench_sqrt2_us(double x0, const NativeOptions* opts,
-                              int32_t reps, double* x_out) {
-  double r[1];
-  double J[1];
-  double x[1];
+template <typename T>
+double BenchSqrt2Us(T x0, const NativeOptions* opts, int32_t reps,
+                    T* x_out) {
+  T r[1];
+  T J[1];
+  T x[1];
   NativeOutput out;
-  volatile double sink = 0.0;
+  volatile T sink = T(0);
   const auto t0 = std::chrono::steady_clock::now();
   for (int i = 0; i < reps; ++i) {
     x[0] = x0;
-    tinyopt_solve(1, 1, Sqrt2ResJac, nullptr, x, opts, &out, r, J);
+    SolveCore<T>(1, 1, Sqrt2ResJac<T>, nullptr, x, opts, &out, r, J);
     sink += x[0];
   }
   const auto t1 = std::chrono::steady_clock::now();
   if (x_out) x_out[0] = x[0];
   (void)sink;
   return std::chrono::duration<double, std::micro>(t1 - t0).count() / reps;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------ float64 -------------------------------
+
+int32_t tinyopt_solve(int32_t dims, int32_t n_res, ResJacFn fn, void* ctx,
+                      double* x, const NativeOptions* opts,
+                      NativeOutput* out, double* r, double* J) {
+  return SolveCore<double>(dims, n_res, fn, ctx, x, opts, out, r, J);
+}
+
+int32_t tinyopt_bench_prior(int32_t dims, const double* y,
+                            const double* inv_std, double* x,
+                            const NativeOptions* opts, NativeOutput* out) {
+  PriorCtx<double> ctx{y, inv_std, dims};
+  double r[kMaxDims];
+  double J[kMaxDims * kMaxDims];
+  return SolveCore<double>(dims, dims, PriorResJac<double>, &ctx, x, opts,
+                           out, r, J);
+}
+
+int32_t tinyopt_bench_sqrt2(double* x, const NativeOptions* opts,
+                            NativeOutput* out) {
+  double r[1];
+  double J[1];
+  return SolveCore<double>(1, 1, Sqrt2ResJac<double>, nullptr, x, opts,
+                           out, r, J);
+}
+
+double tinyopt_bench_prior_us(int32_t dims, const double* y,
+                              const double* inv_std, const double* x0,
+                              const NativeOptions* opts, int32_t reps,
+                              double* x_out) {
+  return BenchPriorUs<double>(dims, y, inv_std, x0, opts, reps, x_out);
+}
+
+double tinyopt_bench_sqrt2_us(double x0, const NativeOptions* opts,
+                              int32_t reps, double* x_out) {
+  return BenchSqrt2Us<double>(x0, opts, reps, x_out);
+}
+
+// ------------------------------ float32 -------------------------------
+// Same semantics at f32 working precision (reference float suite,
+// benchmarks/densef.cpp:24-50; published row: sqrt2-float 0.91 us,
+// BASELINE.md row 0).  Pass f32-scaled stop thresholds (the Python
+// wrapper's make_options(dtype=np.float32) mirrors Options.for_dtype).
+
+int32_t tinyopt_solve_f32(int32_t dims, int32_t n_res, ResJacFnF fn,
+                          void* ctx, float* x, const NativeOptions* opts,
+                          NativeOutput* out, float* r, float* J) {
+  return SolveCore<float>(dims, n_res, fn, ctx, x, opts, out, r, J);
+}
+
+int32_t tinyopt_bench_prior_f32(int32_t dims, const float* y,
+                                const float* inv_std, float* x,
+                                const NativeOptions* opts,
+                                NativeOutput* out) {
+  PriorCtx<float> ctx{y, inv_std, dims};
+  float r[kMaxDims];
+  float J[kMaxDims * kMaxDims];
+  return SolveCore<float>(dims, dims, PriorResJac<float>, &ctx, x, opts,
+                          out, r, J);
+}
+
+int32_t tinyopt_bench_sqrt2_f32(float* x, const NativeOptions* opts,
+                                NativeOutput* out) {
+  float r[1];
+  float J[1];
+  return SolveCore<float>(1, 1, Sqrt2ResJac<float>, nullptr, x, opts, out,
+                          r, J);
+}
+
+double tinyopt_bench_prior_us_f32(int32_t dims, const float* y,
+                                  const float* inv_std, const float* x0,
+                                  const NativeOptions* opts, int32_t reps,
+                                  float* x_out) {
+  return BenchPriorUs<float>(dims, y, inv_std, x0, opts, reps, x_out);
+}
+
+double tinyopt_bench_sqrt2_us_f32(float x0, const NativeOptions* opts,
+                                  int32_t reps, float* x_out) {
+  return BenchSqrt2Us<float>(x0, opts, reps, x_out);
 }
 
 }  // extern "C"

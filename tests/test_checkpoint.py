@@ -207,3 +207,59 @@ class TestStepper:
         _, _, state = st_api.step(x0)
         with pytest.raises(ValueError):
             st_api.step(x0, state=state)
+
+
+class TestProfiling:
+    """profile_iterations (profiling.py): per-iteration τ without host
+    callbacks (VERDICT r2 #6 — the axon TPU backend rejects callbacks, so
+    options.log.enable's τ is unavailable exactly where it matters)."""
+
+    def test_tau_per_iteration_and_trajectory_parity(self):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.normal(size=6))
+        fn = lambda x: x - y
+        o = to.Options(max_iters=10)
+        x, out, taus = to.profile_iterations(jnp.zeros(6), fn, o,
+                                             perturb=0.0)
+        x_ref, out_ref = to.optimize(jnp.zeros(6), fn, o)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   atol=1e-15)
+        assert int(out.num_iters) == int(out_ref.num_iters) == len(taus)
+        assert int(out.stop_reason) == int(out_ref.stop_reason)
+        assert (taus > 0).all()
+        assert float(out.duration_ms) == pytest.approx(
+            taus.sum() * 1e3, rel=1e-5)
+
+    def test_perturbed_start_still_converges(self):
+        import numpy as np
+        y = jnp.asarray([1.0, -2.0, 0.5])
+        x, out, taus = to.profile_iterations(
+            jnp.zeros(3), lambda x: x - y, to.Options(max_iters=10),
+            perturb=1e-6)
+        assert bool(out.converged())
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5)
+
+    def test_dispatch_floor_positive(self):
+        f = to.dispatch_floor()
+        assert 0 < f < 1.0
+
+
+class TestLogDropped:
+    def test_flag_set_when_callbacks_unavailable(self, monkeypatch):
+        import tinyopt_tpu.optimizers.loop as lp
+        monkeypatch.setattr(lp, "_CB_OK", False)
+        x, out = to.optimize(jnp.array(1.0), lambda x: x * x - 2.0,
+                             to.Options(max_iters=7,
+                                        log=to.LogOptions(enable=True)))
+        assert out.log_dropped is True
+        assert bool(out.converged())       # solve unaffected, only silent
+
+    def test_flag_false_when_logging_off_or_supported(self, monkeypatch):
+        x, out = to.optimize(jnp.array(1.0), lambda x: x * x - 2.0)
+        assert out.log_dropped is False
+        import tinyopt_tpu.optimizers.loop as lp
+        monkeypatch.setattr(lp, "_CB_OK", False)
+        x, out = to.optimize(jnp.array(1.0), lambda x: x * x - 2.0)
+        assert out.log_dropped is False    # nothing requested -> no flag

@@ -37,6 +37,7 @@ from . import checkpoint
 from .parallel import (batched_optimize, batched_solver,
                        sharded_optimize, sharded_schur_optimize)
 from .checkpoint import stepper, Stepper
+from .profiling import profile_iterations, dispatch_floor
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
                      schur_sparse_optimize, sparse_optimize)
@@ -75,6 +76,7 @@ __all__ = [
     "batched_optimize", "batched_solver", "sharded_optimize",
     "sharded_schur_optimize",
     "stepper", "Stepper",
+    "profile_iterations", "dispatch_floor",
     "block_optimize", "matfree_optimize", "sparse_optimize",
     "schur_optimize", "schur_sparse_optimize", "BlockDiag",
     "implicit", "implicit_solver",

@@ -681,6 +681,8 @@ def optimize_from_acc(
         errs=carry.errs, deltas2=carry.deltas2, successes=carry.succ,
         num_hist=carry.num_hist,
         num_diff_used=num_diff_used,
+        log_dropped=bool((opts.log.enable or opts.log.print_failure)
+                         and not _callbacks_supported()),
     )
     if return_state:
         return carry.x, out, carry

@@ -49,6 +49,15 @@ class Output:
     num_diff_used: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
+    #: True when per-iteration logging was REQUESTED (options.log.enable
+    #: or print_failure) but the backend rejects host callbacks (e.g. the
+    #: axon TPU tunnel), so the log lines were silently dropped — the
+    #: in-band signal for the degraded mode (a RuntimeWarning also fires
+    #: once per process).  Use tinyopt_tpu.profile_iterations for
+    #: per-iteration telemetry that works on callback-less backends.
+    log_dropped: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
     # ---- Semantics (output.h:30-35) ----
     def succeeded(self):
         """Stop reason is not a failure (>= kNone)."""

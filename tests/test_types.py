@@ -162,3 +162,62 @@ class TestUserDefinedManifold:
         assert out.num_diff_used
         np.testing.assert_allclose(np.asarray(v.xy), np.asarray(target.xy),
                                    atol=1e-5)
+
+
+class TestSparseMatrixParams:
+    """params_trait<SparseMatrix> analogue (reference traits.h:193-215):
+    a jax.experimental.sparse BCOO leaf optimizes its STORED VALUES; the
+    sparsity pattern is structural (manifold._register_sparse_params)."""
+
+    def _problem(self):
+        from jax.experimental import sparse as jsparse
+        M0 = jsparse.BCOO.fromdense(jnp.asarray(
+            [[1.0, 0, 2.0], [0, 3.0, 0], [0.5, 0, 0]]))
+        rng = np.random.default_rng(0)
+        V = jnp.asarray(rng.normal(size=(5, 3)))
+        data_true = jnp.asarray([2.0, -1.0, 0.7, 1.3])
+        M_true = jsparse.BCOO((data_true, M0.indices), shape=M0.shape)
+        dn = (((1,), (0,)), ((), ()))
+        T = jsparse.bcoo_dot_general(M_true, V.T, dimension_numbers=dn)
+
+        def res(M):
+            return (jsparse.bcoo_dot_general(M, V.T,
+                                             dimension_numbers=dn)
+                    - T).reshape(-1)
+        return M0, res, data_true
+
+    def test_tangent_is_stored_values(self):
+        M0, res, _ = self._problem()
+        spec = mf.tangent_spec(M0)
+        assert spec.dims == 4                        # nnz, not 9
+        assert jnp.issubdtype(spec.dtype, jnp.floating)
+        d = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        M1 = mf.retract(M0, d, spec)
+        np.testing.assert_allclose(np.asarray(M1.data),
+                                   np.asarray(M0.data + d))
+        np.testing.assert_array_equal(np.asarray(M1.indices),
+                                      np.asarray(M0.indices))
+        np.testing.assert_allclose(np.asarray(mf.local(M0, M1)),
+                                   np.asarray(d))
+
+    def test_optimizes_values_only(self):
+        M0, res, data_true = self._problem()
+        M_opt, out = to.optimize(M0, res)
+        assert bool(out.converged()), int(out.stop_reason)
+        np.testing.assert_allclose(np.asarray(M_opt.data),
+                                   np.asarray(data_true), atol=1e-8)
+        np.testing.assert_array_equal(np.asarray(M_opt.indices),
+                                      np.asarray(M0.indices))
+
+    def test_mixed_pytree_with_dense_leaves(self):
+        M0, res, data_true = self._problem()
+
+        def res2(x):
+            return jnp.concatenate([res(x["M"]), x["b"] - 1.0])
+
+        x_opt, out = to.optimize({"M": M0, "b": jnp.zeros(3)}, res2)
+        assert bool(out.converged())
+        np.testing.assert_allclose(np.asarray(x_opt["M"].data),
+                                   np.asarray(data_true), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(x_opt["b"]),
+                                   np.ones(3), atol=1e-10)

@@ -84,8 +84,14 @@ def tangent_spec(x) -> TangentSpec:
     offsets = tuple(int(o) for o in np.cumsum((0,) + dims[:-1]))
     dtypes = []
     for l in leaves:
-        for a in jax.tree_util.tree_leaves(l):
-            dtypes.append(jnp.asarray(a).dtype)
+        subs = [jnp.asarray(a).dtype for a in jax.tree_util.tree_leaves(l)]
+        if manifold_for(l) is not None:
+            # a manifold leaf may carry structural integer sub-leaves
+            # (e.g. a BCOO's indices) — only its floating storage
+            # defines the tangent dtype
+            subs = ([d for d in subs if jnp.issubdtype(d, jnp.floating)]
+                    or subs)
+        dtypes.extend(subs)
     dtype = jnp.result_type(*dtypes) if dtypes else jnp.float32
     total = int(sum(dims))
     if total > 0 and not jnp.issubdtype(dtype, jnp.floating):
@@ -207,3 +213,40 @@ def flatten_values(x) -> jax.Array:
     if not arrs:
         return jnp.zeros((0,))
     return jnp.concatenate(arrs)
+
+
+def _register_sparse_params() -> None:
+    """Sparse-matrix parameter blocks: the ``params_trait<SparseMatrix>``
+    analogue (reference: include/tinyopt/traits.h:193-215, which exposes
+    a sparse matrix's STORED VALUES as the optimized parameters).
+
+    A ``jax.experimental.sparse.BCOO`` leaf becomes a valid parameter
+    block whose tangent is its ``data`` vector; the sparsity pattern
+    (``indices``) is structural and frozen — exactly the reference's
+    contract (it iterates stored values, never re-patterns).  AD flows
+    through sparse ops natively (jvp rules on BCOO matmul etc.), so a
+    residual like ``(M @ v - target)`` differentiates with respect to
+    the stored values only.
+    """
+    try:
+        from jax.experimental import sparse as jsparse
+    except Exception:  # pragma: no cover - sparse is part of jax
+        return
+
+    def _dims(m) -> int:
+        return int(np.prod(m.data.shape, dtype=int))
+
+    def _retract(m, delta):
+        data = m.data + delta.reshape(m.data.shape).astype(m.data.dtype)
+        return jsparse.BCOO((data, m.indices), shape=m.shape,
+                            indices_sorted=m.indices_sorted,
+                            unique_indices=m.unique_indices)
+
+    def _local(x, y):
+        return jnp.ravel(y.data - x.data)
+
+    register_manifold(jsparse.BCOO,
+                      Manifold(dims=_dims, retract=_retract, local=_local))
+
+
+_register_sparse_params()

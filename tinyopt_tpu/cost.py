@@ -16,6 +16,22 @@ import jax
 import jax.numpy as jnp
 
 
+def rss(r) -> jax.Array:
+    """Σ r² as elementwise square + sum — NEVER jnp.vdot(r, r).
+
+    vdot lowers to dot_general, and TPU DEFAULT precision truncates f32
+    dot_general OPERANDS to bf16 (~0.4% relative error per element).
+    The optimizer's accept/reject compares candidate costs whose
+    difference near convergence is far below 0.4%, so a bf16-squared
+    cost makes LM mis-classify good steps and stall (measured:
+    1000-camera corridor BA plateaus at 2.4e-3 rmse with vdot costs vs
+    converging under exact costs; noise 1e-3).  square+sum stays on the
+    VPU in full f32 with f32 accumulation.
+    """
+    r = jnp.ravel(r)
+    return jnp.sum(jnp.square(r))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Cost:
@@ -42,7 +58,7 @@ class Cost:
     def from_residuals(residuals, inlier_ratio=1.0) -> "Cost":
         """Cost = squared L2/Frobenius norm of the residuals (cost.h:28-31)."""
         r = jnp.ravel(residuals)
-        return Cost.make(jnp.vdot(r, r), r.size, inlier_ratio)
+        return Cost.make(rss(r), r.size, inlier_ratio)
 
     def __add__(self, other: "Cost") -> "Cost":
         """Accumulate two partial costs, merging inlier counts

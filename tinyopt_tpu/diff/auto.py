@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import manifold as mf
-from ..cost import Cost
+from ..cost import Cost, rss as rss_exact
 
 
 def value_and_jacfwd(f: Callable, x: jax.Array):
@@ -90,12 +90,12 @@ def make_nlls_system(residual_fn, x0, spec: mf.TangentSpec,
         # JᵀR and JᵀJ with f32 accumulation on the MXU
         g = J.T @ r
         H = jnp.matmul(J.T, J, preferred_element_type=spec.dtype)
-        cost = Cost.make(jnp.vdot(r, r), n_res)
+        cost = Cost.make(rss_exact(r), n_res)
         return H, g, cost
 
     def evaluate(x):
         r = flatten_residuals(residual_fn(x)).astype(spec.dtype)
-        return Cost.make(jnp.vdot(r, r), n_res)
+        return Cost.make(rss_exact(r), n_res)
 
     return accumulate, evaluate, n_res
 

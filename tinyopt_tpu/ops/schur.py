@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import manifold as mf
-from ..cost import Cost
+from ..cost import Cost, rss as rss_exact
 from ..diff.auto import flatten_residuals
 from ..options import SolverType
 from .linalg import inv_cov, solve_psd
@@ -262,7 +262,7 @@ def blocks_from(r, Ja, Jb, dtype):
                    preferred_element_type=dtype)
     g_a = _esum("ijra,ijr->ia", Ja, r)
     g_b = _esum("ijrb,ijr->jb", Jb, r)
-    return Ba, C, E, g_a, g_b, jnp.vdot(r, r)
+    return Ba, C, E, g_a, g_b, rss_exact(r)
 
 
 def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
@@ -378,7 +378,7 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
             return pair_r(a_i, b_j, d_ij) * m_ij
 
         r = grid(one, mf.as_pytree(a), mf.as_pytree(b))
-        return Cost.make(jnp.vdot(r, r), n_res)
+        return Cost.make(rss_exact(r), n_res)
 
     def eliminate(H: SchurSystem, Bd, Cd, g, use_cholesky=True,
                   refine=0):

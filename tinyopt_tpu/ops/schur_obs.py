@@ -56,7 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import manifold as mf
-from ..cost import Cost
+from ..cost import Cost, rss as rss_exact
 from ..diff.auto import flatten_residuals
 from ..options import SolverType
 from .linalg import refine_psd_solve, solve_psd
@@ -289,7 +289,7 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
                 "jkra,jkrb->jab", Jb, Jb,
                 preferred_element_type=dtype).reshape(CH, db * db), c)
             g_b = _upd(g_b, _esum("jkrb,jkr->jb", Jb, r), c)
-            return Ba, g_a, E_f, C_f, g_b, rss + jnp.vdot(r, r)
+            return Ba, g_a, E_f, C_f, g_b, rss + rss_exact(r)
 
         init = (jnp.zeros((n_a, da, da), dtype),
                 jnp.zeros((n_a, da), dtype),
@@ -319,7 +319,7 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
                         a_g, d_j, m_j)
 
             r = jax.vmap(point)(b_c, obs_c, cam_c, m_c)
-            return rss + jnp.vdot(r, r)
+            return rss + rss_exact(r)
 
         return jax.lax.fori_loop(0, n_p // CH, body, jnp.zeros((), dtype))
 
@@ -399,12 +399,19 @@ def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
     S_blocks = (-S_red).at[idx, idx].add(Bd)
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
     rhs = (-g_a + rhs_acc).reshape(-1)
-    dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
-    if refine > 0:
-        # hessian.schur_refine: f64-residual iterative refinement of
-        # the f32 reduced solve (ops/linalg.refine_psd_solve).
-        dx_a = refine_psd_solve(S, rhs, dx_a, refine,
-                                use_cholesky=use_cholesky)
+    # HIGHEST-precision factorization: TPU DEFAULT bf16-truncates the
+    # Cholesky's internal dot_generals, and at corridor-BA conditioning
+    # (cond(S) ~ 1e6 at 1000 cameras) the bf16 solve error exceeds the
+    # step itself — schur_refine cannot rescue it either, because
+    # refinement only contracts when eps_solve·cond(S) < 1.  Measured
+    # standalone (6000², v5e): HIGHEST is no slower than DEFAULT.
+    with jax.default_matmul_precision("highest"):
+        dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
+        if refine > 0:
+            # hessian.schur_refine: f64-residual iterative refinement of
+            # the f32 reduced solve (ops/linalg.refine_psd_solve).
+            dx_a = refine_psd_solve(S, rhs, dx_a, refine,
+                                    use_cholesky=use_cholesky)
     return dx_a.reshape(n_a, da), ok
 
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import manifold as mf
-from ..cost import Cost
+from ..cost import Cost, rss as rss_exact
 from ..diff.auto import flatten_residuals
 from ..optimizers.loop import optimize_from_acc
 from ..options import Options, SolverType
@@ -133,9 +133,9 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
         r, Ja, Jb = linearize_grid(pair_fn, a, b_loc, data_l, mask_l,
                                    spec_a, spec_b, dtype)
         Ba_p, C_l, E_l, ga_p, gb_l, rss_p = blocks_from(r, Ja, Jb, dtype)
-        Ba = jax.lax.psum(Ba_p, axis)
-        g_a = jax.lax.psum(ga_p, axis)
-        rss = jax.lax.psum(rss_p, axis)
+        # one fused all-reduce for the camera-side partials
+        # (parallel/sharded.py rationale)
+        Ba, g_a, rss = jax.lax.psum((Ba_p, ga_p, rss_p), axis)
         g = _to_gl(jnp.concatenate(
             [g_a.reshape(-1), _gather_b(gb_l).reshape(-1)]))
         return SchurSystem(Ba, C_l, E_l, em2gl, gl2em), g, rss
@@ -153,7 +153,7 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
             return jax.vmap(one)(b_loc, d_i, m_i)
 
         r = jax.vmap(one_cam)(a, data_l, mask_l)
-        return jax.lax.psum(jnp.vdot(r, r), axis)
+        return jax.lax.psum(rss_exact(r), axis)
 
     def _eliminate_local(E_l, Bd, Cd_l, g, use_chol, refine=0):
         """Sharded elimination: (dx replicated, ok replicated); g/dx in

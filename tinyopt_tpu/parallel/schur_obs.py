@@ -165,9 +165,9 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
             a, _pad_b_rows(b_loc),
             jax.tree_util.tree_map(_pad_rows, obs_l),
             _pad_rows(cam_l), _pad_rows(mask_l))
-        Ba = jax.lax.psum(Ba_p, axis)
-        g_a = jax.lax.psum(ga_p, axis)
-        rss = jax.lax.psum(rss_p, axis)
+        # one fused all-reduce for the camera-side partials
+        # (parallel/sharded.py rationale)
+        Ba, g_a, rss = jax.lax.psum((Ba_p, ga_p, rss_p), axis)
         g = _to_gl(jnp.concatenate(
             [g_a.reshape(-1), _gather_b(g_b[:nb_loc]).reshape(-1)]))
         return (SchurObsSystem(Ba, C_f[:nb_loc], E_f[:nb_loc], cam_l,
@@ -194,8 +194,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         cam_p = _pad_rows(cam_l)
         S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_p, g_b_p)
         # The ONLY cross-landmark sums in the algebra: complete them once.
-        S_f = jax.lax.psum(S_f, axis)
-        rhs_acc = jax.lax.psum(rhs_acc, axis)
+        S_f, rhs_acc = jax.lax.psum((S_f, rhs_acc), axis)
         dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a, use_chol,
                                     refine)
         ok = ok & jnp.all(jnp.isfinite(dx_a))

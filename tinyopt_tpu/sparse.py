@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import manifold as mf
-from .cost import Cost
+from .cost import Cost, rss as rss_exact
 from .diff.auto import flatten_residuals, value_and_jacfwd
 from .optimize import _BoundedCache
 from .optimizers.loop import optimize_from_acc
@@ -124,7 +124,7 @@ def block_nlls_system(block_fn: Callable, x0: jax.Array, data=None):
         r, J = value_and_jacfwd(
             lambda v: flatten_residuals(fn(v, db)).astype(dtype), xb)
         return (jnp.matmul(J.T, J, preferred_element_type=dtype),
-                J.T @ r, jnp.vdot(r, r))
+                J.T @ r, rss_exact(r))
 
     def accumulate(x):
         Hs, gs, cs = jax.vmap(one)(x, data_arg)
@@ -133,7 +133,7 @@ def block_nlls_system(block_fn: Callable, x0: jax.Array, data=None):
     def evaluate(x):
         def c_one(xb, db):
             r = flatten_residuals(fn(xb, db)).astype(dtype)
-            return jnp.vdot(r, r)
+            return rss_exact(r)
         return Cost.make(jnp.sum(jax.vmap(c_one)(x, data_arg)), n_res)
 
     return accumulate, evaluate, n_res
@@ -199,11 +199,11 @@ def matfree_system(residual_fn: Callable, x0, spec: mf.TangentSpec,
         delta0 = mf.zero_tangent(x, spec)
         r, vjp_fn = jax.vjp(lambda d: r_of_delta(d, x), delta0)
         g = vjp_fn(r)[0]
-        return LinPoint(x), g, Cost.make(jnp.vdot(r, r), n_res)
+        return LinPoint(x), g, Cost.make(rss_exact(r), n_res)
 
     def evaluate(x):
         r = flatten_residuals(residual_fn(x)).astype(spec.dtype)
-        return Cost.make(jnp.vdot(r, r), n_res)
+        return Cost.make(rss_exact(r), n_res)
 
     def propose(H: LinPoint, g, lam, opts):
         delta0 = mf.zero_tangent(H.x, spec)
@@ -337,11 +337,11 @@ def sparse_system(residual_fn: Callable, x0, spec: mf.TangentSpec,
         H = SparseSym.from_pattern(h_rows, h_cols, h_vals, dims)
         g = (jnp.zeros((dims,), dtype)
              .at[e_cols_j].add(j_vals * r[e_rows_j]))
-        return H, g, Cost.make(jnp.vdot(r, r), n_res)
+        return H, g, Cost.make(rss_exact(r), n_res)
 
     def evaluate(x):
         r = flatten_residuals(residual_fn(x)).astype(dtype)
-        return Cost.make(jnp.vdot(r, r), n_res)
+        return Cost.make(rss_exact(r), n_res)
 
     return accumulate, evaluate, n_res
 

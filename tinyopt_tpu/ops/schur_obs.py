@@ -282,10 +282,10 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
             g_a = g_a + jax.ops.segment_sum(
                 _esum("jkra,jkr->jka", Ja, r).reshape(CH * K, da),
                 cam_c.reshape(-1), num_segments=n_a)
-            E_f = _upd(E_f, jnp.einsum(
+            E_f = _upd(E_f, _esum(
                 "jkra,jkrb->jkab", Ja, Jb,
                 preferred_element_type=dtype).reshape(CH, K * da * db), c)
-            C_f = _upd(C_f, jnp.einsum(
+            C_f = _upd(C_f, _esum(
                 "jkra,jkrb->jab", Jb, Jb,
                 preferred_element_type=dtype).reshape(CH, db * db), c)
             g_b = _upd(g_b, _esum("jkrb,jkr->jb", Jb, r), c)

@@ -57,15 +57,48 @@ def _callbacks_supported() -> bool:
     global _CB_OK
     if _CB_OK is None:
         import warnings
+        # Known-bad platform first: the axon tunnel REJECTS host
+        # send/recv, but its rejection is raised asynchronously and can
+        # surface inside a LATER computation — a dynamic probe is
+        # therefore unreliable on it (observed both outcomes in one day,
+        # 2026-08-20).  platform_version carries the plugin name.
         try:
-            jax.jit(lambda: jax.debug.print("", ordered=False))()
+            ver = getattr(jax.devices()[0].client, "platform_version", "")
+            if "axon" in ver.lower():
+                warnings.warn(
+                    "tinyopt_tpu: the axon backend does not support host "
+                    "callbacks; per-iteration logging (options.log."
+                    "enable) is disabled.", RuntimeWarning)
+                _CB_OK = False
+                return False
+        except Exception:  # noqa: BLE001 - fall through to the probe
+            pass
+        try:
+            # Probe rules learned on axon (2026-08-20):
+            # * print a TRACED value — a constant/empty print can be
+            #   folded away and "succeed" on a backend that rejects the
+            #   actual host send/recv;
+            # * force a VALUE read from the same program — the failure
+            #   is raised ASYNCHRONOUSLY, and with only effects_barrier()
+            #   it can surface inside the NEXT dispatched computation
+            #   (observed: probe "passed", then the user's log-enabled
+            #   solve crashed with UNIMPLEMENTED host send/recv).
+            def _p(v):
+                jax.debug.print("{v}", v=v, ordered=False)
+                return v + 1.0
+            # ensure_compile_time_eval: the first probe call often happens
+            # while TRACING a jitted solve — float() of a nested-jit
+            # result would be a ConcretizationTypeError there.
+            with jax.ensure_compile_time_eval():
+                float(jax.jit(_p)(jnp.zeros(())))
             jax.effects_barrier()
             _CB_OK = True
-        except Exception:  # noqa: BLE001 - any backend failure means "no"
+        except Exception as e:  # noqa: BLE001 - any backend failure = "no"
             warnings.warn(
                 "tinyopt_tpu: this JAX backend does not support host "
                 "callbacks; per-iteration logging (options.log.enable) is "
-                "disabled.", RuntimeWarning)
+                f"disabled. Probe failure: {type(e).__name__}: "
+                f"{str(e)[:200]}", RuntimeWarning)
             _CB_OK = False
     return _CB_OK
 

@@ -323,15 +323,30 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
 
         return jax.lax.fori_loop(0, n_p // CH, body, jnp.zeros((), dtype))
 
+    # Static strict-lower slot-pair lists for the symmetry-halved scatter
+    # (k > l); diagonal slot pairs (k == l) accumulate separately.
+    _ks = jnp.asarray([k for k in range(K) for l in range(k)], jnp.int32)
+    _ls = jnp.asarray([l for k in range(K) for l in range(k)], jnp.int32)
+    P_tri = int(_ks.shape[0])           # K(K-1)/2
+
     def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
         """Pass A: (S_f, rhs_acc, Cinv_f) — the reduced-camera-system
         partials E C⁻¹ Eᵀ (flat (n_a², da²) scatter target) and E C⁻¹ g_b,
         stashing C⁻¹ per point.  Every expanded tensor is O(CH · K² · da²).
+
+        TPU scatter cost is per-ROW serialization (~0.13-2 µs/row
+        measured, the dominant cost of the whole propose at BA scale), so
+        the camera-pair scatter exploits S's symmetry: only the K(K-1)/2
+        strict-lower slot pairs are computed and scattered (mirror blocks
+        are their transposes), the k==l pairs go to a per-camera diagonal
+        accumulator via one segment_sum, and the full S is reconstructed
+        densely at the end — S(i,i') = X(i,i') + X(i',i)ᵀ + diag.  1.78x
+        fewer scatter rows AND 1.78x fewer block flops, exact algebra.
         """
         n_p = cam_p.shape[0]
 
         def bodyA(c, carry):
-            S_f, rhs, Cinv_f = carry
+            S_f, S_diag, rhs, Cinv_f = carry
             E_c = _sl(E_p, c).reshape(CH, K, da, db)
             Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
             cam_c = _sl(cam_p, c)
@@ -350,22 +365,38 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
                     (L, True), eye))(chol)
             EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
                               preferred_element_type=dtype)
-            blocks = _esum("jkac,jlbc->jklab", EC_c, E_c,
+            # strict-lower slot pairs only (mirrors are transposes)
+            blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, _ks],
+                               E_c[:, _ls], preferred_element_type=dtype)
+            ids_tri = (jnp.take(cam_c, _ks, axis=1) * n_a
+                       + jnp.take(cam_c, _ls, axis=1)).reshape(-1)
+            S_f = S_f.at[ids_tri].add(
+                blocks_tri.reshape(CH * P_tri, da * da))
+            # k == l diagonal slot pairs: per-camera accumulator
+            blocks_diag = _esum("jkac,jkbc->jkab", EC_c, E_c,
                                 preferred_element_type=dtype)
-            ids = (cam_c[:, :, None] * n_a
-                   + cam_c[:, None, :]).reshape(-1)
-            S_f = S_f.at[ids].add(blocks.reshape(CH * K * K, da * da))
+            S_diag = S_diag + jax.ops.segment_sum(
+                blocks_diag.reshape(CH * K, da * da),
+                cam_c.reshape(-1), num_segments=n_a)
             g_b_c = _sl(g_b_p, c)
             rhs = rhs.at[cam_c.reshape(-1)].add(
                 _esum("jkac,jc->jka", EC_c, g_b_c).reshape(
                     CH * K, da))
             Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
-            return S_f, rhs, Cinv_f
+            return S_f, S_diag, rhs, Cinv_f
 
         initA = (jnp.zeros((n_a * n_a, da * da), dtype),
+                 jnp.zeros((n_a, da * da), dtype),
                  jnp.zeros((n_a, da), dtype),
                  jnp.zeros((n_p, db * db), dtype))
-        return jax.lax.fori_loop(0, n_p // CH, bodyA, initA)
+        S_f, S_diag, rhs, Cinv_f = jax.lax.fori_loop(
+            0, n_p // CH, bodyA, initA)
+        # Dense reconstruction: S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag
+        X = S_f.reshape(n_a, n_a, da, da)
+        X = X + X.transpose(1, 0, 3, 2)
+        idx = jnp.arange(n_a)
+        X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
+        return X.reshape(n_a * n_a, da * da), rhs, Cinv_f
 
     def backsub_pass(E_p, Cinv_f, cam_p, g_b_p, dx_a):
         """Pass C: landmark back-substitution dx_b = C⁻¹(−g_b − Eᵀ dx_a)."""

@@ -363,14 +363,23 @@ def bench_ba_sparse(n_cams: int = 1000, n_pts: int = 50_000,
         return to.schur_sparse_optimize(
             (x0["poses"], pts0), pair_fn, obs, cam_idx, mask, opts)
 
-    # warm with perturbed landmarks (cache honesty, see bench_ba)
+    # warm with perturbed landmarks (cache honesty, see bench_ba), then
+    # best-of-2 timed runs from DIFFERENTLY-perturbed starts: wall on the
+    # shared axon tunnel varies up to ~3x between invocations (server
+    # load / executable (re)loading), and distinct inputs keep every
+    # timed run un-servable from the execution cache.
     x, out = run(x0["points"] + jnp.asarray(1e-3, dtype))
     jax.block_until_ready(jax.tree_util.tree_leaves(x))
-    t0 = time.perf_counter()
-    x, out = run(x0["points"])
-    rmse = float(reprojection_rmse_sparse(
-        {"poses": x[0], "points": x[1]}, obs, cam_idx, mask))
-    wall = time.perf_counter() - t0
+    wall = float("inf")
+    rng = np.random.default_rng(0)
+    for rep in range(2):
+        pts0 = x0["points"] + jnp.asarray(
+            rng.normal(0.0, 1e-6, x0["points"].shape), dtype)
+        t0 = time.perf_counter()
+        x, out = run(pts0)
+        rmse = float(reprojection_rmse_sparse(
+            {"poses": x[0], "points": x[1]}, obs, cam_idx, mask))
+        wall = min(wall, time.perf_counter() - t0)
     iters = int(out.num_iters)
     # Peak-memory evidence for the flat-layout claim (the dense grid's E
     # alone would be n_cams·n_pts·6·3 f32 ≈ 3.6 TB; memory_stats is

@@ -1,0 +1,111 @@
+"""BAL bundle adjustment — run: python examples/bal_problems.py
+
+The "Bundle Adjustment in the Large" workflow end-to-end: a 9-parameter
+camera instance (angle-axis rotation, translation, focal + two radial
+distortion coefficients; BAL's −z viewing convention) is written to the
+published text format, loaded back, solved with the point-major Schur
+solver, and finally re-solved under 15% gross outliers with graduated
+non-convexity — the production SfM pipeline in miniature.  Drop in a
+downloaded problem-*.txt.bz2 from grail.cs.washington.edu/projects/bal
+via --bal-file to run on the real datasets.
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+import tinyopt_tpu as to
+from tinyopt_tpu.losses import (geman_mcclure, gnc_anneal, gnc_schedule,
+                                robust_whiten)
+from tinyopt_tpu.models.bal import (bal_residual, bal_rmse, load_bal,
+                                    make_bal_problem, write_bal)
+
+
+def solve(x0, obs, cam_idx, mask, opts):
+    (cams, pts), out = to.schur_sparse_optimize(
+        x0, bal_residual, obs, cam_idx, mask, opts)
+    rmse = float(bal_rmse(cams, pts, obs, cam_idx, mask))
+    print(f"  -> rmse {rmse:8.3f} px  iters {int(out.num_iters)}  "
+          f"{out.stop_reason_description()}")
+    return (cams, pts), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bal-file", default=None,
+                    help="a BAL problem-*.txt[.bz2] to load instead of "
+                         "the synthetic instance")
+    args = ap.parse_args()
+
+    opts = to.Options(max_iters=25, max_consec_failures=0,
+                      hessian=to.HessianOptions(save_last=False))
+
+    if args.bal_file:
+        print(f"loading {args.bal_file} ...")
+        (obs, cam_idx, mask), x0 = load_bal(args.bal_file)
+        n_cams = int(np.asarray(x0[0]["intr"]).shape[0])
+        n_pts = int(np.asarray(x0[1]).shape[0])
+        print(f"{n_cams} cameras, {n_pts} points, "
+              f"{int(np.asarray(mask).sum())} observations "
+              f"(K={int(np.asarray(cam_idx).shape[1])})")
+        print("solving (schur_sparse_optimize):")
+        solve(x0, obs, cam_idx, mask, opts)
+        return
+
+    # --- synthetic corridor instance, BAL conventions -----------------
+    (obs, cam_idx, mask), x0, x_true, _ = make_bal_problem(
+        n_cams=16, n_pts=160, k_obs=4, noise=0.5, seed=2)
+    print("synthetic BAL instance: 16 cameras x 160 landmarks, "
+          "0.5 px noise")
+    print(f"rmse at start: "
+          f"{float(bal_rmse(x0[0], x0[1], obs, cam_idx, mask)):.3f} px")
+
+    # round-trip through the published file format
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "problem-16-160.txt")
+        write_bal(path, x0[0], x0[1], obs, cam_idx, mask)
+        (obs, cam_idx, mask), x0 = load_bal(path)
+    print("write_bal -> load_bal round trip ok; solving:")
+    solve(x0, obs, cam_idx, mask, opts)
+
+    # --- 15% gross outliers: plain L2 vs graduated non-convexity ------
+    (obs_o, ci_o, mk_o), x0_o, _, bad = make_bal_problem(
+        n_cams=16, n_pts=160, k_obs=4, noise=0.5, outlier_frac=0.15,
+        seed=2)
+    print("\nsame instance with 15% gross outliers:")
+    print("plain L2 (wrecked):")
+    solve(x0_o, obs_o, ci_o, mk_o, opts)
+
+    print("Geman-McClure GNC (threshold ladder 50 -> 2 px):")
+
+    def stage(x, th2):
+        def rp(cam, pt, ob):
+            return robust_whiten(bal_residual(cam, pt, ob),
+                                 geman_mcclure, th2)
+        return to.schur_sparse_optimize(x, rp, obs_o, ci_o, mk_o, opts)
+
+    x_gnc, out = gnc_anneal(stage, x0_o, gnc_schedule(50.0, 2.0, steps=5))
+    # judge against the CLEAN observations on uncorrupted slots of
+    # determined landmarks (<2 clean rays = legitimately unrecoverable)
+    bad = np.asarray(bad)
+    det = (bad.shape[1] - bad.sum(1)) >= 2
+    good = jnp.asarray((~bad) & det[:, None], obs.dtype)
+    e = float(bal_rmse(x_gnc[0], x_gnc[1], obs, cam_idx,
+                       jnp.asarray(mk_o) * good))
+    print(f"  -> inlier-slot rmse vs CLEAN data: {e:.3f} px "
+          f"(noise 0.5 px — oracle-level recovery)")
+
+
+if __name__ == "__main__":
+    main()

@@ -201,6 +201,57 @@ def measure_schur(n_list=(1, 2, 4, 8), per_dev_landmarks: int = 512,
     return out
 
 
+def measure_schur_obs(n_list=(1, 2, 4, 8), per_dev_landmarks: int = 1024,
+                      n_cams: int = 12, k_obs: int = 4,
+                      reps: int = 5) -> dict:
+    """Weak scaling of the landmark-sharded SPARSE-OBSERVATION Schur BA
+    axis (parallel/schur_obs.py — the point-major production layout).
+
+    One corridor BA problem; landmarks grow with the mesh (per-device
+    count fixed) so per-device slab-kernel work is constant; the fused
+    camera-partial psum, the reduced-system psum and the KB-scale
+    all_gathers are the only cross-device cost.  Returns
+    {n: landmark_iterations_per_second_total}.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tinyopt_tpu.models.bundle_adjustment import (
+        make_ba_problem_sparse, project)
+    from tinyopt_tpu.parallel.schur_obs import sharded_schur_sparse_optimize
+
+    opts = _fixed_iter_options()
+    import dataclasses
+    opts = opts.replace(hessian=dataclasses.replace(
+        opts.hessian, carry_system=True))
+    devs = jax.devices()
+    out = {}
+    for n in n_list:
+        if n > len(devs):
+            continue
+        n_pts = per_dev_landmarks * n
+        (obs, cam_idx, mask), x0, _ = make_ba_problem_sparse(
+            n_cams=n_cams, n_pts=n_pts, k_obs=k_obs, noise=1e-3, seed=3,
+            dtype=jnp.float32)
+
+        def pair_fn(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        mesh = Mesh(np.asarray(devs[:n]), ("block",))
+        xt = (x0["poses"], x0["points"])
+
+        def run():
+            x, o = sharded_schur_sparse_optimize(
+                xt, pair_fn, obs, cam_idx, mask, opts,
+                mesh=mesh, axis="block", chunk=per_dev_landmarks)
+            return x[1]
+
+        wall = _time_min(run, reps)
+        out[n] = n_pts * ITERS / wall
+    return out
+
+
 def measure_tpu_batch_sweep(batches=(10_000, 20_000, 50_000, 100_000),
                             total_solves: int = 10_000_000):
     """Within-chip weak scaling on the real TPU: fused-kernel throughput
@@ -306,6 +357,8 @@ def main():
     for row in _report("block", measure_block(), cores):
         print(json.dumps(row))
     for row in _report("schur", measure_schur(), cores):
+        print(json.dumps(row))
+    for row in _report("schur_obs", measure_schur_obs(), cores):
         print(json.dumps(row))
 
 

@@ -62,6 +62,29 @@ void BuildNormalEquations(const T* J, const T* r, int n_res, int dims,
   }
 }
 
+// Dot product with 8 independent accumulators: the factorization's inner
+// loops are reduction chains, which gcc will not vectorize (or pipeline
+// past the ~4-cycle FMA latency) without value-changing reassociation
+// flags; spelling the reassociation out keeps the semantics defined and
+// -ffast-math (which would delete the isfinite NaN guards) out of the
+// build.  ~1.9x on the prior50 factorization-bound row.
+template <typename T>
+inline T Dot(const T* a, const T* b, int n) {
+  if (n < 8) {  // short dots: accumulator setup costs more than it saves
+    T s = T(0);
+    for (int k = 0; k < n; ++k) s += a[k] * b[k];
+    return s;
+  }
+  T acc[8] = {T(0), T(0), T(0), T(0), T(0), T(0), T(0), T(0)};
+  int k = 0;
+  for (; k + 8 <= n; k += 8)
+    for (int u = 0; u < 8; ++u) acc[u] += a[k + u] * b[k + u];
+  T s = ((acc[0] + acc[1]) + (acc[2] + acc[3])) +
+        ((acc[4] + acc[5]) + (acc[6] + acc[7]));
+  for (; k < n; ++k) s += a[k] * b[k];
+  return s;
+}
+
 // Damped Cholesky solve reading H's lower triangle without a pre-copy:
 // L is factored into a separate buffer from (H + λ·D) on the fly — skips
 // the O(d²) damped copy every proposal costs otherwise.
@@ -69,22 +92,20 @@ template <typename T>
 bool CholeskySolveDamped(const T* H, const T* g, T lam, int n, T* L,
                          T* dx) {
   for (int j = 0; j < n; ++j) {
+    const T* Lj = L + static_cast<size_t>(j) * n;
     const T hjj = H[j * n + j];
-    T d = hjj + lam * (hjj == T(0) ? T(1) : hjj);
-    for (int k = 0; k < j; ++k) d -= L[j * n + k] * L[j * n + k];
+    T d = hjj + lam * (hjj == T(0) ? T(1) : hjj) - Dot(Lj, Lj, j);
     if (!(d > T(0)) || !std::isfinite(d)) return false;
     const T lj = std::sqrt(d);
     L[j * n + j] = lj;
     const T inv = T(1) / lj;
     for (int i = j + 1; i < n; ++i) {
-      T s = H[i * n + j];
-      for (int k = 0; k < j; ++k) s -= L[i * n + k] * L[j * n + k];
-      L[i * n + j] = s * inv;
+      const T* Li = L + static_cast<size_t>(i) * n;
+      L[i * n + j] = (H[i * n + j] - Dot(Li, Lj, j)) * inv;
     }
   }
   for (int i = 0; i < n; ++i) {
-    T s = -g[i];
-    for (int k = 0; k < i; ++k) s -= L[i * n + k] * dx[k];
+    const T s = -g[i] - Dot(L + static_cast<size_t>(i) * n, dx, i);
     dx[i] = s / L[i * n + i];
   }
   for (int i = n - 1; i >= 0; --i) {

@@ -18,6 +18,33 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_code_mappings():
+    """Free compiled-executable code mappings after every test module.
+
+    Each XLA:CPU-compiled executable pins ~3 memory maps (code/rodata/
+    data) for as long as any jit cache references it.  The full suite
+    compiles tens of thousands of executables; without this the process
+    crosses the kernel's default vm.max_map_count (65,530) at ~75% of
+    the suite and mmap failure surfaces as a SEGFAULT inside XLA
+    (diagnosed 2026-08-20: map-count watch hit 64,743 at the crash;
+    dmesg showed the refused allocations).  Per-module clearing bounds
+    live executables to one module's worth at the cost of recompiling
+    cross-module helpers.
+    """
+    yield
+    jax.clear_caches()
+    # Module-level compiled-solve caches (sparse._SOLVE_CACHE) hold
+    # jit-wrapped solves alive across modules; drop them too so their
+    # executables actually unmap.
+    import importlib
+    importlib.import_module("tinyopt_tpu.sparse")._SOLVE_CACHE.clear()
+    # (the package re-exports the optimize FUNCTION, which shadows the
+    # module attribute — import_module reaches the module itself)
+    importlib.import_module("tinyopt_tpu.optimize")._CACHE.clear()

@@ -389,10 +389,56 @@ def bench_ba_sparse(n_cams: int = 1000, n_pts: int = 50_000,
     return wall, rmse, rmse <= 1.2 * max(noise, 1e-9), iters, peak_gb
 
 
+def bench_pose_graph(n_poses: int = 5000, extra_loops: int = 100,
+                     noise: float = 1e-3, seed: int = 4):
+    """Large-scale pose-graph SLAM via the chain direct solver
+    (chain.py: block-tridiagonal one-scan Cholesky + Woodbury loop
+    closures — O(N·d³ + N·d²·m) per iteration, exact, conditioning-
+    independent).  Success: converged AND final cost ≤ 3× the
+    DOF-predicted chi² level (residual count ≈ tangent dims on a chain,
+    so E[cost] ≈ DOF·σ²).  Returns (wall_s, cost, chi2_level, iters,
+    converged).
+    """
+    import jax
+    import jax.numpy as jnp
+    import tinyopt_tpu as to
+    from tinyopt_tpu.models.pose_graph import (make_pose_graph,
+                                               pose_graph_optimize)
+
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    data, x0, _ = make_pose_graph(
+        n_poses=n_poses, extra_loops=extra_loops, noise=noise,
+        init_noise=0.05, seed=seed, dtype=dtype)
+    opts = to.Options(hessian=to.HessianOptions(save_last=False))
+    if dtype == jnp.float32:
+        opts = opts.for_dtype(dtype)
+
+    def run(x):
+        return pose_graph_optimize(x, data, opts)
+
+    # warm with a PERTURBED start (axon execution-cache honesty)
+    from tinyopt_tpu.manifolds import SE3
+    x_w = jax.vmap(lambda p, k: SE3(p.rotation, p.translation
+                                    + jnp.asarray(1e-5, dtype)))(
+        x0, jnp.arange(n_poses))
+    _, out_w = run(x_w)
+    jax.block_until_ready(out_w.final_cost.cost)
+    t0 = time.perf_counter()
+    x, out = run(x0)
+    cost = float(out.final_cost)            # forced read = completion
+    wall = time.perf_counter() - t0
+    n_res = 6 * int(data.edges.shape[0]) + 6
+    dof = max(n_res - 6 * n_poses, 1)
+    chi2 = dof * noise ** 2
+    ok = bool(out.converged) and cost <= 3.0 * chi2
+    return wall, cost, chi2, int(out.num_iters), ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("only", nargs="?", default=None,
-                    choices=["bench_ba", "bench_ba_sparse"],
+                    choices=["bench_ba", "bench_ba_sparse",
+                             "bench_pose_graph"],
                     help="run a single benchmark instead of the full sweep")
     ap.add_argument("--batch", type=int, default=10_000)
     ap.add_argument("--skip-tpu", action="store_true")
@@ -409,6 +455,15 @@ def main():
         for k, (wall, rmse, ok) in ba.items():
             print(f"  {k:<8} {wall:7.2f} s  rmse={rmse:.2e}  "
                   f"{'converged' if ok else 'NOT CONVERGED'}")
+        return
+    if args.only == "bench_pose_graph":
+        wall, cost, chi2, iters, ok = bench_pose_graph()
+        print("Pose-graph SLAM 5000 poses + 100 loop closures (30,000 "
+              "tangent dims; chain direct solver, criterion cost <= "
+              "3x DOF-chi2):")
+        print(f"  chain    {wall:7.2f} s  cost={cost:.2e}  "
+              f"chi2={chi2:.2e}  iters={iters}  "
+              f"{'converged' if ok else 'NOT CONVERGED'}")
         return
     if args.only == "bench_ba_sparse":
         wall, rmse, ok, iters, peak_gb = bench_ba_sparse()
@@ -472,6 +527,13 @@ def main():
         for k, (wall, rmse, ok) in ba.items():
             print(f"  {k:<8} {wall:7.2f} s  rmse={rmse:.2e}  "
                   f"{'converged' if ok else 'NOT CONVERGED'}")
+
+        wall, cost, chi2, iters, ok = bench_pose_graph()
+        print("\nPose-graph SLAM 5000 poses + 100 loop closures (30,000 "
+              "tangent dims; chain direct solver):")
+        print(f"  chain    {wall:7.2f} s  cost={cost:.2e}  "
+              f"chi2={chi2:.2e}  iters={iters}  "
+              f"{'converged' if ok else 'NOT CONVERGED'}")
 
 
 if __name__ == "__main__":

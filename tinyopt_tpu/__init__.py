@@ -41,6 +41,7 @@ from .profiling import profile_iterations, dispatch_floor
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
                      schur_sparse_optimize, sparse_optimize)
+from .chain import ChainSystem, chain_optimize
 from .ops.block import BlockDiag
 from .version import __version__
 
@@ -79,6 +80,7 @@ __all__ = [
     "profile_iterations", "dispatch_floor",
     "block_optimize", "matfree_optimize", "sparse_optimize",
     "schur_optimize", "schur_sparse_optimize", "BlockDiag",
+    "chain_optimize", "ChainSystem",
     "implicit", "implicit_solver",
     "__version__",
 ]

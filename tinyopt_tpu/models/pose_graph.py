@@ -62,17 +62,27 @@ def make_pose_graph(n_poses: int = 12, extra_loops: int = 4,
                     dtype=jnp.float64, seed: int = 0):
     """Synthetic pose graph: a chain (odometry) plus random loop closures.
 
-    Returns ``(data, x0 poses, true poses)``.
+    Returns ``(data, x0 poses, true poses)``.  Fully vectorized (one
+    ``lax.scan`` for the chain, one vmap for the measurements) so
+    thousand-pose benchmark graphs build in milliseconds.
     """
     rng = np.random.default_rng(seed)
-    # Ground-truth trajectory: random smooth chain
+    # Ground-truth trajectory: random smooth chain, composed by scan
     deltas = 0.4 * rng.uniform(-1, 1, (n_poses - 1, 6))
-    true = [SE3.identity(dtype)]
-    for k in range(n_poses - 1):
-        true.append(true[-1] @ SE3.exp(jnp.asarray(deltas[k], dtype)))
+    ident = SE3.identity(dtype)
+
+    def chain_step(carry, dlt):
+        q, t = carry
+        nxt = SE3(SO3(q), t) @ SE3.exp(dlt)
+        out = (nxt.rotation.wxyz, nxt.translation)
+        return out, out
+
+    _, (qs, ts) = jax.lax.scan(
+        chain_step, (ident.rotation.wxyz, ident.translation),
+        jnp.asarray(deltas, dtype))
     true_poses = SE3(
-        SO3(jnp.stack([p.rotation.wxyz for p in true])),
-        jnp.stack([p.translation for p in true]))
+        SO3(jnp.concatenate([ident.rotation.wxyz[None], qs])),
+        jnp.concatenate([ident.translation[None], ts]))
 
     edges = [(k, k + 1) for k in range(n_poses - 1)]
     for _ in range(extra_loops):
@@ -81,18 +91,21 @@ def make_pose_graph(n_poses: int = 12, extra_loops: int = 4,
             edges.append((int(i), int(j)))
     edges = np.asarray(edges, np.int32)
 
-    meas_q, meas_t = [], []
-    for (i, j) in edges:
-        rel = true[i].inverse() @ true[j]
-        dq = noise * rng.normal(size=6)
-        noisy = rel @ SE3.exp(jnp.asarray(dq, dtype))
-        meas_q.append(noisy.rotation.wxyz)
-        meas_t.append(noisy.translation)
+    dq = noise * rng.normal(size=(edges.shape[0], 6))
+
+    def edge_meas(e, w):
+        rel = _rel(true_poses, e[0], e[1])
+        noisy = rel @ SE3.exp(jnp.asarray(w, dtype))
+        return noisy.rotation.wxyz, noisy.translation
+
+    meas_q, meas_t = jax.vmap(edge_meas)(jnp.asarray(edges),
+                                         jnp.asarray(dq, dtype))
 
     data = PoseGraphData(
         edges=jnp.asarray(edges),
-        meas_q=jnp.stack(meas_q), meas_t=jnp.stack(meas_t),
-        anchor_q=true[0].rotation.wxyz, anchor_t=true[0].translation)
+        meas_q=meas_q, meas_t=meas_t,
+        anchor_q=true_poses.rotation.wxyz[0],
+        anchor_t=true_poses.translation[0])
 
     # Perturbed initial guess (anchor kept exact)
     dw = init_noise * rng.normal(size=(n_poses, 6))
@@ -101,3 +114,33 @@ def make_pose_graph(n_poses: int = 12, extra_loops: int = 4,
         jnp.asarray(w, dtype)))(true_poses.rotation.wxyz,
                                 true_poses.translation, jnp.asarray(dw))
     return data, x0, true_poses
+
+
+def pose_graph_edge_fn(x_i: SE3, x_j: SE3, data_e) -> jax.Array:
+    """One relative-pose residual log(Ẑᵢⱼ⁻¹ · Xᵢ⁻¹ · Xⱼ) for
+    :func:`tinyopt_tpu.chain.chain_optimize` (``data_e = (q, t)``)."""
+    q, t = data_e
+    return (SE3(SO3(q), t).inverse() @ (x_i.inverse() @ x_j)).log()
+
+
+def pose_graph_optimize(x0: SE3, data: PoseGraphData, options=None,
+                        **kw):
+    """Direct large-scale pose-graph solve via the chain solver.
+
+    Odometry edges (j == i+1) form the block-tridiagonal backbone
+    (exact one-scan Cholesky); loop closures enter through the Woodbury
+    low-rank correction — per-iteration cost O(N·d³ + N·d²·m + m³),
+    conditioning-independent, no dense H.  See
+    :func:`tinyopt_tpu.chain.chain_optimize`.
+    """
+    from ..chain import chain_optimize
+
+    def anchor_fn(x_n: SE3, dd):
+        q, t = dd
+        return (SE3(SO3(q), t).inverse() @ x_n).log()
+
+    return chain_optimize(
+        x0, pose_graph_edge_fn, np.asarray(data.edges),
+        (data.meas_q, data.meas_t), options,
+        unary_fn=anchor_fn, unary_nodes=np.asarray([0]),
+        unary_data=(data.anchor_q[None], data.anchor_t[None]), **kw)

@@ -1,0 +1,229 @@
+"""Block-tridiagonal Cholesky + Woodbury low-rank correction.
+
+The direct solver for CHAIN-structured normal equations — the pose-graph
+/ odometry backbone of SLAM: N parameter blocks where consecutive blocks
+are coupled by measurements (block-tridiagonal H₀) plus a handful of
+loop-closure measurements that couple distant blocks (a rank-m update
+U·Uᵀ with m = Σ loop residual dims ≪ N·d).
+
+TPU-native design notes
+-----------------------
+* The factorization is ONE ``lax.scan`` over the N blocks — the block
+  recurrence is inherently sequential (each step's Cholesky depends on
+  the previous factor), but every step is a fixed bundle of tiny (d×d)
+  ops, so the whole factor+solve compiles to a single fused loop with no
+  dynamic shapes.  Solves batch over right-hand sides: the k columns of
+  ``b`` ride through the triangular solves as one (d, k) matmul per
+  step, which is how the Woodbury correction gets T⁻¹U for all m
+  columns in the SAME two sweeps that solve T⁻¹g.
+* Exactness replaces iteration: a chain of N poses has condition number
+  growing like O(N²), which is exactly where Jacobi-PCG (the general
+  sparse path, ops/sparse_sym.py) needs O(N) iterations — the direct
+  factorization is conditioning-independent and costs O(N·d³) once.
+* Failure (non-PD after damping) surfaces as NaN from ``cholesky`` and
+  is reported through ``ok`` for the loop's λ-escalation, mirroring the
+  dense path's contract (solvers/step.propose_step; reference
+  math.h:232-240 returns nullopt on LDLT failure).
+
+The reference has no counterpart — its sparse path hands the whole
+pattern to Eigen's SimplicialLDLT (reference: solvers/gn.h:63-74,
+math.h:266-277); this module is the TPU-first replacement for the
+chain+loops regime (see tinyopt_tpu/chain.py for the optimizer entry).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+
+def block_tridiag_factor(D: jax.Array, B: jax.Array):
+    """Block Cholesky ``H₀ = L Lᵀ`` of the symmetric block-tridiagonal
+    matrix with diagonal blocks ``D`` (N, d, d) and sub-diagonal blocks
+    ``B`` (N-1, d, d) (``H₀[i+1, i] = B[i]``).
+
+    Returns ``(L, M, ok)``: ``L`` (N, d, d) lower-triangular diagonal
+    factor blocks, ``M`` (N-1, d, d) sub-diagonal factor blocks, and
+    ``ok`` scalar bool (False when any pivot block was not PD — the
+    factor then contains NaNs and must not be used).
+    """
+    N, d, _ = D.shape
+
+    def step(L_prev, inp):
+        D_i, B_im1 = inp
+        # M_i L_prevᵀ = B_im1  ⇒  L_prev M_iᵀ = B_im1ᵀ
+        Mt = solve_triangular(L_prev, B_im1.T, lower=True)
+        M_i = Mt.T
+        L_i = jnp.linalg.cholesky(D_i - M_i @ M_i.T)
+        return L_i, (L_i, M_i)
+
+    # HIGHEST matmul precision throughout: TPU DEFAULT bf16-truncates
+    # dot_general operands and the chain's O(N²) conditioning amplifies
+    # the truncation into factorization failure (CLAUDE.md discipline).
+    with jax.default_matmul_precision("highest"):
+        L0 = jnp.linalg.cholesky(D[0])
+        if N == 1:
+            L = L0[None]
+            M = jnp.zeros((0, d, d), D.dtype)
+        else:
+            _, (L_rest, M) = jax.lax.scan(step, L0, (D[1:], B))
+            L = jnp.concatenate([L0[None], L_rest])
+    ok = jnp.all(jnp.isfinite(L))
+    return L, M, ok
+
+
+def block_tridiag_solve(L: jax.Array, M: jax.Array, b: jax.Array
+                        ) -> jax.Array:
+    """Solve ``H₀ x = b`` from the factor ``(L, M)``.
+
+    ``b`` is (N, d) or (N, d, k) — k right-hand sides are solved
+    together (each scan step's triangular solve is one (d, k) matmul).
+    """
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+    N = L.shape[0]
+
+    with jax.default_matmul_precision("highest"):
+        # forward: L y = b
+        y0 = solve_triangular(L[0], b[0], lower=True)
+        if N > 1:
+            def fwd(y_prev, inp):
+                L_i, M_im1, b_i = inp
+                y_i = solve_triangular(L_i, b_i - M_im1 @ y_prev,
+                                       lower=True)
+                return y_i, y_i
+
+            _, y_rest = jax.lax.scan(fwd, y0, (L[1:], M, b[1:]))
+            y = jnp.concatenate([y0[None], y_rest])
+        else:
+            y = y0[None]
+
+        # backward: Lᵀ x = y
+        xN = solve_triangular(L[N - 1].T, y[N - 1], lower=False)
+        if N > 1:
+            def bwd(x_next, inp):
+                L_i, M_i, y_i = inp
+                x_i = solve_triangular(L_i.T, y_i - M_i.T @ x_next,
+                                       lower=False)
+                return x_i, x_i
+
+            _, x_rest = jax.lax.scan(bwd, xN, (L[:-1], M, y[:-1]),
+                                     reverse=True)
+            x = jnp.concatenate([x_rest, xN[None]])
+        else:
+            x = xN[None]
+    return x[..., 0] if squeeze else x
+
+
+def block_tridiag_cr_solve(D: jax.Array, B: jax.Array, b: jax.Array
+                           ) -> jax.Array:
+    """Solve the SPD block-tridiagonal system by block CYCLIC REDUCTION
+    — the log-depth parallel alternative to the sequential scan.
+
+    Each level eliminates all ODD blocks at once (one batched (d×d)
+    Cholesky + a handful of batched matmuls over N/2 blocks) and
+    recurses on the even half: ⌈log₂N⌉ sequential stages instead of N
+    scan steps.  On TPU the scan is LATENCY-bound (~N × tiny-op chain —
+    measured 3.9 s/solve-chain at N=5000 on v5e); CR does ~2× the
+    flops but in ~13 batched stages (~ms).  For SPD systems CR is the
+    Cholesky of a nested-dissection reordering — numerically stable.
+    ``b`` is (N, d) or (N, d, k).  Non-PD pivots surface as NaNs in the
+    result (check finiteness for the λ-escalation contract).
+
+    The whole reduction runs at HIGHEST matmul precision: TPU DEFAULT
+    bf16-truncates dot_general operands, and a chain's conditioning
+    (O(N²)) amplifies the truncation into outright divergence (the same
+    failure mode as CLAUDE.md's Schur-BA precision discipline; measured
+    on the 5000-pose graph: DEFAULT f32 diverges, exact f32 converges).
+    """
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+    with jax.default_matmul_precision("highest"):
+        x = _cr_solve(D, B, b)
+    return x[..., 0] if squeeze else x
+
+
+def _cr_solve(D, B, b):
+    N, d, _ = D.shape
+    if N == 1:
+        L0 = jnp.linalg.cholesky(D[0])
+        return cho_solve((L0, True), b[0])[None]
+    if N == 2:
+        # base case (an even pad would recurse 2→3→2 forever): Schur-
+        # eliminate block 1 into block 0
+        L1 = jnp.linalg.cholesky(D[1])
+        Y = cho_solve((L1, True), B[0])           # D₁⁻¹ B₀
+        yb = cho_solve((L1, True), b[1])
+        L0 = jnp.linalg.cholesky(D[0] - B[0].T @ Y)
+        x0 = cho_solve((L0, True), b[0] - B[0].T @ yb)
+        x1 = yb - Y @ x0
+        return jnp.stack([x0, x1])
+    n0 = N
+    if N % 2 == 0:
+        # decoupled identity pad → odd size, so every odd block has
+        # both even neighbors (trimmed off the returned solution)
+        D = jnp.concatenate([D, jnp.eye(d, dtype=D.dtype)[None]])
+        B = jnp.concatenate([B, jnp.zeros((1, d, d), D.dtype)])
+        b = jnp.concatenate([b, jnp.zeros((1,) + b.shape[1:], b.dtype)])
+        N += 1
+    Do, bo = D[1::2], b[1::2]                  # odd blocks (Mo = N//2)
+    Bl = B[0::2]                               # B[2k]   = H[2k+1, 2k]
+    Br = B[1::2]                               # B[2k+1] = H[2k+2, 2k+1]
+    Lo = jnp.linalg.cholesky(Do)
+    solve_o = jax.vmap(lambda L, X: cho_solve((L, True), X))
+    Yl = solve_o(Lo, Bl)                       # D⁻¹ Bl
+    Zr = solve_o(Lo, jnp.swapaxes(Br, -1, -2))  # D⁻¹ Brᵀ
+    Yb = solve_o(Lo, bo)                       # D⁻¹ b_odd
+    De = D[0::2]
+    be = b[0::2]
+    De = De.at[1:].add(-jnp.einsum("kab,kbc->kac", Br, Zr))
+    De = De.at[:-1].add(-jnp.einsum("kba,kbc->kac", Bl, Yl))
+    be = be.at[1:].add(-jnp.einsum("kab,kbr->kar", Br, Yb))
+    be = be.at[:-1].add(-jnp.einsum("kba,kbr->kar", Bl, Yb))
+    Be = -jnp.einsum("kab,kbc->kac", Br, Yl)
+    x_even = _cr_solve(De, Be, be)
+    x_odd = (Yb - jnp.einsum("kab,kbr->kar", Yl, x_even[:-1])
+             - jnp.einsum("kab,kbr->kar", Zr, x_even[1:]))
+    x = jnp.zeros((N,) + x_even.shape[1:], x_even.dtype)
+    x = x.at[0::2].set(x_even).at[1::2].set(x_odd)
+    return x[:n0]
+
+
+def tridiag_woodbury_solve(D: jax.Array, B: jax.Array, U: jax.Array,
+                           b: jax.Array, method: str = "scan"):
+    """Solve ``(T + U Uᵀ) x = b`` with T block-tridiagonal ``(D, B)``
+    and ``U`` (N, d, m) a tall low-rank factor (loop closures).
+
+    Woodbury: x = z_b − Z_U (I_m + Uᵀ Z_U)⁻¹ Uᵀ z_b with
+    ``[z_b, Z_U] = T⁻¹ [b, U]`` — ONE tridiagonal solve with 1+m
+    right-hand sides, then an (m, m) dense Cholesky.  Returns
+    ``(x (N, d), ok)``; requires m ≪ N·d to beat a general solver.
+    ``method``: "scan" (sequential factor+solve — lowest flops, right
+    for CPU) or "cr" (log-depth cyclic reduction — right for TPU, where
+    the scan is latency-bound).  The small capacitance solve runs at
+    HIGHEST precision — it is the only place the N-long chains of the
+    two sweeps get mixed, and TPU DEFAULT would bf16-truncate its
+    dot_generals (see CLAUDE.md's f32 precision discipline).
+    """
+    N, d, m = U.shape
+    rhs = jnp.concatenate([b[..., None], U], axis=-1)     # (N, d, 1+m)
+    if method == "cr":
+        Z = block_tridiag_cr_solve(D, B, rhs)
+        ok = jnp.all(jnp.isfinite(Z))
+    else:
+        L, M, ok = block_tridiag_factor(D, B)
+        Z = block_tridiag_solve(L, M, rhs)
+    z_b, Z_U = Z[..., 0], Z[..., 1:]
+    if m == 0:
+        return z_b, ok & jnp.all(jnp.isfinite(z_b))
+    with jax.default_matmul_precision("highest"):
+        W = jnp.eye(m, dtype=U.dtype) + jnp.einsum(
+            "ndm,ndp->mp", U, Z_U)
+        Lw = jnp.linalg.cholesky(W)
+        c = cho_solve((Lw, True), jnp.einsum("ndm,nd->m", U, z_b))
+        x = z_b - jnp.einsum("ndm,m->nd", Z_U, c)
+    ok = ok & jnp.all(jnp.isfinite(Lw)) & jnp.all(jnp.isfinite(x))
+    return x, ok

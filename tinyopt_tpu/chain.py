@@ -56,16 +56,24 @@ class ChainSystem(NamedTuple):
     diag: jax.Array   #: (N, d) full diag(H)
 
     def matvec(self, v: jax.Array) -> jax.Array:
-        """H·v for a flat element-major tangent v (N·d,)."""
+        """H·v for a flat element-major tangent v (N·d,).
+
+        HIGHEST precision: TPU DEFAULT bf16-truncates dot_general
+        operands and the chain's O(N²) conditioning amplifies the
+        truncation (CLAUDE.md f32 discipline; the tridiag solves that
+        consume this system are already pinned)."""
         N, d, _ = self.D.shape
         v2 = v.reshape(N, d)
-        o = jnp.einsum("nab,nb->na", self.D, v2)
-        if N > 1:
-            o = o.at[1:].add(jnp.einsum("nab,nb->na", self.B, v2[:-1]))
-            o = o.at[:-1].add(jnp.einsum("nba,nb->na", self.B, v2[1:]))
-        if self.U.shape[-1]:
-            w = jnp.einsum("ndm,nd->m", self.U, v2)
-            o = o + jnp.einsum("ndm,m->nd", self.U, w)
+        with jax.default_matmul_precision("highest"):
+            o = jnp.einsum("nab,nb->na", self.D, v2)
+            if N > 1:
+                o = o.at[1:].add(
+                    jnp.einsum("nab,nb->na", self.B, v2[:-1]))
+                o = o.at[:-1].add(
+                    jnp.einsum("nba,nb->na", self.B, v2[1:]))
+            if self.U.shape[-1]:
+                w = jnp.einsum("ndm,nd->m", self.U, v2)
+                o = o + jnp.einsum("ndm,m->nd", self.U, w)
         return o.reshape(-1)
 
 
@@ -153,43 +161,51 @@ def chain_system(x0, edge_fn: Callable, edges: np.ndarray, edge_data,
         return jax.vmap(one)(x_n, unary_data)
 
     def accumulate(x):
+        # HIGHEST precision on every assembly contraction: on TPU f32,
+        # DEFAULT truncates dot_general operands to bf16 and the
+        # resulting Hessian/gradient error stalls the flagship f32
+        # pose-graph run (same failure mode as the Schur paths — see
+        # CLAUDE.md precision discipline; ops/tridiag.py pins its
+        # solves, but consumed D/B/U/g must be exact too).
         x = mf.as_pytree(x)
         r, Ji, Jj = edge_linearize(x)
         rss = rss_exact(r)
-        # gradient: every edge endpoint (loops included — g is exact)
-        g_contrib = jnp.concatenate([
-            jnp.einsum("ema,em->ea", Ji, r),
-            jnp.einsum("ema,em->ea", Jj, r)])
-        g = jax.ops.segment_sum(
-            g_contrib, jnp.concatenate([ei, ej]), num_segments=N)
-        # tridiagonal backbone: chain edges only
-        Jic, Jjc = Ji[chain_sel], Jj[chain_sel]
-        cci = ei[chain_sel]
-        D = jax.ops.segment_sum(
-            jnp.concatenate([jnp.einsum("ema,emb->eab", Jic, Jic),
-                             jnp.einsum("ema,emb->eab", Jjc, Jjc)]),
-            jnp.concatenate([cci, cci + 1]), num_segments=N)
-        B = jax.ops.segment_sum(
-            jnp.einsum("ema,emb->eab", Jjc, Jic), cci,
-            num_segments=max(N - 1, 1))[:N - 1]
-        if unary_fn is not None:
-            ru, Ju = unary_linearize(x)
-            rss = rss + rss_exact(ru)
-            g = g.at[unary_nodes].add(jnp.einsum("nma,nm->na", Ju, ru))
-            D = D.at[unary_nodes].add(
-                jnp.einsum("nma,nmb->nab", Ju, Ju))
-        # loop closures: Woodbury columns (each edge owns its me cols)
-        U4 = jnp.zeros((N, d, Lc, me), dtype)
-        if Lc:
-            li, lj = ei[loop_sel], ej[loop_sel]
-            ar = jnp.arange(Lc)
-            U4 = U4.at[li, :, ar, :].add(
-                jnp.transpose(Ji[loop_sel], (0, 2, 1)))
-            U4 = U4.at[lj, :, ar, :].add(
-                jnp.transpose(Jj[loop_sel], (0, 2, 1)))
-        U = U4.reshape(N, d, Lc * me)
-        diag = (jnp.diagonal(D, axis1=-2, axis2=-1)
-                + jnp.einsum("ndm,ndm->nd", U, U))
+        with jax.default_matmul_precision("highest"):
+            # gradient: every edge endpoint (loops incl. — g is exact)
+            g_contrib = jnp.concatenate([
+                jnp.einsum("ema,em->ea", Ji, r),
+                jnp.einsum("ema,em->ea", Jj, r)])
+            g = jax.ops.segment_sum(
+                g_contrib, jnp.concatenate([ei, ej]), num_segments=N)
+            # tridiagonal backbone: chain edges only
+            Jic, Jjc = Ji[chain_sel], Jj[chain_sel]
+            cci = ei[chain_sel]
+            D = jax.ops.segment_sum(
+                jnp.concatenate([jnp.einsum("ema,emb->eab", Jic, Jic),
+                                 jnp.einsum("ema,emb->eab", Jjc, Jjc)]),
+                jnp.concatenate([cci, cci + 1]), num_segments=N)
+            B = jax.ops.segment_sum(
+                jnp.einsum("ema,emb->eab", Jjc, Jic), cci,
+                num_segments=max(N - 1, 1))[:N - 1]
+            if unary_fn is not None:
+                ru, Ju = unary_linearize(x)
+                rss = rss + rss_exact(ru)
+                g = g.at[unary_nodes].add(
+                    jnp.einsum("nma,nm->na", Ju, ru))
+                D = D.at[unary_nodes].add(
+                    jnp.einsum("nma,nmb->nab", Ju, Ju))
+            # loop closures: Woodbury cols (each edge owns its me cols)
+            U4 = jnp.zeros((N, d, Lc, me), dtype)
+            if Lc:
+                li, lj = ei[loop_sel], ej[loop_sel]
+                ar = jnp.arange(Lc)
+                U4 = U4.at[li, :, ar, :].add(
+                    jnp.transpose(Ji[loop_sel], (0, 2, 1)))
+                U4 = U4.at[lj, :, ar, :].add(
+                    jnp.transpose(Jj[loop_sel], (0, 2, 1)))
+            U = U4.reshape(N, d, Lc * me)
+            diag = (jnp.diagonal(D, axis1=-2, axis2=-1)
+                    + jnp.einsum("ndm,ndm->nd", U, U))
         g_flat = g.reshape(-1)
         if em2gl is not None:
             g_flat = g_flat[em2gl]
@@ -277,7 +293,7 @@ def chain_optimize(x0, edge_fn: Callable, edges, edge_data=None,
     data_leaves = jax.tree_util.tree_leaves((edge_data, unary_data))
     key = _solver_cache_key(
         "chain", edge_fn, options, jit, x0, data_leaves,
-        extra=(edges.tobytes(), repr(unary_fn), method,
+        extra=(edges.tobytes(), unary_fn, method,
                None if unary_nodes is None
                else np.asarray(unary_nodes).tobytes()))
     solve = _solver_cache_get(key)

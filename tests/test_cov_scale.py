@@ -1,0 +1,328 @@
+"""Covariance at scale (VERDICT r3 #1).
+
+The reference exposes ``Covariance()`` on every solver it has
+(/root/reference/include/tinyopt/solvers/gn.h:186, output.h:80-93,
+math.h:88-189) by densifying H.  The scale paths here cannot densify
+(156k² at the BA flagship), so they expose MARGINAL covariance blocks:
+
+* sparse-obs BA: per-camera blocks = S⁻¹'s diagonal (marginalizing
+  landmarks IS the Schur complement) + per-landmark blocks
+  C⁻¹ + C⁻¹EᵀS⁻¹EC⁻¹ (``schur_sparse_covariance``, sharded variant);
+* chain graphs: per-pose blocks by the Takahashi selected-inverse
+  recursion off the block-tridiagonal factor with the Woodbury
+  loop-closure downdate (``chain_marginals``).
+
+Spec: f64 parity against the dense ``inv_cov(H)`` the small-scale paths
+compute, including ``rescaled`` semantics (output.h:80-93).  The test
+instances are WELL-POSED (generic random observation maps / anchored
+chains) — covariance of the undamped H requires a fixed gauge, and the
+singular case must surface as NaN, which the last test pins.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinyopt_tpu as to
+from tinyopt_tpu import manifold as mf
+from tinyopt_tpu.ops.linalg import cov_rescale, inv_cov
+
+
+# ----------------------------------------------------------------------
+# Sparse-observation bipartite instance: multi-leaf camera pytree
+# (exercises the em<->gl layout perms), generic random observation maps
+# (H is PD with probability 1 — no gauge null space).
+# ----------------------------------------------------------------------
+N_A, N_B, K, M = 5, 24, 3, 4          # da = 3 (2+1), db = 2
+
+
+def pair_fn(a, b, d):
+    av = jnp.concatenate([a["u"], a["v"]])
+    return d["A"] @ av + d["B"] @ b - d["y"]
+
+
+def _obs_instance(seed=3, n_a=N_A, n_b=N_B):
+    rng = np.random.default_rng(seed)
+    a = {"u": jnp.asarray(rng.normal(size=(n_a, 2))),
+         "v": jnp.asarray(rng.normal(size=(n_a, 1)))}
+    b = jnp.asarray(rng.normal(size=(n_b, 2)))
+    obs = {"A": jnp.asarray(rng.normal(size=(n_b, K, M, 3))),
+           "B": jnp.asarray(rng.normal(size=(n_b, K, M, 2))),
+           "y": jnp.asarray(rng.normal(size=(n_b, K, M)))}
+    cam_idx = jnp.asarray(rng.integers(0, n_a, size=(n_b, K)), jnp.int32)
+    mask = jnp.asarray((rng.random((n_b, K)) < 0.8), jnp.float64)
+    # every landmark needs >= 1 observation (C_j must be PD)
+    mask = mask.at[:, 0].set(1.0)
+    return (a, b), obs, cam_idx, mask
+
+
+def _em_dense_cov(H):
+    """Dense covariance of the system, in ELEMENT-MAJOR layout (undo
+    to_dense's em->gl map: H_gl = H_em[em2gl][:, em2gl], so
+    cov_em[p, q] = cov_gl[gl2em[p], gl2em[q]])."""
+    cov_gl = np.asarray(inv_cov(H.to_dense()))
+    assert np.all(np.isfinite(cov_gl)), "test instance must be PD"
+    if H.gl2em is None:
+        return cov_gl
+    g2e = np.asarray(H.gl2em)
+    return cov_gl[np.ix_(g2e, g2e)]
+
+
+class TestSchurObsMarginals:
+    def _system_at(self, x, obs, cam_idx, smask, chunk=8):
+        from tinyopt_tpu.ops.schur_obs import schur_obs_system
+        spec = mf.tangent_spec(x)
+        acc, *_ = schur_obs_system(pair_fn, x[0], x[1], obs, cam_idx,
+                                   smask, spec, chunk=chunk)
+        H, g, cost = jax.jit(acc)(x)
+        return H, cost, spec
+
+    def test_marginals_match_dense_inverse(self):
+        """obs_marginals == the diagonal blocks of inv_cov(dense H);
+        multi-leaf camera pytree exercises the layout perms."""
+        x, obs, cam_idx, smask = _obs_instance()
+        H, _, _ = self._system_at(x, obs, cam_idx, smask)
+        assert H.em2gl is not None      # the perms are exercised
+        n_a, da, _ = H.Ba.shape
+        n_b = H.C.shape[0]
+        db = int(round(np.sqrt(H.C.shape[1])))
+        cov_em = _em_dense_cov(H)
+
+        cov_a, cov_b = jax.jit(lambda h: h.marginals(chunk=8))(H)
+        for i in range(n_a):
+            np.testing.assert_allclose(
+                np.asarray(cov_a)[i],
+                cov_em[i * da:(i + 1) * da, i * da:(i + 1) * da],
+                rtol=1e-8, atol=1e-11)
+        off = n_a * da
+        for j in range(n_b):
+            np.testing.assert_allclose(
+                np.asarray(cov_b)[j],
+                cov_em[off + j * db:off + (j + 1) * db,
+                       off + j * db:off + (j + 1) * db],
+                rtol=1e-8, atol=1e-11)
+
+    def test_entry_point_and_rescale(self):
+        """schur_sparse_covariance == system marginals; rescaled applies
+        exactly cost²/(n_res − dims) (output.h:80-93)."""
+        x, obs, cam_idx, smask = _obs_instance()
+        H, cost, spec = self._system_at(x, obs, cam_idx, smask)
+        cov_a0, cov_b0 = jax.jit(lambda h: h.marginals(chunk=8))(H)
+
+        cov_a, cov_b = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8)
+        np.testing.assert_allclose(np.asarray(cov_a), np.asarray(cov_a0),
+                                   rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov_b0),
+                                   rtol=1e-10, atol=1e-13)
+
+        cov_ar, _ = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8, rescaled=True)
+        f = float(cov_rescale(cost.cost, cost.num_residuals, spec.dims))
+        np.testing.assert_allclose(np.asarray(cov_ar),
+                                   np.asarray(cov_a0) * f,
+                                   rtol=1e-10, atol=1e-13)
+
+    def test_output_covariance_via_inv(self):
+        """Output.covariance() on a schur_sparse solve (save_last) ==
+        dense inv_cov — the small-n compat path through
+        SchurObsSystem.inv()."""
+        x, obs, cam_idx, smask = _obs_instance()
+        o = to.Options(max_iters=8, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=True))
+        x_s, out = to.schur_sparse_optimize(x, pair_fn, obs, cam_idx,
+                                            smask, o)
+        assert bool(out.succeeded())
+        cov = out.covariance()
+        assert cov is not None
+        ref = inv_cov(out.final_hessian.to_dense())
+        np.testing.assert_allclose(np.asarray(cov), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_sharded_matches_single_device(self):
+        """sharded_schur_sparse_covariance over the 8-device mesh ==
+        the single-device marginals (psum completion is exact)."""
+        from tinyopt_tpu.parallel import sharded_schur_sparse_covariance
+        x, obs, cam_idx, smask = _obs_instance(n_a=4, n_b=32)
+        cov_a0, cov_b0 = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8)
+        cov_a, cov_b = sharded_schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8)
+        np.testing.assert_allclose(np.asarray(cov_a), np.asarray(cov_a0),
+                                   rtol=1e-8, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov_b0),
+                                   rtol=1e-8, atol=1e-11)
+
+        cov_ar, cov_br = sharded_schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8, rescaled=True)
+        cov_ar0, cov_br0 = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8, rescaled=True)
+        np.testing.assert_allclose(np.asarray(cov_ar),
+                                   np.asarray(cov_ar0),
+                                   rtol=1e-8, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(cov_br),
+                                   np.asarray(cov_br0),
+                                   rtol=1e-8, atol=1e-11)
+
+
+class TestSelectedInverse:
+    def test_matches_dense_inverse(self):
+        """Takahashi diag blocks == dense inverse's diag blocks on a
+        random SPD block-tridiagonal system."""
+        from tinyopt_tpu.ops.tridiag import (block_tridiag_factor,
+                                             block_tridiag_selected_inverse)
+        rng = np.random.default_rng(0)
+        N, d = 9, 4
+        B = jnp.asarray(rng.normal(size=(N - 1, d, d)) * 0.3)
+        D = jnp.asarray(
+            np.stack([np.eye(d) * (3.0 + i) + 0.2 * rng.normal(size=(d, d))
+                      for i in range(N)]))
+        D = 0.5 * (D + jnp.swapaxes(D, -1, -2)) + 2.0 * jnp.eye(d)
+        Hd = np.zeros((N * d, N * d))
+        for i in range(N):
+            Hd[i * d:(i + 1) * d, i * d:(i + 1) * d] = np.asarray(D[i])
+        for i in range(N - 1):
+            Hd[(i + 1) * d:(i + 2) * d, i * d:(i + 1) * d] = np.asarray(B[i])
+            Hd[i * d:(i + 1) * d, (i + 1) * d:(i + 2) * d] = np.asarray(B[i]).T
+        ref = np.linalg.inv(Hd)
+
+        L, M, ok = block_tridiag_factor(D, B)
+        assert bool(ok)
+        Sig = block_tridiag_selected_inverse(L, M)
+        for i in range(N):
+            np.testing.assert_allclose(
+                np.asarray(Sig)[i],
+                ref[i * d:(i + 1) * d, i * d:(i + 1) * d],
+                rtol=1e-9, atol=1e-12)
+
+    def test_single_block(self):
+        from tinyopt_tpu.ops.tridiag import (block_tridiag_factor,
+                                             block_tridiag_selected_inverse)
+        D = jnp.asarray([[[4.0, 1.0], [1.0, 3.0]]])
+        B = jnp.zeros((0, 2, 2))
+        L, M, ok = block_tridiag_factor(D, B)
+        Sig = block_tridiag_selected_inverse(L, M)
+        np.testing.assert_allclose(np.asarray(Sig)[0],
+                                   np.linalg.inv(np.asarray(D[0])),
+                                   rtol=1e-12)
+
+
+def _chain_instance(N=12, n_loops=3, seed=0):
+    rng = np.random.default_rng(seed)
+    gt = np.cumsum(rng.normal(size=(N, 3)), axis=0)
+    chain = np.stack([np.arange(N - 1), np.arange(1, N)], 1)
+    loops = []
+    meas = [gt[1:] - gt[:-1] + 1e-3 * rng.normal(size=(N - 1, 3))]
+    for _ in range(n_loops):
+        i = int(rng.integers(0, N - 2))
+        j = int(rng.integers(i + 2, N))
+        loops.append([i, j])
+        meas.append((gt[j] - gt[i] + 1e-3 * rng.normal(size=3))[None])
+    edges = np.concatenate([chain, np.asarray(loops)]) \
+        if loops else chain
+    edata = jnp.asarray(np.concatenate(meas))
+    x = jnp.asarray(gt + 1e-2 * rng.normal(size=(N, 3)))
+    return x, edges, edata, jnp.asarray(gt[:1])
+
+
+def _edge_fn(a, b, d):
+    return (b - a) - d
+
+
+def _unary_fn(a, d):
+    return 2.0 * (a - d)      # anchor prior, non-unit weight
+
+
+class TestChainMarginals:
+    def test_marginals_match_dense_inverse(self):
+        """ChainSystem.marginals (Takahashi + Woodbury downdate) ==
+        diag blocks of inv_cov(dense H), with loop closures."""
+        from tinyopt_tpu.chain import chain_system
+        x, edges, edata, anchor = _chain_instance()
+        spec = mf.tangent_spec(x)
+        acc, *_ = chain_system(x, _edge_fn, edges, edata, _unary_fn,
+                               [0], anchor, spec)
+        H, g, cost = jax.jit(acc)(x)
+        assert H.U.shape[-1] == 9       # 3 loop closures x 3 dims
+        dense = inv_cov(H.to_dense())
+        marg = jax.jit(lambda h: h.marginals())(H)
+        N, d = x.shape
+        for i in range(N):
+            np.testing.assert_allclose(
+                np.asarray(marg)[i],
+                np.asarray(dense)[i * d:(i + 1) * d, i * d:(i + 1) * d],
+                rtol=1e-8, atol=1e-11)
+
+    def test_no_loops(self):
+        from tinyopt_tpu.chain import chain_system
+        x, edges, edata, anchor = _chain_instance(N=8, n_loops=0)
+        spec = mf.tangent_spec(x)
+        acc, *_ = chain_system(x, _edge_fn, edges, edata, _unary_fn,
+                               [0], anchor, spec)
+        H, *_ = jax.jit(acc)(x)
+        assert H.U.shape[-1] == 0
+        dense = inv_cov(H.to_dense())
+        marg = H.marginals()
+        d = x.shape[1]
+        for i in range(x.shape[0]):
+            np.testing.assert_allclose(
+                np.asarray(marg)[i],
+                np.asarray(dense)[i * d:(i + 1) * d, i * d:(i + 1) * d],
+                rtol=1e-8, atol=1e-11)
+
+    def test_entry_point_and_rescale(self):
+        """chain_marginals at the SOLUTION of chain_optimize, plus the
+        output.h:80-93 rescale."""
+        from tinyopt_tpu.chain import (chain_marginals, chain_optimize,
+                                       chain_system)
+        x0, edges, edata, anchor = _chain_instance()
+        xs, out = chain_optimize(x0, _edge_fn, edges, edata,
+                                 to.Options(), unary_fn=_unary_fn,
+                                 unary_nodes=[0], unary_data=anchor)
+        assert bool(out.converged())
+        marg = chain_marginals(xs, _edge_fn, edges, edata,
+                               unary_fn=_unary_fn, unary_nodes=[0],
+                               unary_data=anchor)
+        spec = mf.tangent_spec(xs)
+        acc, _, n_res, _ = chain_system(xs, _edge_fn, edges, edata,
+                                        _unary_fn, [0], anchor, spec)
+        H, _, cost = jax.jit(acc)(xs)
+        dense = inv_cov(H.to_dense())
+        d = xs.shape[1]
+        for i in range(xs.shape[0]):
+            np.testing.assert_allclose(
+                np.asarray(marg)[i],
+                np.asarray(dense)[i * d:(i + 1) * d, i * d:(i + 1) * d],
+                rtol=1e-7, atol=1e-10)
+
+        marg_r = chain_marginals(xs, _edge_fn, edges, edata,
+                                 unary_fn=_unary_fn, unary_nodes=[0],
+                                 unary_data=anchor, rescaled=True)
+        f = float(cov_rescale(cost.cost, cost.num_residuals, spec.dims))
+        np.testing.assert_allclose(np.asarray(marg_r),
+                                   np.asarray(marg) * f,
+                                   rtol=1e-10, atol=1e-13)
+
+    def test_output_covariance_via_inv(self):
+        """Output.covariance() on a chain solve (save_last) == dense
+        inv_cov — the small-N compat path through ChainSystem.inv()."""
+        from tinyopt_tpu.chain import chain_optimize
+        x0, edges, edata, anchor = _chain_instance(N=8)
+        o = to.Options(hessian=to.HessianOptions(save_last=True))
+        xs, out = chain_optimize(x0, _edge_fn, edges, edata, o,
+                                 unary_fn=_unary_fn, unary_nodes=[0],
+                                 unary_data=anchor)
+        cov = out.covariance()
+        assert cov is not None
+        ref = inv_cov(out.final_hessian.to_dense())
+        np.testing.assert_allclose(np.asarray(cov), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_singular_gauge_is_nan(self):
+        """No anchor -> H singular -> marginals are NaN (inv_cov
+        contract), not silently wrong."""
+        from tinyopt_tpu.chain import chain_marginals
+        x, edges, edata, _ = _chain_instance(N=6, n_loops=0)
+        marg = chain_marginals(x, _edge_fn, edges, edata)
+        assert not bool(np.all(np.isfinite(np.asarray(marg))))

@@ -35,13 +35,15 @@ from . import utils
 from . import implicit
 from . import checkpoint
 from .parallel import (batched_optimize, batched_solver,
-                       sharded_optimize, sharded_schur_optimize)
+                       sharded_optimize, sharded_schur_optimize,
+                       sharded_schur_sparse_covariance)
 from .checkpoint import stepper, Stepper
 from .profiling import profile_iterations, dispatch_floor
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
-                     schur_sparse_optimize, sparse_optimize)
-from .chain import ChainSystem, chain_optimize
+                     schur_sparse_covariance, schur_sparse_optimize,
+                     sparse_optimize)
+from .chain import ChainSystem, chain_marginals, chain_optimize
 from .ops.block import BlockDiag
 from .version import __version__
 
@@ -79,8 +81,10 @@ __all__ = [
     "stepper", "Stepper",
     "profile_iterations", "dispatch_floor",
     "block_optimize", "matfree_optimize", "sparse_optimize",
-    "schur_optimize", "schur_sparse_optimize", "BlockDiag",
-    "chain_optimize", "ChainSystem",
+    "schur_optimize", "schur_sparse_optimize",
+    "schur_sparse_covariance", "sharded_schur_sparse_covariance",
+    "BlockDiag",
+    "chain_optimize", "chain_marginals", "ChainSystem",
     "implicit", "implicit_solver",
     "__version__",
 ]

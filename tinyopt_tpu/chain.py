@@ -20,8 +20,11 @@ this is the TPU-first equivalent for chain+loops structure.
 Requirements: m ≪ N·d (many loop closures → use ``sparse_optimize`` /
 ``matfree_optimize``); the gauge must be fixed (anchor unary residual)
 or LM damping relied on for the GN-singular directions.
-Covariance: use :func:`tinyopt_tpu.covariance_at` (the H-less recipe) —
-``Output.final_hessian`` carries the structured :class:`ChainSystem`.
+Covariance: :func:`chain_marginals` (per-pose (d, d) marginal blocks by
+the Takahashi selected-inverse recursion off the same block-tridiagonal
+factor, with the Woodbury rank-m downdate — O(N·d³), never densifies;
+ops/tridiag.tridiag_woodbury_marginals), or ``Output.covariance()`` /
+``ChainSystem.inv()`` for the full dense H⁻¹ at small N.
 """
 
 from __future__ import annotations
@@ -38,7 +41,8 @@ from .cost import Cost, rss as rss_exact
 from .diff.auto import flatten_residuals
 from .optimizers.loop import optimize_from_acc
 from .options import FIRST_ORDER_TYPES, Options, SolverType
-from .ops.tridiag import tridiag_woodbury_solve
+from .ops.tridiag import (tridiag_woodbury_marginals,
+                          tridiag_woodbury_solve)
 from .sparse import (_solver_cache_get, _solver_cache_key,
                      _solver_cache_put)
 
@@ -75,6 +79,42 @@ class ChainSystem(NamedTuple):
                 w = jnp.einsum("ndm,nd->m", self.U, v2)
                 o = o + jnp.einsum("ndm,m->nd", self.U, w)
         return o.reshape(-1)
+
+    @property
+    def dims(self) -> int:
+        N, d, _ = self.D.shape
+        return N * d
+
+    @property
+    def shape(self):
+        return (self.dims, self.dims)
+
+    @property
+    def dtype(self):
+        return self.D.dtype
+
+    def marginals(self) -> jax.Array:
+        """Per-pose marginal covariance blocks (N, d, d): the diagonal
+        blocks of H⁻¹ by the Takahashi selected-inverse recursion off
+        the block-tridiagonal factor, Woodbury-downdated for the loop
+        closures (ops/tridiag.tridiag_woodbury_marginals) — O(N·d³ +
+        N·d²·m), never densifies.  Blocks are element-major per pose.
+        NaNs if H is singular (gauge not fixed; inv_cov contract)."""
+        marg, ok = tridiag_woodbury_marginals(self.D, self.B, self.U)
+        return jnp.where(ok, marg, jnp.nan)
+
+    def to_dense(self) -> jax.Array:
+        """Assemble the full (N·d)² H (testing / small-N covariance)."""
+        eye = jnp.eye(self.dims, dtype=self.dtype)
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(eye)
+
+    def inv(self):
+        """Full dense H⁻¹ (``Output.covariance`` contract — small N
+        only: densifies).  At scale use :meth:`marginals` /
+        :func:`chain_marginals`."""
+        from .ops.linalg import inv_cov
+        from .ops.schur import _SchurCov
+        return _SchurCov(inv_cov(self.to_dense()))
 
 
 def chain_system(x0, edge_fn: Callable, edges: np.ndarray, edge_data,
@@ -311,3 +351,52 @@ def chain_optimize(x0, edge_fn: Callable, edges, edge_data=None,
             solve = jax.jit(solve)
         _solver_cache_put(key, solve, data_leaves)
     return solve(x0)
+
+
+def chain_marginals(x, edge_fn: Callable, edges, edge_data=None, *,
+                    unary_fn: Callable | None = None, unary_nodes=None,
+                    unary_data=None, rescaled: bool = False,
+                    jit: bool = True):
+    """Per-pose posterior marginal covariance of a chain-graph solution.
+
+    The covariance companion of :func:`chain_optimize` — call at the
+    solution ``x`` with the same graph.  Returns ``marg (N, d, d)``:
+    the diagonal blocks of H(x)⁻¹ (element-major tangent layout per
+    pose) by the Takahashi selected-inverse recursion off the
+    block-tridiagonal factor with the Woodbury loop-closure downdate
+    (ops/tridiag.py) — O(N·d³ + N·d²·m), so a 5000-pose graph's
+    marginals cost one extra factorization instead of the (N·d)² dense
+    inverse the reference's covariance takes (math.h:88-189).
+    ``rescaled=True`` applies the reference's overdetermined rescale
+    ``cost²/(n_res − dims)`` (output.h:80-93), identical to
+    ``Output.covariance(rescaled=True)``.  NaNs if H is singular (gauge
+    not fixed).
+    """
+    x = mf.as_pytree(x)
+    edges = np.asarray(edges)
+    data_leaves = jax.tree_util.tree_leaves((edge_data, unary_data))
+    key = _solver_cache_key(
+        "chain_cov", edge_fn, None, jit, x, data_leaves,
+        extra=(edges.tobytes(), unary_fn, rescaled,
+               None if unary_nodes is None
+               else np.asarray(unary_nodes).tobytes()))
+    compute = _solver_cache_get(key)
+    if compute is None:
+        spec = mf.tangent_spec(x)
+        acc, _, n_res, _ = chain_system(
+            x, edge_fn, edges, edge_data, unary_fn, unary_nodes,
+            unary_data, spec)
+
+        def compute(xv):
+            H, _, cost = acc(xv)
+            marg = H.marginals()
+            if rescaled:
+                from .ops.linalg import cov_rescale
+                marg = marg * cov_rescale(
+                    cost.cost, cost.num_residuals, spec.dims)
+            return marg
+
+        if jit:
+            compute = jax.jit(compute)
+        _solver_cache_put(key, compute, data_leaves)
+    return compute(x)

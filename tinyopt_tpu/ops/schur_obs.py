@@ -59,7 +59,7 @@ from .. import manifold as mf
 from ..cost import Cost, rss as rss_exact
 from ..diff.auto import flatten_residuals
 from ..options import SolverType
-from .linalg import refine_psd_solve, solve_psd
+from .linalg import inv_cov, refine_psd_solve, solve_psd
 from .schur import _damp_blocks, bipartite_perms
 
 
@@ -179,6 +179,18 @@ class SchurObsSystem(NamedTuple):
         eye = jnp.eye(d, dtype=self.dtype)
         return jax.vmap(self.matvec, in_axes=1, out_axes=1)(eye)
 
+    def marginals(self, chunk: int = 1024):
+        """Scale path: per-camera/per-landmark marginal covariance blocks
+        (see :func:`obs_marginals`) — never densifies H."""
+        return obs_marginals(self, chunk)
+
+    def inv(self):
+        """Full dense H⁻¹ (``Output.covariance`` contract — small n
+        only: densifies).  At scale use :meth:`marginals` /
+        ``schur_sparse_covariance``."""
+        from .schur import _SchurCov
+        return _SchurCov(inv_cov(self.to_dense()))
+
 
 def _damp_flat(M_flat: jax.Array, db: int, lam) -> jax.Array:
     """_damp_blocks on (n, db²) row-major flat blocks."""
@@ -233,6 +245,208 @@ def _pick_chunk(n_bp: int, requested: int) -> int:
     while n_bp % ch:
         ch -= 1
     return ch
+
+
+def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
+                     CH: int):
+    """Factory for pass A of the elimination — standalone so the
+    covariance path (:func:`obs_marginals`, parallel/schur_obs.py's
+    sharded covariance) can rebuild S without a ``pair_fn``.
+
+    Returns ``reduce_pass(E_p, Cd_p, cam_p, g_b_p) -> (S_f, rhs_acc,
+    Cinv_f)`` — the reduced-camera-system partials E C⁻¹ Eᵀ (flat
+    (n_a², da²) scatter target) and E C⁻¹ g_b, stashing C⁻¹ per point.
+    Every expanded tensor is O(CH · K² · da²).
+
+    TPU scatter cost is per-ROW serialization (~0.13-2 µs/row measured,
+    the dominant cost of the whole propose at BA scale), so the
+    camera-pair scatter exploits S's symmetry: only the K(K-1)/2
+    strict-lower slot pairs are computed and scattered (mirror blocks
+    are their transposes), the k==l pairs go to a per-camera diagonal
+    accumulator via one segment_sum, and the full S is reconstructed
+    densely at the end — S(i,i') = X(i,i') + X(i',i)ᵀ + diag.  1.78x
+    fewer scatter rows AND 1.78x fewer block flops, exact algebra.
+    """
+    eye = jnp.eye(db, dtype=dtype)
+
+    def _sl(arr, c):
+        return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
+
+    def _upd(arr, val, c):
+        return jax.lax.dynamic_update_slice_in_dim(arr, val, c * CH, 0)
+
+    # Static strict-lower slot-pair lists for the symmetry-halved scatter
+    # (k > l); diagonal slot pairs (k == l) accumulate separately.
+    _ks = jnp.asarray([k for k in range(K) for l in range(k)], jnp.int32)
+    _ls = jnp.asarray([l for k in range(K) for l in range(k)], jnp.int32)
+    P_tri = int(_ks.shape[0])           # K(K-1)/2
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        n_p = cam_p.shape[0]
+
+        def bodyA(c, carry):
+            S_f, S_diag, rhs, Cinv_f = carry
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
+            cam_c = _sl(cam_p, c)
+            # Padded points carry all-zero Cd blocks; Cholesky(0) is NaN,
+            # which would poison the scatter — substitute identity for
+            # exactly-zero blocks (their E rows are zero, contributions
+            # exact zeros either way).
+            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
+            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
+            # Exact multiplies for the tiny C⁻¹ factorizations: cho_solve
+            # lowers to dot_generals, whose TPU DEFAULT bf16 truncation
+            # poisons everything downstream of C⁻¹ (see _esum).
+            with jax.default_matmul_precision("highest"):
+                chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
+                Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
+                    (L, True), eye))(chol)
+            EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
+                              preferred_element_type=dtype)
+            # strict-lower slot pairs only (mirrors are transposes)
+            blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, _ks],
+                               E_c[:, _ls], preferred_element_type=dtype)
+            ids_tri = (jnp.take(cam_c, _ks, axis=1) * n_a
+                       + jnp.take(cam_c, _ls, axis=1)).reshape(-1)
+            S_f = S_f.at[ids_tri].add(
+                blocks_tri.reshape(CH * P_tri, da * da))
+            # k == l diagonal slot pairs: per-camera accumulator
+            blocks_diag = _esum("jkac,jkbc->jkab", EC_c, E_c,
+                                preferred_element_type=dtype)
+            S_diag = S_diag + jax.ops.segment_sum(
+                blocks_diag.reshape(CH * K, da * da),
+                cam_c.reshape(-1), num_segments=n_a)
+            g_b_c = _sl(g_b_p, c)
+            rhs = rhs.at[cam_c.reshape(-1)].add(
+                _esum("jkac,jc->jka", EC_c, g_b_c).reshape(
+                    CH * K, da))
+            Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
+            return S_f, S_diag, rhs, Cinv_f
+
+        initA = (jnp.zeros((n_a * n_a, da * da), dtype),
+                 jnp.zeros((n_a, da * da), dtype),
+                 jnp.zeros((n_a, da), dtype),
+                 jnp.zeros((n_p, db * db), dtype))
+        S_f, S_diag, rhs, Cinv_f = jax.lax.fori_loop(
+            0, n_p // CH, bodyA, initA)
+        # Dense reconstruction: S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag
+        X = S_f.reshape(n_a, n_a, da, da)
+        X = X + X.transpose(1, 0, 3, 2)
+        idx = jnp.arange(n_a)
+        X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
+        return X.reshape(n_a * n_a, da * da), rhs, Cinv_f
+
+    return reduce_pass
+
+
+def camera_marginals_from_S(S_f, Ba):
+    """Per-camera marginal covariance from the completed pass-A sums.
+
+    ``S = diag(Ba) − scatter(S_f)`` is the UNDAMPED reduced camera
+    system at the solution; its inverse is exactly the camera block of
+    H⁻¹ (marginalizing landmarks IS the Schur complement), so the
+    camera marginals are S⁻¹'s diagonal da×da blocks — no full-H solve
+    (reference: math.h:88-189 inverts dense H; output.h:80-93).
+    Returns ``(cov_a (n_a, da, da), Sinv (n_a·da, n_a·da))`` — Sinv is
+    reused by the landmark-marginal pass.  NaNs if S is singular
+    (gauge not fixed), matching ops/linalg.inv_cov's contract.
+    """
+    n_a, da, _ = Ba.shape
+    idx = jnp.arange(n_a)
+    S_blocks = (-S_f.reshape(n_a, n_a, da, da)).at[idx, idx].add(Ba)
+    S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
+    # HIGHEST: the assembled S is ill-conditioned at BA scale and TPU
+    # DEFAULT bf16-truncates the solve's dot_generals (assemble_reduced
+    # rationale).
+    with jax.default_matmul_precision("highest"):
+        Sinv = inv_cov(S)
+    cov_a = Sinv.reshape(n_a, da, n_a, da)[idx, :, idx, :]
+    return cov_a, Sinv
+
+
+def make_landmark_marginal_pass(n_a: int, K: int, da: int, db: int,
+                                dtype, CH: int):
+    """Factory for the landmark-marginal pass.
+
+    Returns ``pass(E_p, Cinv_p, cam_p, Sinv) -> cov_b (n_p, db, db)``
+    computing the diagonal landmark blocks of H⁻¹,
+
+        cov_b(j) = C_j⁻¹ + Σ_{k,l} W_jkᵀ · Sinv[cam_jk, cam_jl] · W_jl,
+        W_jk = E_jk C_j⁻¹            (cov_bb = C⁻¹ + C⁻¹EᵀS⁻¹EC⁻¹),
+
+    chunked over points: every expanded tensor is O(CH · K² · da²) —
+    the Sinv block gather is the largest transient (CH·K²·da²).  Padded
+    points (zero E, identity C⁻¹) come out as identity blocks; callers
+    trim them.
+    """
+    def _sl(arr, c):
+        return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
+
+    def _upd(arr, val, c):
+        return jax.lax.dynamic_update_slice_in_dim(arr, val, c * CH, 0)
+
+    def marginal_pass(E_p, Cinv_p, cam_p, Sinv):
+        n_p = cam_p.shape[0]
+        Sinv4 = Sinv.reshape(n_a, da, n_a, da).transpose(0, 2, 1, 3)
+
+        def body(c, cov_f):
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cinv_c = _sl(Cinv_p, c).reshape(CH, db, db)
+            cam_c = _sl(cam_p, c)
+            W = _esum("jkab,jbc->jkac", E_c, Cinv_c,
+                      preferred_element_type=dtype)      # (CH, K, da, db)
+            Sb = Sinv4[cam_c[:, :, None], cam_c[:, None, :]]
+            Mv = _esum("jklab,jlbd->jkad", Sb, W,
+                       preferred_element_type=dtype)     # Σ_l Sb·W_l
+            corr = _esum("jkab,jkac->jbc", W, Mv,
+                         preferred_element_type=dtype)
+            return _upd(cov_f, (Cinv_c + corr).reshape(CH, db * db), c)
+
+        cov_f = jax.lax.fori_loop(
+            0, n_p // CH, body, jnp.zeros((n_p, db * db), dtype))
+        return cov_f.reshape(n_p, db, db)
+
+    return marginal_pass
+
+
+def obs_marginals(H: "SchurObsSystem", chunk: int = 1024):
+    """Posterior marginal covariance blocks of a sparse-obs BA solution.
+
+    ``H`` must be the UNDAMPED system accumulated at the solution (what
+    ``accumulate`` returns / ``Output.final_hessian`` carries).  Returns
+    ``(cov_a (n_a, da, da), cov_b (n_b, db, db))`` — per-camera and
+    per-landmark marginal covariance blocks of H⁻¹, computed from the
+    factored reduced system: one (n_a·da)² inverse plus chunked
+    per-point algebra, never a (dims)² dense solve (the full H⁻¹ of the
+    1000-cam flagship would be 156k² ≈ 97 GB; these marginals are
+    ~4 MB).  Block layout is element-major per camera/landmark.
+    Rescaling (output.h:80-93) is applied by the
+    ``schur_sparse_covariance`` entry, not here.
+    """
+    n_a, da, n_b, db, K = H._dims()
+    dtype = H.dtype
+    step = min(chunk, max(n_b, 1))
+    n_bp = int(-(-n_b // step) * step)
+    pad = n_bp - n_b
+    CH = _pick_chunk(n_bp, chunk)
+
+    def _pad_rows(arr):
+        if not pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+    E_p = _pad_rows(H.E)
+    C_p = _pad_rows(H.C)
+    cam_p = _pad_rows(H.cam_idx)
+    reduce_pass = make_reduce_pass(n_a, K, da, db, dtype, CH)
+    S_f, _, Cinv_p = reduce_pass(E_p, C_p, cam_p,
+                                 jnp.zeros((n_bp, db), dtype))
+    cov_a, Sinv = camera_marginals_from_S(S_f, H.Ba)
+    marginal_pass = make_landmark_marginal_pass(n_a, K, da, db, dtype, CH)
+    cov_b = marginal_pass(E_p, Cinv_p, cam_p, Sinv)[:n_b]
+    return cov_a, cov_b
 
 
 def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
@@ -323,80 +537,7 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
 
         return jax.lax.fori_loop(0, n_p // CH, body, jnp.zeros((), dtype))
 
-    # Static strict-lower slot-pair lists for the symmetry-halved scatter
-    # (k > l); diagonal slot pairs (k == l) accumulate separately.
-    _ks = jnp.asarray([k for k in range(K) for l in range(k)], jnp.int32)
-    _ls = jnp.asarray([l for k in range(K) for l in range(k)], jnp.int32)
-    P_tri = int(_ks.shape[0])           # K(K-1)/2
-
-    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
-        """Pass A: (S_f, rhs_acc, Cinv_f) — the reduced-camera-system
-        partials E C⁻¹ Eᵀ (flat (n_a², da²) scatter target) and E C⁻¹ g_b,
-        stashing C⁻¹ per point.  Every expanded tensor is O(CH · K² · da²).
-
-        TPU scatter cost is per-ROW serialization (~0.13-2 µs/row
-        measured, the dominant cost of the whole propose at BA scale), so
-        the camera-pair scatter exploits S's symmetry: only the K(K-1)/2
-        strict-lower slot pairs are computed and scattered (mirror blocks
-        are their transposes), the k==l pairs go to a per-camera diagonal
-        accumulator via one segment_sum, and the full S is reconstructed
-        densely at the end — S(i,i') = X(i,i') + X(i',i)ᵀ + diag.  1.78x
-        fewer scatter rows AND 1.78x fewer block flops, exact algebra.
-        """
-        n_p = cam_p.shape[0]
-
-        def bodyA(c, carry):
-            S_f, S_diag, rhs, Cinv_f = carry
-            E_c = _sl(E_p, c).reshape(CH, K, da, db)
-            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
-            cam_c = _sl(cam_p, c)
-            # Padded points carry all-zero Cd blocks; Cholesky(0) is NaN,
-            # which would poison the scatter — substitute identity for
-            # exactly-zero blocks (their E rows are zero, contributions
-            # exact zeros either way).
-            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
-            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
-            # Exact multiplies for the tiny C⁻¹ factorizations: cho_solve
-            # lowers to dot_generals, whose TPU DEFAULT bf16 truncation
-            # poisons everything downstream of C⁻¹ (see _esum).
-            with jax.default_matmul_precision("highest"):
-                chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
-                Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
-                    (L, True), eye))(chol)
-            EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
-                              preferred_element_type=dtype)
-            # strict-lower slot pairs only (mirrors are transposes)
-            blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, _ks],
-                               E_c[:, _ls], preferred_element_type=dtype)
-            ids_tri = (jnp.take(cam_c, _ks, axis=1) * n_a
-                       + jnp.take(cam_c, _ls, axis=1)).reshape(-1)
-            S_f = S_f.at[ids_tri].add(
-                blocks_tri.reshape(CH * P_tri, da * da))
-            # k == l diagonal slot pairs: per-camera accumulator
-            blocks_diag = _esum("jkac,jkbc->jkab", EC_c, E_c,
-                                preferred_element_type=dtype)
-            S_diag = S_diag + jax.ops.segment_sum(
-                blocks_diag.reshape(CH * K, da * da),
-                cam_c.reshape(-1), num_segments=n_a)
-            g_b_c = _sl(g_b_p, c)
-            rhs = rhs.at[cam_c.reshape(-1)].add(
-                _esum("jkac,jc->jka", EC_c, g_b_c).reshape(
-                    CH * K, da))
-            Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
-            return S_f, S_diag, rhs, Cinv_f
-
-        initA = (jnp.zeros((n_a * n_a, da * da), dtype),
-                 jnp.zeros((n_a, da * da), dtype),
-                 jnp.zeros((n_a, da), dtype),
-                 jnp.zeros((n_p, db * db), dtype))
-        S_f, S_diag, rhs, Cinv_f = jax.lax.fori_loop(
-            0, n_p // CH, bodyA, initA)
-        # Dense reconstruction: S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag
-        X = S_f.reshape(n_a, n_a, da, da)
-        X = X + X.transpose(1, 0, 3, 2)
-        idx = jnp.arange(n_a)
-        X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
-        return X.reshape(n_a * n_a, da * da), rhs, Cinv_f
+    reduce_pass = make_reduce_pass(n_a, K, da, db, dtype, CH)
 
     def backsub_pass(E_p, Cinv_f, cam_p, g_b_p, dx_a):
         """Pass C: landmark back-substitution dx_b = C⁻¹(−g_b − Eᵀ dx_a)."""

@@ -117,6 +117,81 @@ def block_tridiag_solve(L: jax.Array, M: jax.Array, b: jax.Array
     return x[..., 0] if squeeze else x
 
 
+def block_tridiag_selected_inverse(L: jax.Array, M: jax.Array
+                                   ) -> jax.Array:
+    """Diagonal blocks of ``(L Lᵀ)⁻¹`` from the block-bidiagonal factor
+    — the Takahashi selected-inverse recursion.
+
+    For Σ = (L Lᵀ)⁻¹ with L from :func:`block_tridiag_factor`, the
+    identity Σ L = L⁻ᵀ restricted to the factor's sparsity gives a
+    reverse recursion touching only the diagonal blocks (with
+    ``A_i = M_i L_i⁻¹``):
+
+        Σ_NN  = L_N⁻ᵀ L_N⁻¹
+        Σ_ii  = L_i⁻ᵀ L_i⁻¹ + A_iᵀ Σ_{i+1,i+1} A_i
+
+    — one reverse ``lax.scan`` of tiny (d, d) ops, O(N·d³) total, so the
+    pose marginals of an N-pose graph cost the same as one extra
+    factorization instead of the O(N²·d²) dense inverse (the reference's
+    covariance densifies: math.h:88-189).  Returns Σ_ii (N, d, d).
+    HIGHEST precision throughout (chain conditioning amplifies TPU
+    DEFAULT's bf16 truncation — module docstring).
+    """
+    N, d, _ = L.shape
+    eye = jnp.eye(d, dtype=L.dtype)
+    with jax.default_matmul_precision("highest"):
+        def inv_lower(Li):
+            return solve_triangular(Li, eye, lower=True)
+
+        Linv_last = inv_lower(L[N - 1])
+        Sig_last = Linv_last.T @ Linv_last
+        if N == 1:
+            return Sig_last[None]
+
+        def step(Sig_next, inp):
+            L_i, M_i = inp
+            Li_inv = inv_lower(L_i)
+            A = M_i @ Li_inv
+            Sig_ii = Li_inv.T @ Li_inv + A.T @ Sig_next @ A
+            return Sig_ii, Sig_ii
+
+        _, Sig_rest = jax.lax.scan(step, Sig_last, (L[:-1], M),
+                                   reverse=True)
+        return jnp.concatenate([Sig_rest, Sig_last[None]])
+
+
+def tridiag_woodbury_marginals(D: jax.Array, B: jax.Array,
+                               U: jax.Array):
+    """Per-block marginal covariance of ``H = T + U Uᵀ``: the diagonal
+    (d, d) blocks of H⁻¹.
+
+    Takahashi selected inverse of the tridiagonal part plus the Woodbury
+    rank-m downdate restricted to the diagonal blocks:
+
+        H⁻¹ = T⁻¹ − Z W⁻¹ Zᵀ,  Z = T⁻¹U,  W = I_m + Uᵀ Z
+        marg_i = Σ_ii − Z_i W⁻¹ Z_iᵀ
+
+    — the T⁻¹U solve and (m, m) capacitance Cholesky are the SAME
+    objects the solver builds (:func:`tridiag_woodbury_solve`), so loop
+    closures cost one extra batched (d, m) correction.  Returns
+    ``(marg (N, d, d), ok)``.  O(N·(d³ + d²·m) + m³); never densifies.
+    """
+    N, d, m = U.shape
+    L, M, ok = block_tridiag_factor(D, B)
+    Sig = block_tridiag_selected_inverse(L, M)
+    if m == 0:
+        ok = ok & jnp.all(jnp.isfinite(Sig))
+        return Sig, ok
+    Z = block_tridiag_solve(L, M, U)                     # (N, d, m)
+    with jax.default_matmul_precision("highest"):
+        W = jnp.eye(m, dtype=U.dtype) + jnp.einsum("ndm,ndp->mp", U, Z)
+        Lw = jnp.linalg.cholesky(W)
+        WinvZt = jax.vmap(lambda Zi: cho_solve((Lw, True), Zi.T))(Z)
+        Sig = Sig - jnp.einsum("ndm,nme->nde", Z, WinvZt)
+    ok = ok & jnp.all(jnp.isfinite(Lw)) & jnp.all(jnp.isfinite(Sig))
+    return Sig, ok
+
+
 def block_tridiag_cr_solve(D: jax.Array, B: jax.Array, b: jax.Array
                            ) -> jax.Array:
     """Solve the SPD block-tridiagonal system by block CYCLIC REDUCTION

@@ -3,6 +3,7 @@ from .batched import batched_optimize, batched_solver
 from .sharded import make_block_system, sharded_optimize
 from .schur import make_sharded_schur_system, sharded_schur_optimize
 from .schur_obs import (make_sharded_schur_obs_system,
+                        sharded_schur_sparse_covariance,
                         sharded_schur_sparse_optimize)
 from .padding import pad_instances, masked_residuals
 
@@ -12,5 +13,6 @@ __all__ = [
     "make_block_system", "sharded_optimize",
     "make_sharded_schur_system", "sharded_schur_optimize",
     "make_sharded_schur_obs_system", "sharded_schur_sparse_optimize",
+    "sharded_schur_sparse_covariance",
     "pad_instances", "masked_residuals",
 ]

@@ -50,6 +50,8 @@ from ..options import Options, SolverType
 from ..ops.schur import _damp_blocks, bipartite_perms
 from ..ops.schur_obs import (SchurObsSystem, _damp_flat, _esum,
                              _pick_chunk, assemble_reduced,
+                             camera_marginals_from_S,
+                             make_landmark_marginal_pass,
                              make_obs_kernels)
 from .sharded import _shard_map
 
@@ -338,3 +340,149 @@ def sharded_schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs,
 
         _solver_cache_put(key, run, orig_leaves)
     return run(x0)
+
+
+def sharded_schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx,
+                                    mask, *, mesh: Mesh | None = None,
+                                    axis: str = "block",
+                                    chunk: int = 1024,
+                                    rescaled: bool = False,
+                                    jit: bool = True):
+    """Posterior marginal covariance blocks over the mesh.
+
+    The covariance companion of :func:`sharded_schur_sparse_optimize` —
+    the mesh-scale form of ``sparse.schur_sparse_covariance``, same
+    point-major layout, same return ``(cov_a (n_a, da, da), cov_b
+    (n_b, db, db))`` and the same algebra (camera marginals = S⁻¹'s
+    diagonal blocks; landmark blocks C⁻¹ + C⁻¹EᵀS⁻¹EC⁻¹).
+    Decomposition: each device re-linearizes its landmark slab and
+    builds its reduced-system partial; ONE ``psum`` each completes Ba
+    and S (the reduced solve side is replicated by design, exactly as in
+    the solver); the S⁻¹ and camera marginals compute replicated, and
+    each device backs out its own slab's landmark marginals (the
+    ``P(axis)``-sharded output).  ``rescaled`` as in output.h:80-93.
+    """
+    options_sentinel = None  # covariance has no Options; key slot only
+    if mesh is None:
+        from .mesh import local_mesh
+        mesh = local_mesh(axis)
+    if not (isinstance(x, tuple) and len(x) == 2):
+        raise ValueError(
+            "sharded_schur_sparse_covariance needs x = (a, b)")
+    x = (mf.as_pytree(x[0]), mf.as_pytree(x[1]))
+    cam_idx = jnp.asarray(cam_idx, jnp.int32)
+    spec = mf.tangent_spec(x)
+    mask = jnp.asarray(mask, spec.dtype)
+
+    n_b = jnp.shape(jax.tree_util.tree_leaves(x[1])[0])[0]
+    axis_size = mesh.shape[axis]
+    if n_b % axis_size != 0:
+        raise ValueError(
+            f"n_b={n_b} not divisible by mesh axis "
+            f"'{axis}'={axis_size}; pad the landmark axis with mask=0 "
+            "points")
+
+    from ..sparse import (_solver_cache_get, _solver_cache_key,
+                          _solver_cache_put)
+    orig_leaves = jax.tree_util.tree_leaves((obs, cam_idx, mask))
+    key = _solver_cache_key(
+        "sharded_schur_obs_cov", pair_fn, options_sentinel, jit, x,
+        orig_leaves, extra=(mesh, axis, chunk, rescaled))
+    run = _solver_cache_get(key)
+    if run is None:
+        sharding = NamedSharding(mesh, P(axis))
+        already_global = any(
+            getattr(l, "sharding", None) is not None
+            and not getattr(l, "is_fully_addressable", True)
+            for l in jax.tree_util.tree_leaves((obs, cam_idx, mask)))
+        if not already_global:
+            obs = jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), sharding), obs)
+            cam_idx = jax.device_put(cam_idx, sharding)
+            mask = jax.device_put(mask, sharding)
+
+        a0, b0 = x
+        n_a = jnp.shape(jax.tree_util.tree_leaves(a0)[0])[0]
+        a_ex = jax.tree_util.tree_map(lambda l: l[0], a0)
+        b_ex = jax.tree_util.tree_map(lambda l: l[0], b0)
+        spec_a = mf.tangent_spec(a_ex)
+        spec_b = mf.tangent_spec(b_ex)
+        da, db = spec_a.dims, spec_b.dims
+        dtype = spec.dtype
+        K = jnp.shape(cam_idx)[1]
+        nb_loc = n_b // axis_size
+        step = min(chunk, max(nb_loc, 1))
+        n_lp = int(-(-nb_loc // step) * step)
+        pad = n_lp - nb_loc
+        CH = _pick_chunk(n_lp, chunk)
+
+        d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], obs)
+        m = int(sum(math.prod(l.shape)
+                    for l in jax.tree_util.tree_leaves(
+            jax.eval_shape(lambda a, b, d: flatten_residuals(
+                pair_fn(a, b, d)), a_ex, b_ex, d_ex))))
+        n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
+
+        acc_slab, _, reduce_pass, _ = make_obs_kernels(
+            pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
+        marginal_pass = make_landmark_marginal_pass(
+            n_a, K, da, db, dtype, CH)
+
+        x_spec = jax.tree_util.tree_map(lambda _: P(), x)
+        obs_spec = jax.tree_util.tree_map(lambda _: P(axis), obs)
+
+        def _pad_rows(arr):
+            if not pad:
+                return arr
+            return jnp.concatenate(
+                [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+        def _pad_b_rows(b):
+            if not pad:
+                return b
+            return jax.tree_util.tree_map(
+                lambda l: jnp.concatenate(
+                    [l, jnp.broadcast_to(l[:1],
+                                         (pad,) + l.shape[1:])]), b)
+
+        @partial(_shard_map, mesh=mesh,
+                 in_specs=(x_spec, obs_spec, P(axis), P(axis)),
+                 out_specs=(P(), P(axis), P()))
+        def _cov_sm(xv, obs_l, cam_l, mask_l):
+            a = mf.as_pytree(xv[0])
+            j = jax.lax.axis_index(axis)
+            b_loc = jax.tree_util.tree_map(
+                lambda l: jax.lax.dynamic_slice_in_dim(
+                    l, j * nb_loc, nb_loc, 0), mf.as_pytree(xv[1]))
+            Ba_p, _, E_f, C_f, _, rss_p = acc_slab(
+                a, _pad_b_rows(b_loc),
+                jax.tree_util.tree_map(_pad_rows, obs_l),
+                _pad_rows(cam_l), _pad_rows(mask_l))
+            Ba, rss = jax.lax.psum((Ba_p, rss_p), axis)
+            cam_p = _pad_rows(cam_l)
+            S_f, _, Cinv_p = reduce_pass(
+                E_f, C_f, cam_p, jnp.zeros((n_lp, db), dtype))
+            # the reconstruction inside reduce_pass is linear, so the
+            # cross-landmark completion commutes with it: one psum.
+            S_f = jax.lax.psum(S_f, axis)
+            cov_a, Sinv = camera_marginals_from_S(S_f, Ba)
+            cov_b_l = marginal_pass(E_f, Cinv_p, cam_p, Sinv)[:nb_loc]
+            return cov_a, cov_b_l, rss
+
+        def compute(xv, o, ci, mk):
+            cov_a, cov_b, rss = _cov_sm(xv, o, ci, mk)
+            if rescaled:
+                from ..ops.linalg import cov_rescale
+                f = cov_rescale(rss, n_res, spec.dims)
+                cov_a, cov_b = cov_a * f, cov_b * f
+            return cov_a, cov_b
+
+        if jit:
+            compute = jax.jit(compute)
+        obs_g, cam_g, mask_g = obs, cam_idx, mask
+
+        def run(xv):
+            return compute(xv, obs_g, cam_g, mask_g)
+
+        _solver_cache_put(key, run, orig_leaves)
+    return run(x)

@@ -552,3 +552,55 @@ def schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs, cam_idx,
             solve = jax.jit(solve)
         _solver_cache_put(key, solve, data_leaves)
     return solve(x0)
+
+
+def schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx, mask,
+                            *, rescaled: bool = False,
+                            chunk: int = 1024, jit: bool = True):
+    """Posterior marginal covariance blocks of a sparse-obs BA solution.
+
+    The covariance companion of :func:`schur_sparse_optimize` — call at
+    the solution ``x = (a, b)`` with the same observation layout.
+    Returns ``(cov_a (n_a, da, da), cov_b (n_b, db, db))``: per-camera
+    and per-landmark marginal covariance blocks of H(x)⁻¹
+    (element-major tangent layout per block).  Computed from the
+    factored reduced camera system — S⁻¹ IS the camera marginal
+    covariance (marginalizing landmarks is the Schur complement) and the
+    landmark blocks follow as C⁻¹ + C⁻¹EᵀS⁻¹EC⁻¹ — one (n_a·da)²
+    inverse plus chunked per-point algebra; the (dims)² dense H⁻¹ the
+    reference computes (math.h:88-189, output.h:80-93) is never formed
+    (156k² ≈ 97 GB at the 1000-camera flagship scale; these marginals
+    are ~4 MB).  ``rescaled=True`` applies the reference's
+    overdetermined rescale ``cost²/(n_res − dims)`` (output.h:80-93),
+    identical to ``Output.covariance(rescaled=True)``.  NaNs if H is
+    singular (gauge not fixed) — ops/linalg.inv_cov's contract.
+    """
+    from .ops.schur_obs import obs_marginals, schur_obs_system
+
+    if not (isinstance(x, tuple) and len(x) == 2):
+        raise ValueError("schur_sparse_covariance needs x = (a, b)")
+    x = (mf.as_pytree(x[0]), mf.as_pytree(x[1]))
+    cam_idx = jnp.asarray(cam_idx, jnp.int32)
+    mask = jnp.asarray(mask)
+    data_leaves = jax.tree_util.tree_leaves((obs, cam_idx, mask))
+    key = _solver_cache_key("schur_obs_cov", pair_fn, None, jit, x,
+                            data_leaves, extra=(rescaled, chunk))
+    compute = _solver_cache_get(key)
+    if compute is None:
+        spec = mf.tangent_spec(x)
+        acc, _, _, _ = schur_obs_system(pair_fn, x[0], x[1], obs,
+                                        cam_idx, mask, spec, chunk)
+
+        def compute(xv):
+            H, _, cost = acc(xv)
+            cov_a, cov_b = obs_marginals(H, chunk)
+            if rescaled:
+                from .ops.linalg import cov_rescale
+                f = cov_rescale(cost.cost, cost.num_residuals, spec.dims)
+                cov_a, cov_b = cov_a * f, cov_b * f
+            return cov_a, cov_b
+
+        if jit:
+            compute = jax.jit(compute)
+        _solver_cache_put(key, compute, data_leaves)
+    return compute(x)

@@ -1,0 +1,139 @@
+"""Stage-level device-time decomposition of the sparse-obs BA iteration.
+
+VERDICT r3 weak #1 / task #2: the 1000-cam flagship's ~0.5 s/iteration
+was attributed to the camera-pair scatter in ``reduce_pass`` by a
+docstring estimate; this probe MEASURES each pipeline stage with the
+repo's honest-timing protocol so the optimization target is a number,
+not a narrative:
+
+  * ``accumulate``  — chunked linearize sweeps + Ba/g_a segment_sums
+  * ``reduce``      — pass A: C⁻¹, EC, camera-pair blocks + the flat
+                      (n_a², da²) scatter (the suspected bottleneck)
+  * ``assemble``    — reduced 6000² Cholesky (+ schur_refine rounds)
+  * ``backsub``     — pass C landmark back-substitution
+
+Protocol (CLAUDE.md): every stage runs K reps inside ONE dispatched
+``lax.fori_loop``; per-rep inputs are perturbed from the loop carry so
+no rep can be served from a cache or elided by DCE; a scalar derived
+from every output is carried and force-read at the end.  Marginal time
+= (wall(K) − wall(1)) / (K − 1) cancels dispatch + compile-cache noise.
+
+Usage: python benchmarks/exp_ba_stages.py [n_cams n_pts k_obs reps]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from tinyopt_tpu import manifold as mf
+    from tinyopt_tpu.models.bundle_adjustment import (make_ba_problem_sparse,
+                                                      project)
+    from tinyopt_tpu.ops.schur_obs import (_pick_chunk, assemble_reduced,
+                                           make_obs_kernels)
+
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    (obs, cam_idx, mask), x0, _ = make_ba_problem_sparse(
+        n_cams=n_cams, n_pts=n_pts, k_obs=k_obs, noise=1e-3, seed=7,
+        dtype=dtype)
+    a0, b0 = x0["poses"], x0["points"]
+    spec_a = mf.tangent_spec(jax.tree_util.tree_map(lambda l: l[0],
+                                                    mf.as_pytree(a0)))
+    spec_b = mf.tangent_spec(b0[0])
+    da, db = spec_a.dims, spec_b.dims
+    K = int(cam_idx.shape[1])
+    chunk = 1024
+    CH = _pick_chunk(n_pts, chunk)
+    mask = jnp.asarray(mask, dtype)
+
+    def pair_fn(pose, point, ob):
+        return project(pose, point[None, :])[0] - ob
+
+    acc_slab, _, reduce_pass, backsub_pass = make_obs_kernels(
+        pair_fn, mf.as_pytree(a0), spec_a, spec_b, dtype, n_cams, K, CH)
+
+    a_tree = mf.as_pytree(a0)
+
+    # one real accumulate to get representative E/C/g shapes+values
+    Ba, g_a, E_f, C_f, g_b, _ = jax.jit(lambda b: acc_slab(
+        a_tree, b, obs, cam_idx, mask))(b0)
+    jax.block_until_ready(E_f)
+
+    def timed(fn, *args):
+        """Marginal per-rep wall of fn under the K-rep fori design."""
+
+        def loop(k, *args):
+            def body(i, carry):
+                s, _ = carry
+                out = fn(jnp.asarray(1.0, dtype) + s * 1e-12, *args)
+                return (out, carry[0] * 0.0)
+
+            out0 = fn(jnp.asarray(1.0, dtype), *args)
+            s, _ = jax.lax.fori_loop(0, k - 1, body, (out0, out0 * 0.0))
+            return s
+
+        jl = jax.jit(loop, static_argnums=0)
+        walls = {}
+        for k in (1, reps):
+            float(jl(k, *args))  # compile + warm
+            t0 = time.perf_counter()
+            float(jl(k, *args))
+            walls[k] = time.perf_counter() - t0
+        return (walls[reps] - walls[1]) / (reps - 1)
+
+    # ---- stage closures: perturb via the carried scalar eps ----
+    def st_accumulate(eps, b):
+        Ba_, ga_, Ef_, Cf_, gb_, rss_ = acc_slab(
+            a_tree, b * eps, obs, cam_idx, mask)
+        return (rss_ + jnp.sum(Ba_[0]) + jnp.sum(Ef_[0]) + jnp.sum(Cf_[0])
+                + jnp.sum(ga_[0]) + jnp.sum(gb_[0])).astype(dtype)
+
+    def st_reduce(eps, E_p, C_p, g_b_p):
+        S_f, rhs, Cinv = reduce_pass(E_p * eps, C_p * eps, cam_idx, g_b_p)
+        return (jnp.sum(S_f[0]) + jnp.sum(rhs[0])
+                + jnp.sum(Cinv[0])).astype(dtype)
+
+    S_f0, rhs0, Cinv0 = jax.jit(
+        lambda E, C, g: reduce_pass(E, C, cam_idx, g))(E_f, C_f, g_b)
+    jax.block_until_ready(S_f0)
+
+    def st_assemble(eps, S_f, rhs, Bd, g_a):
+        dx_a, ok = assemble_reduced(S_f * eps, rhs, Bd, g_a,
+                                    True, 2)
+        return (jnp.sum(dx_a[0]) + ok).astype(dtype)
+
+    def st_backsub(eps, E_p, Cinv, g_b_p, dx_a):
+        dx_b = backsub_pass(E_p * eps, Cinv, cam_idx, g_b_p, dx_a)
+        return jnp.sum(dx_b[0]).astype(dtype)
+
+    dx_a0 = jnp.zeros((n_cams, da), dtype)
+
+    rows = [
+        ("accumulate", timed(st_accumulate, b0)),
+        ("reduce", timed(st_reduce, E_f, C_f, g_b)),
+        ("assemble+refine2", timed(st_assemble, S_f0, rhs0, Ba, g_a)),
+        ("backsub", timed(st_backsub, E_f, Cinv0, g_b, dx_a0)),
+    ]
+    total = sum(t for _, t in rows)
+    print(f"# stage decomposition: {n_cams} cams x {n_pts} pts, K={k_obs},"
+          f" dtype={jnp.dtype(dtype).name},"
+          f" backend={jax.default_backend()}, marginal over {reps-1} reps")
+    for name, t in rows:
+        print(f"{name:18s} {t*1e3:9.2f} ms/iter  {100*t/total:5.1f}%")
+    print(f"{'TOTAL':18s} {total*1e3:9.2f} ms/iter")
+    return rows
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

@@ -282,3 +282,134 @@ class TestBALRobust:
         e_gnc = inlier_rmse(x_gnc)
         assert e_plain > 10 * e_oracle, (e_plain, e_oracle)
         assert e_gnc < 1.2 * e_oracle, (e_gnc, e_oracle)
+
+
+class TestBucketedLayout:
+    """K-bucketed point-major layout for heavy-tailed visibility
+    (VERDICT r3 missing #2): published BAL counts are power-law (mean
+    ~6, max in the hundreds) — one (n_pts, K_max) slab inflates 10-50x.
+    Spec: the bucketed system is the SAME algebra (trajectory parity
+    with the single slab), the loader buckets directly from the
+    observation triplets, and total padded slots stay within ~2x the
+    observation count regardless of the densest landmark."""
+
+    FIXTURE = __file__.rsplit("/", 1)[0] + "/data/bal_excerpt.txt"
+
+    def _heavy_tail_instance(self, seed=4):
+        """Synthetic heavy-tail instance via the padded layout."""
+        (obs, cam_idx, mask), x0, xt, _ = make_bal_problem(
+            n_cams=10, n_pts=90, k_obs=8, noise=0.3, seed=seed)
+        # thin most landmarks down to 2-3 obs, keep a dense tail
+        rng = np.random.default_rng(seed)
+        m = np.array(mask)
+        for j in range(70):
+            keep = rng.integers(2, 4)
+            m[j, keep:] = 0.0
+        return (obs, jnp.asarray(np.where(m > 0, np.asarray(cam_idx), 0)),
+                jnp.asarray(m)), x0
+
+    def test_bucket_obs_partitions_and_bounds_padding(self):
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        (obs, cam_idx, mask), _ = self._heavy_tail_instance()
+        slabs = bucket_obs(obs, cam_idx, mask, min_bucket=8)
+        ids_all = np.concatenate([np.asarray(s[3]) for s in slabs])
+        assert sorted(ids_all.tolist()) == list(range(90))
+        n_obs = int(np.asarray(mask).sum())
+        slots = sum(int(np.asarray(s[1]).size) for s in slabs)
+        assert slots <= 2.5 * n_obs + 8 * 8, (slots, n_obs)
+        # observations preserved exactly
+        total = sum(float(np.asarray(s[2]).sum()) for s in slabs)
+        assert total == n_obs
+
+    def test_bucketed_solve_matches_single_slab(self):
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        (obs, cam_idx, mask), x0 = self._heavy_tail_instance()
+        o = to.Options(max_iters=8, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False))
+        (cams_1, pts_1), out_1 = to.schur_sparse_optimize(
+            x0, bal_residual, obs, cam_idx, mask, o)
+        slabs = bucket_obs(obs, cam_idx, mask, min_bucket=8)
+        assert len(slabs) >= 2          # the tail actually split
+        (cams_b, pts_b), out_b = to.schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, o)
+        np.testing.assert_allclose(np.asarray(pts_b), np.asarray(pts_1),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(cams_b["pose"].translation),
+            np.asarray(cams_1["pose"].translation), rtol=1e-6, atol=1e-8)
+        assert int(out_b.final_cost.num_residuals) == int(
+            out_1.final_cost.num_residuals)
+        assert int(out_b.num_iters) == int(out_1.num_iters)
+
+    @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg])
+    def test_bucketed_solvers_converge(self, solver):
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        (obs, cam_idx, mask), x0 = self._heavy_tail_instance()
+        slabs = bucket_obs(obs, cam_idx, mask, min_bucket=8)
+        o = to.Options(max_iters=15, max_consec_failures=0,
+                       solver_type=solver,
+                       hessian=to.HessianOptions(save_last=False))
+        (cams, pts), out = to.schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, o)
+        assert bool(out.succeeded())
+        rmse = float(bal_rmse(cams, pts, obs, cam_idx, mask))
+        assert rmse < 0.45, rmse       # noise is 0.3 px
+
+    def test_fixture_loads_and_converges(self):
+        """The committed real-format heavy-tail excerpt: loads in both
+        layouts, bucketing bounds padding, and the bucketed solve
+        converges to the sub-pixel noise floor (0.5 px)."""
+        (obs, cam_idx, mask), x0p = load_bal(self.FIXTURE)
+        slabs, x0 = load_bal(self.FIXTURE, layout="bucketed",
+                             min_bucket=32)
+        n_obs = int(np.asarray(mask).sum())
+        padded_slots = int(np.asarray(mask).size)
+        slots = sum(int(np.asarray(s[1]).size) for s in slabs)
+        assert padded_slots > 3.5 * n_obs      # the heavy tail is real
+        assert slots < 0.6 * padded_slots, (slots, padded_slots)
+        assert slots < 2.2 * n_obs + 32 * 30, (slots, n_obs)
+        ids_all = np.concatenate([np.asarray(s[3]) for s in slabs])
+        assert sorted(ids_all.tolist()) == list(range(600))
+
+        # perturb and re-solve to the noise floor; fixture noise 0.5 px
+        rng = np.random.default_rng(0)
+        x0_p = ({"pose": x0[0]["pose"], "intr": x0[0]["intr"]},
+                x0[1] + jnp.asarray(
+                    rng.normal(0.0, 5e-3, x0[1].shape)))
+        o = to.Options(max_iters=20, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False))
+        (cams, pts), out = to.schur_sparse_optimize_buckets(
+            x0_p, bal_residual, slabs, o)
+        assert bool(out.succeeded())
+        rmse = float(bal_rmse(cams, pts, obs, cam_idx, mask))
+        assert rmse < 0.55, rmse
+
+
+class TestPlannedReduce:
+    def test_randomized_vs_scatter_oracle(self):
+        """make_planned_segment_reduce == np.add.at across skewed /
+        uniform / degenerate id distributions (the r4 bucket_caps
+        down-merge truncation bug is pinned by the skewed cases)."""
+        from tinyopt_tpu.ops.schur_obs import make_planned_segment_reduce
+        rng = np.random.default_rng(0)
+        for trial in range(12):
+            n_rows = int(rng.integers(10, 3000))
+            n_out = int(rng.integers(2, 200))
+            skew = rng.random()
+            ids = np.where(rng.random(n_rows) < skew,
+                           rng.integers(0, max(n_out // 10, 1)),
+                           rng.integers(0, n_out, n_rows))
+            vals = rng.normal(size=(n_rows, 3))
+            ref = np.zeros((n_out, 3))
+            np.add.at(ref, ids, vals)
+            out = np.asarray(make_planned_segment_reduce(ids, n_out)(
+                jnp.asarray(vals)))
+            assert np.abs(out - ref).max() < 1e-10, trial
+
+    def test_single_segment(self):
+        from tinyopt_tpu.ops.schur_obs import make_planned_segment_reduce
+        vals = jnp.asarray(np.arange(12.0).reshape(6, 2))
+        out = make_planned_segment_reduce(np.zeros(6, np.int64), 3)(vals)
+        np.testing.assert_allclose(np.asarray(out)[0],
+                                   np.asarray(vals).sum(0))
+        np.testing.assert_allclose(np.asarray(out)[1:], 0.0)

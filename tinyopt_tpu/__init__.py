@@ -42,7 +42,7 @@ from .profiling import profile_iterations, dispatch_floor
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
                      schur_sparse_covariance, schur_sparse_optimize,
-                     sparse_optimize)
+                     schur_sparse_optimize_buckets, sparse_optimize)
 from .chain import ChainSystem, chain_marginals, chain_optimize
 from .ops.block import BlockDiag
 from .version import __version__
@@ -82,6 +82,7 @@ __all__ = [
     "profile_iterations", "dispatch_floor",
     "block_optimize", "matfree_optimize", "sparse_optimize",
     "schur_optimize", "schur_sparse_optimize",
+    "schur_sparse_optimize_buckets",
     "schur_sparse_covariance", "sharded_schur_sparse_covariance",
     "BlockDiag",
     "chain_optimize", "chain_marginals", "ChainSystem",

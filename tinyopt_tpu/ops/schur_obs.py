@@ -340,6 +340,154 @@ def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
     return reduce_pass
 
 
+def make_planned_segment_reduce(ids, n_out: int, growth: float = 2.0,
+                                min_class: int = 32):
+    """Host-side plan for a SCATTER-FREE segment reduction.
+
+    TPU scatter is ~per-row serialized (0.13-2 µs/row measured — the
+    reduce_pass scatter was 72% of the flagship BA iteration,
+    benchmarks/exp_ba_stages.py).  When the segment ids are STATIC
+    (camera topology is fixed per solver instance), the entire
+    reduction can be planned on the host: rows of each segment are
+    gathered into a padded (n_seg, L) layout (segment-length classes
+    growing by ``growth`` bound padding ~2×), summed by dense XLA tree
+    reduces along the padded axis, and placed into the (n_out, w)
+    target by ONE static gather (absent segments read a zero
+    sentinel).  Gathers + dense reduces only — no scatter anywhere, and
+    the per-segment tree sums are exact f32 reductions (no running-
+    cumsum cancellation).
+
+    Returns ``reduce(rows (n_rows, w)) -> (n_out, w)`` summing
+    ``rows[i]`` into output row ``ids[i]``.
+    """
+    import numpy as np
+
+    ids = np.asarray(ids, np.int64).ravel()
+    n_rows = ids.size
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    uids, starts, counts = np.unique(sorted_ids, return_index=True,
+                                     return_counts=True)
+    cap_of, used = bucket_caps(counts, growth, min_class)
+
+    gathers = []
+    out_map = np.full(n_out, -1, np.int64)
+    pos = 0
+    for cap in used:
+        sel = np.nonzero(cap_of == cap)[0]
+        offs = np.arange(cap)[None, :]
+        idx = starts[sel][:, None] + offs
+        valid = offs < counts[sel][:, None]
+        g = np.where(valid, order[np.minimum(idx, n_rows - 1)], n_rows)
+        gathers.append(jnp.asarray(g, jnp.int32))
+        out_map[uids[sel]] = pos + np.arange(len(sel))
+        pos += len(sel)
+    zero_slot = pos
+    out_map[out_map < 0] = zero_slot
+    out_map = jnp.asarray(out_map, jnp.int32)
+
+    def reduce(rows: jax.Array) -> jax.Array:
+        w = rows.shape[-1]
+        rows1 = jnp.concatenate(
+            [rows, jnp.zeros((1, w), rows.dtype)])
+        parts = [jnp.sum(rows1[g], axis=1) for g in gathers]
+        parts.append(jnp.zeros((1, w), rows.dtype))
+        return jnp.concatenate(parts)[out_map]
+
+    return reduce
+
+
+def make_reduce_pass_planned(n_a: int, K: int, da: int, db: int, dtype,
+                             CH: int, cam_idx_np):
+    """Pass A with PLANNED (scatter-free) reductions — same contract as
+    :func:`make_reduce_pass`, requiring the static padded camera index
+    array ``cam_idx_np`` (n_p, K) at build time.
+
+    The chunk loop computes the same C⁻¹ / EC / camera-pair blocks but
+    writes them to flat global row buffers with contiguous
+    ``dynamic_update_slice`` (no scatter); the (n_a², da²) reduced-
+    system assembly, the per-camera diagonal and the rhs then run
+    through :func:`make_planned_segment_reduce` — gathers and dense
+    tree sums only.  Measured v5e-1, 1000 cams × 50k pts, K=8: the
+    reduce stage drops 264 → ~20 ms/iter (benchmarks/exp_ba_stages.py).
+    """
+    import numpy as np
+
+    eye = jnp.eye(db, dtype=dtype)
+    cam_np = np.asarray(cam_idx_np, np.int64)
+    n_p = cam_np.shape[0]
+    assert n_p % CH == 0
+
+    _ks = np.asarray([k for k in range(K) for l in range(k)], np.int64)
+    _ls = np.asarray([l for k in range(K) for l in range(k)], np.int64)
+    P_tri = int(_ks.shape[0])
+    ks_j = jnp.asarray(_ks, jnp.int32)
+    ls_j = jnp.asarray(_ls, jnp.int32)
+
+    ids_tri = (cam_np[:, _ks] * n_a + cam_np[:, _ls]).ravel()
+    ids_slot = cam_np.ravel()
+    reduce_tri = make_planned_segment_reduce(ids_tri, n_a * n_a)
+    reduce_slot = make_planned_segment_reduce(ids_slot, n_a)
+
+    def _sl(arr, c):
+        return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
+
+    def _updr(arr, val, c, stride):
+        return jax.lax.dynamic_update_slice_in_dim(
+            arr, val, c * CH * stride, 0)
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        def bodyA(c, carry):
+            tri_rows, diag_rows, rhs_rows, Cinv_f = carry
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
+            # zero-block identity substitution + exact C⁻¹
+            # (make_reduce_pass rationale)
+            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
+            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
+            with jax.default_matmul_precision("highest"):
+                chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
+                Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
+                    (L, True), eye))(chol)
+            EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
+                         preferred_element_type=dtype)
+            blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, ks_j],
+                               E_c[:, ls_j], preferred_element_type=dtype)
+            tri_rows = _updr(
+                tri_rows, blocks_tri.reshape(CH * P_tri, da * da), c,
+                P_tri)
+            blocks_diag = _esum("jkac,jkbc->jkab", EC_c, E_c,
+                                preferred_element_type=dtype)
+            diag_rows = _updr(
+                diag_rows, blocks_diag.reshape(CH * K, da * da), c, K)
+            g_b_c = _sl(g_b_p, c)
+            rhs_rows = _updr(
+                rhs_rows,
+                _esum("jkac,jc->jka", EC_c, g_b_c).reshape(CH * K, da),
+                c, K)
+            Cinv_f = jax.lax.dynamic_update_slice_in_dim(
+                Cinv_f, Cinv_c.reshape(CH, db * db), c * CH, 0)
+            return tri_rows, diag_rows, rhs_rows, Cinv_f
+
+        init = (jnp.zeros((n_p * P_tri, da * da), dtype),
+                jnp.zeros((n_p * K, da * da), dtype),
+                jnp.zeros((n_p * K, da), dtype),
+                jnp.zeros((n_p, db * db), dtype))
+        tri_rows, diag_rows, rhs_rows, Cinv_f = jax.lax.fori_loop(
+            0, n_p // CH, bodyA, init)
+
+        S_f = reduce_tri(tri_rows)
+        S_diag = reduce_slot(diag_rows)
+        rhs = reduce_slot(rhs_rows)
+        X = S_f.reshape(n_a, n_a, da, da)
+        X = X + X.transpose(1, 0, 3, 2)
+        idx = jnp.arange(n_a)
+        X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
+        return X.reshape(n_a * n_a, da * da), rhs, Cinv_f
+
+    return reduce_pass
+
+
 def camera_marginals_from_S(S_f, Ba):
     """Per-camera marginal covariance from the completed pass-A sums.
 
@@ -450,8 +598,17 @@ def obs_marginals(H: "SchurObsSystem", chunk: int = 1024):
 
 
 def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
-                     dtype, n_a: int, K: int, CH: int):
+                     dtype, n_a: int, K: int, CH: int,
+                     cam_idx_np=None):
     """Chunked slab kernels over a point-major slab (length = CH multiple).
+
+    ``cam_idx_np``: the PADDED (n_p, K) camera indices as a concrete
+    host array — when given, ``reduce_pass`` uses the PLANNED
+    scatter-free reduction (:func:`make_reduce_pass_planned`; the
+    camera topology is static per solver instance, measured 13× faster
+    on the flagship BA iteration's reduce stage); when None (e.g. the
+    sharded path, where each device's slab indices are traced), the
+    chunked-scatter ``reduce_pass`` is used.
 
     Every function operates on a SLAB — the point-major padded arrays of
     however many landmarks one device holds (all of them on one device;
@@ -537,7 +694,11 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
 
         return jax.lax.fori_loop(0, n_p // CH, body, jnp.zeros((), dtype))
 
-    reduce_pass = make_reduce_pass(n_a, K, da, db, dtype, CH)
+    if cam_idx_np is None:
+        reduce_pass = make_reduce_pass(n_a, K, da, db, dtype, CH)
+    else:
+        reduce_pass = make_reduce_pass_planned(n_a, K, da, db, dtype,
+                                               CH, cam_idx_np)
 
     def backsub_pass(E_p, Cinv_f, cam_p, g_b_p, dx_a):
         """Pass C: landmark back-substitution dx_b = C⁻¹(−g_b − Eᵀ dx_a)."""
@@ -638,8 +799,10 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
     # Observed-slot residual count (ops/schur.py semantics).
     n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
 
+    import numpy as np
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
-        pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
+        pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH,
+        cam_idx_np=np.asarray(cam_idx_p))
     em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
 
     def split(x):
@@ -718,6 +881,326 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         return eliminate(H, Bd, Cd, g, use_chol, refine)
 
     return accumulate, evaluate, n_res, propose
+
+
+class SchurObsBuckets(NamedTuple):
+    """Pluggable H for the K-BUCKETED point-major layout.
+
+    Published BAL visibility is heavy-tailed (mean ~6 obs/landmark, max
+    in the hundreds): one (n_b, K_max) padded slab inflates memory
+    10-50×.  Landmarks are instead grouped into a few buckets by
+    observation count, each bucket its own padded slab with its own
+    K_g cap — padding waste is bounded by the bucket growth factor
+    (~2×), and every slab runs through the SAME chunked kernels.  The
+    static landmark-id maps and per-bucket kernels live in the system
+    builder's closure (``schur_obs_bucket_system``), not here: the loop
+    carries only arrays.
+
+    Per-bucket leaves are tuples (one entry per bucket), each in the
+    single-slab flat layout of :class:`SchurObsSystem`.
+    """
+
+    Ba: jax.Array            #: (n_a, da, da) camera diagonal blocks
+    C: tuple                 #: per-bucket (n_g, db²) landmark blocks
+    E: tuple                 #: per-bucket (n_g, K_g·da·db) couplings
+    cam_idx: tuple           #: per-bucket (n_g, K_g) int32
+
+
+def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
+                            spec: mf.TangentSpec, chunk: int = 1024):
+    """Build (accumulate, evaluate, n_res, propose) for K-bucketed
+    sparse-obs BA.
+
+    ``slabs`` — list of ``(obs, cam_idx, mask, ids)``: per-bucket
+    point-major arrays (leaves (n_g, K_g, ...)) plus the STATIC
+    original-landmark indices ``ids`` (n_g,) of the bucket's rows.
+    Every landmark must appear in exactly one bucket.  ``x`` stays in
+    the ORIGINAL landmark order throughout (the loop's tangent layout is
+    unchanged); buckets slice it by static gather and the
+    back-substituted steps are un-permuted by one static gather —
+    no scatters are added.  Same elimination algebra as
+    ``schur_obs_system`` (the reduced camera system just sums over
+    buckets), so trajectories match the single-slab layout of the same
+    problem up to summation order.
+    """
+    a0 = mf.as_pytree(a0)
+    b0 = mf.as_pytree(b0)
+    n_a = jnp.shape(jax.tree_util.tree_leaves(a0)[0])[0]
+    n_b = jnp.shape(jax.tree_util.tree_leaves(b0)[0])[0]
+    a_ex = jax.tree_util.tree_map(lambda l: l[0], a0)
+    b_ex = jax.tree_util.tree_map(lambda l: l[0], b0)
+    spec_a = mf.tangent_spec(a_ex)
+    spec_b = mf.tangent_spec(b_ex)
+    da, db = spec_a.dims, spec_b.dims
+    dtype = spec.dtype
+
+    import numpy as np
+
+    ids_all = np.concatenate([np.asarray(s[3], np.int64)
+                              for s in slabs])
+    if (ids_all.size != n_b
+            or np.any(np.sort(ids_all) != np.arange(n_b))):
+        raise ValueError(
+            "bucket ids must partition the landmark axis: every "
+            f"landmark index 0..{n_b - 1} exactly once "
+            f"(got {ids_all.size} ids)")
+    # static permutations: bucket-concat order <-> original order
+    inv_order = jnp.asarray(np.argsort(ids_all), jnp.int32)
+
+    buckets = []
+    n_res_total = 0
+    m_dims = None
+    for obs, cam_idx, mask, ids in slabs:
+        cam_idx = jnp.asarray(cam_idx, jnp.int32)
+        mask = jnp.asarray(mask, dtype)
+        ids = jnp.asarray(np.asarray(ids), jnp.int32)
+        n_g, K = cam_idx.shape
+        step = min(chunk, max(n_g, 1))
+        n_gp = int(-(-n_g // step) * step)
+        pad = n_gp - n_g
+        CH = _pick_chunk(n_gp, chunk)
+        if pad:
+            obs = jax.tree_util.tree_map(
+                lambda l: jnp.concatenate(
+                    [jnp.asarray(l),
+                     jnp.zeros((pad,) + jnp.shape(l)[1:],
+                               jnp.result_type(l))]), obs)
+            cam_p = jnp.concatenate(
+                [cam_idx, jnp.zeros((pad, K), jnp.int32)])
+            mask_p = jnp.concatenate(
+                [mask, jnp.zeros((pad, K), mask.dtype)])
+        else:
+            obs = jax.tree_util.tree_map(jnp.asarray, obs)
+            cam_p, mask_p = cam_idx, mask
+        d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], obs)
+        m = int(sum(math.prod(l.shape)
+                    for l in jax.tree_util.tree_leaves(
+            jax.eval_shape(lambda a, b, d: flatten_residuals(
+                pair_fn(a, b, d)), a_ex, b_ex, d_ex))))
+        if m_dims is None:
+            m_dims = m
+        kernels = make_obs_kernels(pair_fn, a0, spec_a, spec_b, dtype,
+                                   n_a, K, CH,
+                                   cam_idx_np=np.asarray(cam_p))
+        n_res_total = n_res_total + (
+            jnp.count_nonzero(mask).astype(jnp.int32) * m)
+        buckets.append(dict(obs=obs, cam=cam_p, mask=mask_p, ids=ids,
+                            n_g=n_g, pad=pad, K=K, CH=CH,
+                            kernels=kernels))
+    n_res = n_res_total
+    em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
+
+    def split(x):
+        return mf.as_pytree(x[0]), mf.as_pytree(x[1])
+
+    def _slab_b(b, bk):
+        b_g = jax.tree_util.tree_map(lambda l: l[bk["ids"]], b)
+        if not bk["pad"]:
+            return b_g
+        return jax.tree_util.tree_map(
+            lambda l: jnp.concatenate(
+                [l, jnp.broadcast_to(l[:1],
+                                     (bk["pad"],) + l.shape[1:])]), b_g)
+
+    def accumulate(x):
+        a, b = split(x)
+        Ba = jnp.zeros((n_a, da, da), dtype)
+        g_a = jnp.zeros((n_a, da), dtype)
+        rss = jnp.zeros((), dtype)
+        C_t, E_t, gb_rows = [], [], []
+        for bk in buckets:
+            acc_slab = bk["kernels"][0]
+            Ba_g, ga_g, E_f, C_f, g_b, rss_g = acc_slab(
+                a, _slab_b(b, bk), bk["obs"], bk["cam"], bk["mask"])
+            Ba, g_a, rss = Ba + Ba_g, g_a + ga_g, rss + rss_g
+            C_t.append(C_f[:bk["n_g"]])
+            E_t.append(E_f[:bk["n_g"]])
+            gb_rows.append(g_b[:bk["n_g"]])
+        g_b_all = jnp.concatenate(gb_rows)[inv_order]
+        g = jnp.concatenate([g_a.reshape(-1), g_b_all.reshape(-1)])
+        if em2gl is not None:
+            g = g[em2gl]
+        H = SchurObsBuckets(Ba, tuple(C_t), tuple(E_t),
+                            tuple(bk["cam"][:bk["n_g"]]
+                                  for bk in buckets))
+        return H, g, Cost.make(rss, n_res)
+
+    def evaluate(x):
+        a, b = split(x)
+        rss = jnp.zeros((), dtype)
+        for bk in buckets:
+            eval_slab = bk["kernels"][1]
+            rss = rss + eval_slab(a, _slab_b(b, bk), bk["obs"],
+                                  bk["cam"], bk["mask"])
+        return Cost.make(rss, n_res)
+
+    def _pad_rows(arr, pad):
+        if not pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+    def _matvec(H: SchurObsBuckets, v):
+        """H·v (element-major bucket algebra; loop-global in/out)."""
+        if gl2em is not None:
+            v = v[gl2em]
+        v_a = v[:n_a * da].reshape(n_a, da)
+        v_b = v[n_a * da:].reshape(n_b, db)
+        o_a = _esum("iab,ib->ia", H.Ba, v_a)
+        ob_rows = []
+        for bk, E_g, C_g in zip(buckets, H.E, H.C):
+            K = bk["K"]
+            n_g = bk["n_g"]
+            E4 = E_g.reshape(n_g, K, da, db)
+            C3 = C_g.reshape(n_g, db, db)
+            cam = bk["cam"][:n_g]
+            v_b_g = v_b[bk["ids"]]
+            Evb = _esum("jkab,jb->jka", E4, v_b_g)
+            o_a = o_a + jax.ops.segment_sum(
+                Evb.reshape(n_g * K, da), cam.reshape(-1),
+                num_segments=n_a)
+            va_g = v_a[cam]
+            ob_rows.append(_esum("jab,jb->ja", C3, v_b_g)
+                           + _esum("jkab,jka->jb", E4, va_g))
+        o_b = jnp.concatenate(ob_rows)[inv_order]
+        out = jnp.concatenate([o_a.reshape(-1), o_b.reshape(-1)])
+        return out if em2gl is None else out[em2gl]
+
+    def eliminate(H: SchurObsBuckets, Bd, Cd_t, g, use_cholesky=True,
+                  refine: int = 0):
+        if gl2em is not None:
+            g = g[gl2em]
+        g_a = g[:n_a * da].reshape(n_a, da)
+        g_b = g[n_a * da:].reshape(n_b, db)
+        S_f = jnp.zeros((n_a * n_a, da * da), dtype)
+        rhs = jnp.zeros((n_a, da), dtype)
+        stash = []
+        for bk, E_g, Cd_g in zip(buckets, H.E, Cd_t):
+            reduce_pass = bk["kernels"][2]
+            pad = bk["pad"]
+            g_b_p = _pad_rows(g_b[bk["ids"]], pad)
+            E_p = _pad_rows(E_g, pad)
+            Cd_p = _pad_rows(Cd_g, pad)
+            S_g, rhs_g, Cinv_p = reduce_pass(E_p, Cd_p, bk["cam"], g_b_p)
+            S_f, rhs = S_f + S_g, rhs + rhs_g
+            stash.append((E_p, Cinv_p, g_b_p))
+        dx_a, ok = assemble_reduced(S_f, rhs, Bd, g_a, use_cholesky,
+                                    refine)
+        dxb_rows = []
+        for bk, (E_p, Cinv_p, g_b_p) in zip(buckets, stash):
+            backsub = bk["kernels"][3]
+            dxb_rows.append(
+                backsub(E_p, Cinv_p, bk["cam"], g_b_p,
+                        dx_a)[:bk["n_g"]])
+        dx_b = jnp.concatenate(dxb_rows)[inv_order]
+        dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
+        ok = ok & jnp.all(jnp.isfinite(dx))
+        if em2gl is not None:
+            dx = dx[em2gl]
+        return dx, ok
+
+    def propose(H: SchurObsBuckets, g, lam, opts):
+        use_chol = opts.hessian.use_ldlt
+        refine = opts.hessian.schur_refine
+        if opts.solver_type == SolverType.DOGLEG:
+            from ..solvers.step import dogleg_core  # local: avoid cycle
+
+            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine)
+            return dogleg_core(
+                g, lam, dx_gn, ok_gn, jnp.vdot(g, _matvec(H, g)),
+                lambda le: eliminate(
+                    H, _damp_blocks(H.Ba, le),
+                    tuple(_damp_flat(Cg, db, le) for Cg in H.C), g,
+                    use_chol, refine))
+        is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
+        Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
+        Cd_t = (tuple(_damp_flat(Cg, db, lam) for Cg in H.C)
+                if is_lm else H.C)
+        return eliminate(H, Bd, Cd_t, g, use_chol, refine)
+
+    return accumulate, evaluate, n_res, propose
+
+
+def bucket_caps(counts, growth: float = 2.0, min_bucket: int = 256):
+    """Assign each landmark a K-bucket cap from its observation count.
+
+    Caps grow geometrically by ``growth`` from the smallest count to the
+    densest; buckets holding fewer than ``min_bucket`` points are merged
+    into the next larger cap (fewer compiled kernels), the final largest
+    bucket absorbing a trailing small one downward instead.  Returns
+    ``(cap_of (n_b,) int, used_caps list)`` — host-side numpy.
+    """
+    import numpy as np
+
+    counts = np.asarray(counts)
+    n_b = counts.shape[0]
+    caps = []
+    c = max(int(counts.min()), 1)
+    kmax = max(int(counts.max()), 1)
+    while c < kmax:
+        caps.append(c)
+        c = max(int(math.ceil(c * growth)), c + 1)
+    caps.append(kmax)
+    # assign each point the smallest sufficient cap
+    cap_of = np.empty(n_b, np.int64)
+    for cap in reversed(caps):
+        cap_of[counts <= cap] = cap
+    cap_of[counts == 0] = caps[0]
+    used = [c0 for c0 in caps if np.any(cap_of == c0)]
+    for i, c0 in enumerate(used[:-1]):
+        if (cap_of == c0).sum() < min_bucket:
+            cap_of[cap_of == c0] = used[i + 1]
+    used = [c0 for c0 in caps if np.any(cap_of == c0)]
+    # a small LARGEST bucket cannot merge upward; pull the next class up
+    # into it instead (a merge DOWN would truncate members whose count
+    # exceeds the smaller cap — data loss, not just padding)
+    if len(used) > 1 and (cap_of == used[-1]).sum() < min_bucket:
+        cap_of[cap_of == used[-2]] = used[-1]
+        used = used[:-2] + used[-1:]
+    return cap_of, used
+
+
+def bucket_obs(obs, cam_idx, mask, growth: float = 2.0,
+               min_bucket: int = 256):
+    """Split a padded point-major layout into K-buckets (host-side).
+
+    Groups landmarks by observation count into caps growing by
+    ``growth`` (powers of the factor), merging buckets smaller than
+    ``min_bucket`` points into the next larger cap.  Returns ``slabs``
+    = list of ``(obs_g, cam_idx_g, mask_g, ids_g)`` for
+    :func:`schur_obs_bucket_system` — total padded slots are bounded by
+    ~``growth``× the observation count instead of the single-slab
+    ``n_b · K_max``.
+    """
+    import numpy as np
+
+    cam_np = np.asarray(cam_idx)
+    mask_np = np.asarray(mask)
+    counts = mask_np.astype(bool).sum(axis=1)
+    cap_of, used = bucket_caps(counts, growth, min_bucket)
+
+    slabs = []
+    for cap in used:
+        ids = np.nonzero(cap_of == cap)[0]
+        sel_rows = mask_np[ids].astype(bool)
+        # compact each row's real slots to the front, cap columns
+        order = np.argsort(~sel_rows, axis=1, kind="stable")
+        gat = np.take_along_axis
+        cam_g = gat(cam_np[ids], order, 1)[:, :cap]
+        mask_g = gat(mask_np[ids], order, 1)[:, :cap]
+        cam_g = np.where(mask_g.astype(bool), cam_g, 0).astype(np.int32)
+        def _gather_leaf(l):
+            arr = np.asarray(l)[ids]
+            idx = order.reshape(order.shape + (1,) * (arr.ndim - 2))
+            g = gat(arr, idx, 1)[:, :cap]
+            mk = mask_g.astype(bool).reshape(
+                mask_g.shape + (1,) * (arr.ndim - 2))
+            return jnp.asarray(np.where(mk, g, 0))
+
+        obs_g = jax.tree_util.tree_map(_gather_leaf, obs)
+        slabs.append((obs_g, jnp.asarray(cam_g),
+                      jnp.asarray(mask_g), ids))
+    return slabs
 
 
 def grid_to_obs(data, mask, K: int | None = None):

@@ -554,6 +554,59 @@ def schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs, cam_idx,
     return solve(x0)
 
 
+def schur_sparse_optimize_buckets(x0: tuple, pair_fn: Callable, slabs,
+                                  options: Options | None = None, *,
+                                  jit: bool = True):
+    """Sparse-observation BA over a K-BUCKETED point-major layout.
+
+    For HEAVY-TAILED visibility (published BAL: mean ~6 obs/landmark,
+    max in the hundreds) a single (n_b, K_max) padded slab inflates
+    memory 10-50×; ``slabs`` instead groups landmarks by observation
+    count — each entry ``(obs, cam_idx, mask, ids)`` is a padded slab
+    with its own K cap plus the static original-landmark indices of its
+    rows (``ops.schur_obs.bucket_obs`` builds them from a padded
+    layout; ``models.bal.load_bal(layout="bucketed")`` from a BAL
+    file).  Same elimination algebra as :func:`schur_sparse_optimize`
+    (the reduced camera system sums over buckets; steps are
+    un-permuted by one static gather), so trajectories match the
+    single-slab layout up to summation order.  ``x0`` keeps the
+    ORIGINAL landmark order.  LM/GN/DogLeg.
+    """
+    from .ops.schur_obs import schur_obs_bucket_system
+
+    options = options or Options()
+    if options.solver_type in FIRST_ORDER_TYPES:
+        raise ValueError(
+            "schur_sparse_optimize_buckets is a Gauss-Newton/LM method; "
+            "use to.optimize with a first-order solver type for "
+            "gradient-only solves")
+    if not (isinstance(x0, tuple) and len(x0) == 2):
+        raise ValueError("schur_sparse_optimize_buckets needs "
+                         "x0 = (a0, b0)")
+    x0 = (mf.as_pytree(x0[0]), mf.as_pytree(x0[1]))
+    slabs = [(obs, jnp.asarray(ci, jnp.int32), jnp.asarray(mk), ids)
+             for obs, ci, mk, ids in slabs]
+    data_leaves = jax.tree_util.tree_leaves(
+        [(obs, ci, mk) for obs, ci, mk, _ in slabs])
+    key = _solver_cache_key(
+        "schur_obs_buckets", pair_fn, options, jit, x0, data_leaves,
+        extra=tuple(np.asarray(ids).tobytes() for *_, ids in slabs))
+    solve = _solver_cache_get(key)
+    if solve is None:
+        spec = mf.tangent_spec(x0)
+        acc, ev, n_res, propose = schur_obs_bucket_system(
+            pair_fn, x0[0], x0[1], slabs, spec)
+
+        def solve(x):
+            return optimize_from_acc(x, acc, ev, options, spec,
+                                     propose=propose)
+
+        if jit:
+            solve = jax.jit(solve)
+        _solver_cache_put(key, solve, data_leaves)
+    return solve(x0)
+
+
 def schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx, mask,
                             *, rescaled: bool = False,
                             chunk: int = 1024, jit: bool = True):

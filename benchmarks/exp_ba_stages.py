@@ -59,8 +59,11 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
     def pair_fn(pose, point, ob):
         return project(pose, point[None, :])[0] - ob
 
-    acc_slab, _, reduce_pass, backsub_pass = make_obs_kernels(
+    acc_slab, _, reduce_scatter, backsub_pass = make_obs_kernels(
         pair_fn, mf.as_pytree(a0), spec_a, spec_b, dtype, n_cams, K, CH)
+    from tinyopt_tpu.ops.schur_obs import make_reduce_pass_planned
+    reduce_planned = make_reduce_pass_planned(
+        n_cams, K, da, db, dtype, CH, np.asarray(cam_idx))
 
     a_tree = mf.as_pytree(a0)
 
@@ -99,12 +102,19 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
                 + jnp.sum(ga_[0]) + jnp.sum(gb_[0])).astype(dtype)
 
     def st_reduce(eps, E_p, C_p, g_b_p):
-        S_f, rhs, Cinv = reduce_pass(E_p * eps, C_p * eps, cam_idx, g_b_p)
+        S_f, rhs, Cinv = reduce_scatter(E_p * eps, C_p * eps, cam_idx,
+                                        g_b_p)
+        return (jnp.sum(S_f[0]) + jnp.sum(rhs[0])
+                + jnp.sum(Cinv[0])).astype(dtype)
+
+    def st_reduce_planned(eps, E_p, C_p, g_b_p):
+        S_f, rhs, Cinv = reduce_planned(E_p * eps, C_p * eps, cam_idx,
+                                        g_b_p)
         return (jnp.sum(S_f[0]) + jnp.sum(rhs[0])
                 + jnp.sum(Cinv[0])).astype(dtype)
 
     S_f0, rhs0, Cinv0 = jax.jit(
-        lambda E, C, g: reduce_pass(E, C, cam_idx, g))(E_f, C_f, g_b)
+        lambda E, C, g: reduce_scatter(E, C, cam_idx, g))(E_f, C_f, g_b)
     jax.block_until_ready(S_f0)
 
     def st_assemble(eps, S_f, rhs, Bd, g_a):
@@ -120,11 +130,13 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
 
     rows = [
         ("accumulate", timed(st_accumulate, b0)),
-        ("reduce", timed(st_reduce, E_f, C_f, g_b)),
+        ("reduce (scatter)", timed(st_reduce, E_f, C_f, g_b)),
+        ("reduce (planned)", timed(st_reduce_planned, E_f, C_f, g_b)),
         ("assemble+refine2", timed(st_assemble, S_f0, rhs0, Ba, g_a)),
         ("backsub", timed(st_backsub, E_f, Cinv0, g_b, dx_a0)),
     ]
-    total = sum(t for _, t in rows)
+    # the solver uses the PLANNED reduce; total excludes the scatter row
+    total = sum(t for name, t in rows if name != "reduce (scatter)")
     print(f"# stage decomposition: {n_cams} cams x {n_pts} pts, K={k_obs},"
           f" dtype={jnp.dtype(dtype).name},"
           f" backend={jax.default_backend()}, marginal over {reps-1} reps")

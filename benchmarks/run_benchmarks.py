@@ -430,15 +430,87 @@ def bench_pose_graph(n_poses: int = 5000, extra_loops: int = 100,
     n_res = 6 * int(data.edges.shape[0]) + 6
     dof = max(n_res - 6 * n_poses, 1)
     chi2 = dof * noise ** 2
-    ok = bool(out.converged) and cost <= 3.0 * chi2
+    ok = bool(out.converged()) and cost <= 3.0 * chi2
     return wall, cost, chi2, int(out.num_iters), ok
+
+
+def bench_bal_robust(n_cams: int = 300, n_pts: int = 20_000,
+                     k_obs: int = 6, noise: float = 0.5,
+                     outlier_frac: float = 0.10, seed: int = 5):
+    """Robust large-scale BAL: the full production recipe in ONE command
+    (VERDICT r3 task #8) — 9-parameter BAL cameras (angle-axis+t+f+k1+k2
+    semantics via the {pose, intr} pytree), 10% gross outliers,
+    Geman-McClure GRADUATED NON-CONVEXITY ladder through the sparse-obs
+    Schur solver with ``hessian.schur_refine`` mixed-precision reduced
+    solves; gauge handled as in all BA paths here: LM damping spans the
+    7-dim similarity null space and camera-0/point-0 anchor the start
+    (make_bal_problem).  Metric: REPROJECTION RMSE IN PIXELS (the
+    BAL-native number) on clean slots of determined landmarks.
+    Returns (wall_s, rmse_px_robust, rmse_px_plain, ok).
+    """
+    import jax
+    jax.config.update("jax_enable_x64", True)   # refine's f64 residual
+    import jax.numpy as jnp
+    import tinyopt_tpu as to
+    from tinyopt_tpu.losses import (geman_mcclure, gnc_anneal,
+                                    gnc_schedule, robust_whiten)
+    from tinyopt_tpu.models.bal import (bal_residual, bal_rmse,
+                                        make_bal_problem)
+
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    (obs, cam_idx, mask), x0, _, bad = make_bal_problem(
+        n_cams=n_cams, n_pts=n_pts, k_obs=k_obs, noise=noise,
+        outlier_frac=outlier_frac, seed=seed, dtype=dtype)
+    (obs_c, _, _), _, _, _ = make_bal_problem(
+        n_cams=n_cams, n_pts=n_pts, k_obs=k_obs, noise=noise,
+        outlier_frac=0.0, seed=seed, dtype=dtype)
+    opts = to.Options(max_iters=15, max_consec_failures=0,
+                      min_error=0.0,
+                      hessian=to.HessianOptions(save_last=False,
+                                                schur_refine=2))
+    if dtype == jnp.float32:
+        opts = opts.for_dtype(dtype)
+
+    def stage(x, th2):
+        def rp(cam, pt, ob):
+            return robust_whiten(bal_residual(cam, pt, ob),
+                                 geman_mcclure, th2)
+        return to.schur_sparse_optimize(x, rp, obs, cam_idx, mask, opts)
+
+    # clean-slot metric on determined landmarks (<2 clean rays is
+    # legitimately unrecoverable under a saturating loss)
+    bad_np = np.asarray(bad)
+    det = (bad_np.shape[1] - bad_np.sum(1)) >= 2
+    good = jnp.asarray((~bad_np) & det[:, None], dtype)
+
+    def clean_rmse(x):
+        return float(bal_rmse(x[0], x[1], obs_c, cam_idx,
+                              jnp.asarray(mask) * good))
+
+    # squared-threshold ladder 50 -> 2 (≈7 -> 1.4 px): measured best on
+    # this model family (a near-quadratic 50 px coarse stage lets the
+    # gross outliers bias the basin before saturation kicks in)
+    sched = gnc_schedule(50.0, 2.0, steps=5)
+    # warm with a perturbed start (axon execution-cache honesty)
+    x_w = (x0[0], x0[1] + jnp.asarray(1e-5, dtype))
+    xw, _ = gnc_anneal(stage, x_w, sched)
+    jax.block_until_ready(xw[1])
+    t0 = time.perf_counter()
+    x_gnc, out = gnc_anneal(stage, x0, sched)
+    r_gnc = clean_rmse(x_gnc)               # forced read = completion
+    wall = time.perf_counter() - t0
+    x_plain, _ = to.schur_sparse_optimize(x0, bal_residual, obs,
+                                          cam_idx, mask, opts)
+    r_plain = clean_rmse(x_plain)
+    ok = r_gnc <= 1.3 * noise and r_plain > 2.0 * r_gnc
+    return wall, r_gnc, r_plain, ok
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("only", nargs="?", default=None,
                     choices=["bench_ba", "bench_ba_sparse",
-                             "bench_pose_graph"],
+                             "bench_pose_graph", "bench_bal_robust"],
                     help="run a single benchmark instead of the full sweep")
     ap.add_argument("--batch", type=int, default=10_000)
     ap.add_argument("--skip-tpu", action="store_true")
@@ -455,6 +527,17 @@ def main():
         for k, (wall, rmse, ok) in ba.items():
             print(f"  {k:<8} {wall:7.2f} s  rmse={rmse:.2e}  "
                   f"{'converged' if ok else 'NOT CONVERGED'}")
+        return
+    if args.only == "bench_bal_robust":
+        wall, r_gnc, r_plain, ok = bench_bal_robust()
+        print("Robust BAL 300 cams x 20,000 landmarks, 9-param cameras, "
+              "120k obs, 0.5 px noise + 10% gross outliers "
+              "(GNC Geman-McClure ladder 50->2 px + schur_refine=2; "
+              "criterion: clean-slot rmse <= 1.3x noise AND plain L2 "
+              ">= 2x worse):")
+        print(f"  gnc      {wall:7.2f} s  rmse={r_gnc:.3f} px  "
+              f"(plain L2: {r_plain:.3f} px)  "
+              f"{'OK' if ok else 'FAILED'}")
         return
     if args.only == "bench_pose_graph":
         wall, cost, chi2, iters, ok = bench_pose_graph()

@@ -25,7 +25,8 @@ import os
 import jax
 import pytest
 
-from benchmarks.exp_scaling import measure_block, measure_dp
+from benchmarks.exp_scaling import (measure_block, measure_dp,
+                                    measure_schur, measure_schur_obs)
 
 
 needs_devices = pytest.mark.skipif(
@@ -72,3 +73,29 @@ def test_block_psum_scaling():
     _attempt(lambda: measure_block(n_list=(1, 4), per_dev_blocks=512,
                                    reps=5),
              lambda thpt: thpt[4] >= 1.4 * thpt[1])
+
+
+@needs_devices
+def test_schur_landmark_scaling():
+    """Landmark-sharded grid-Schur BA (parallel/schur.py): per-device
+    landmark slabs grow the TOTAL problem, so a serialized or
+    replicated elimination would pin total throughput at ~1x.
+    Measured r3/r4 on a 4-core host: n=4 total 1.7x (per-device 0.43,
+    PARITY.md); guard at 1.35x with the CI noise protocol."""
+    _attempt(lambda: measure_schur(n_list=(1, 4), per_dev_landmarks=512,
+                                   reps=4),
+             lambda thpt: thpt[4] >= 1.35 * thpt[1])
+
+
+@needs_devices
+def test_schur_obs_landmark_scaling():
+    """Landmark-sharded SPARSE-OBS Schur BA (parallel/schur_obs.py —
+    the r3 flagship axis, previously unguarded: VERDICT r3 weak #3).
+    The sharded path replicates only the reduced camera solve; the
+    per-landmark slab work must parallelize.  Measured r3 on a 4-core
+    host: n=4 total 1.24x (per-device 0.31, PARITY.md — the replicated
+    reduced solve is a larger fraction at toy scale); guard at 1.1x —
+    a serialized sharded path measures ~0.9-1.0x and fails."""
+    _attempt(lambda: measure_schur_obs(n_list=(1, 4),
+                                       per_dev_landmarks=1024, reps=4),
+             lambda thpt: thpt[4] >= 1.1 * thpt[1])

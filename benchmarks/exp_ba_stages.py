@@ -128,15 +128,68 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
 
     dx_a0 = jnp.zeros((n_cams, da), dtype)
 
+    # ---- reduce sub-decomposition: planned reduces alone vs the chunk
+    # loop; 3x3 C-inverse via batched Cholesky vs closed-form adjugate.
+    from tinyopt_tpu.ops.schur_obs import make_planned_segment_reduce
+    cam_np = np.asarray(cam_idx, np.int64)
+    _ks = np.asarray([k for k in range(K) for l in range(k)])
+    _ls = np.asarray([l for k in range(K) for l in range(k)])
+    P_tri = len(_ks)
+    reduce_tri = make_planned_segment_reduce(
+        (cam_np[:, _ks] * n_cams + cam_np[:, _ls]).ravel(),
+        n_cams * n_cams)
+    reduce_slot = make_planned_segment_reduce(cam_np.ravel(), n_cams)
+    tri_rows0 = jnp.zeros((n_pts * P_tri, da * da), dtype) + 0.5
+    slot_rows0 = jnp.zeros((n_pts * K, da * da), dtype) + 0.5
+
+    def st_tri_gather(eps, rows_):
+        return jnp.sum(reduce_tri(rows_ * eps)[0]).astype(dtype)
+
+    def st_slot_gather(eps, rows_):
+        return jnp.sum(reduce_slot(rows_ * eps)[0]).astype(dtype)
+
+    C3 = C_f.reshape(n_pts, db, db) + 2.0 * jnp.eye(db, dtype=dtype)
+
+    def st_cinv_chol(eps, Cb):
+        eye = jnp.eye(db, dtype=dtype)
+        with jax.default_matmul_precision("highest"):
+            ch = jax.vmap(jnp.linalg.cholesky)(Cb * eps)
+            Ci = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
+                (L, True), eye))(ch)
+        return jnp.sum(Ci[0]).astype(dtype)
+
+    def st_cinv_adj(eps, Cb):
+        C = Cb * eps
+        a, b, c = C[:, 0, 0], C[:, 0, 1], C[:, 0, 2]
+        d, e, f = C[:, 1, 1], C[:, 1, 2], C[:, 2, 2]
+        A = d * f - e * e
+        Bc = c * e - b * f
+        Cc = b * e - c * d
+        det = a * A + b * Bc + c * Cc
+        D = a * f - c * c
+        E = b * c - a * e
+        F = a * d - b * b
+        inv_det = 1.0 / det
+        Ci = jnp.stack([A, Bc, Cc, Bc, D, E, Cc, E, F], -1) \
+            .reshape(-1, db, db) * inv_det[:, None, None]
+        return jnp.sum(Ci[0]).astype(dtype)
+
     rows = [
         ("accumulate", timed(st_accumulate, b0)),
         ("reduce (scatter)", timed(st_reduce, E_f, C_f, g_b)),
         ("reduce (planned)", timed(st_reduce_planned, E_f, C_f, g_b)),
         ("assemble+refine2", timed(st_assemble, S_f0, rhs0, Ba, g_a)),
         ("backsub", timed(st_backsub, E_f, Cinv0, g_b, dx_a0)),
+        ("  sub: tri gather-reduce", timed(st_tri_gather, tri_rows0)),
+        ("  sub: slot gather-reduce", timed(st_slot_gather, slot_rows0)),
+        ("  sub: 3x3 inv (cholesky)", timed(st_cinv_chol, C3)),
+        ("  sub: 3x3 inv (adjugate)", timed(st_cinv_adj, C3)),
     ]
     # the solver uses the PLANNED reduce; total excludes the scatter row
-    total = sum(t for name, t in rows if name != "reduce (scatter)")
+    # and the sub-decomposition probes
+    total = sum(t for name, t in rows
+                if name != "reduce (scatter)"
+                and not name.startswith("  sub:"))
     print(f"# stage decomposition: {n_cams} cams x {n_pts} pts, K={k_obs},"
           f" dtype={jnp.dtype(dtype).name},"
           f" backend={jax.default_backend()}, marginal over {reps-1} reps")

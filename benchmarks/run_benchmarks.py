@@ -430,7 +430,11 @@ def bench_pose_graph(n_poses: int = 5000, extra_loops: int = 100,
     n_res = 6 * int(data.edges.shape[0]) + 6
     dof = max(n_res - 6 * n_poses, 1)
     chi2 = dof * noise ** 2
-    ok = bool(out.converged()) and cost <= 3.0 * chi2
+    # success = reached the chi² floor without failure: MAX_ITERS is a
+    # success stop (reference semantics) — the f32 for_dtype step/rerr
+    # floors rarely fire exactly at the statistical floor, so the cost
+    # criterion is the meaningful gate here.
+    ok = bool(out.succeeded()) and cost <= 3.0 * chi2
     return wall, cost, chi2, int(out.num_iters), ok
 
 

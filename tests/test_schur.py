@@ -448,3 +448,26 @@ class TestSchurRefine:
         rmse2 = float(reprojection_rmse_sparse(
             {"poses": p2, "points": l2}, obs, cam_idx, mask))
         assert rmse2 < 1.5e-4, rmse2   # noise-level solution
+
+
+class TestSpdInvBlocks:
+    """Closed-form batched SPD block inverse (ops/schur_obs.spd_inv_blocks):
+    must match the Cholesky inverse on PD blocks and preserve the non-PD
+    -> NaN failure contract the λ-escalation depends on."""
+
+    @pytest.mark.parametrize("db", [1, 2, 3, 4])
+    def test_matches_inverse_and_nan_contract(self, db):
+        from tinyopt_tpu.ops.schur_obs import spd_inv_blocks
+        rng = np.random.default_rng(db)
+        A = rng.normal(size=(32, db, db))
+        C = A @ np.swapaxes(A, -1, -2) + 0.5 * np.eye(db)
+        Ci = np.asarray(spd_inv_blocks(jnp.asarray(C)))
+        np.testing.assert_allclose(Ci, np.linalg.inv(C),
+                                   rtol=1e-9, atol=1e-11)
+        # non-PD: indefinite and negative-definite blocks -> NaN
+        bad = np.asarray([-np.eye(db),
+                          np.eye(db) - 2 * np.ones((db, db))])
+        out = np.asarray(spd_inv_blocks(jnp.asarray(bad)))
+        assert np.all(np.isnan(out[0]))
+        if db > 1:
+            assert np.any(np.isnan(out[1]))

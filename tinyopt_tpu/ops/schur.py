@@ -282,16 +282,12 @@ def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
     db = g_b.shape[-1]
 
     # Batched inverse of the damped B-side blocks (db x db, PSD).
-    # Cholesky-based: a non-PSD block yields NaNs -> ok False -> the
-    # loop's λ-escalation (optimizer.h:356-399 route).  Exact multiplies:
-    # TPU DEFAULT bf16-truncates the cho_solve dot_generals, poisoning
-    # everything downstream of C⁻¹ (ops/schur_obs._esum).
-    with jax.default_matmul_precision("highest"):
-        chol = jax.vmap(jnp.linalg.cholesky)(Cd)
-        eye = jnp.broadcast_to(jnp.eye(db, dtype=g_a.dtype), Cd.shape)
-        Cinv = jax.vmap(
-            lambda L, I: jax.scipy.linalg.cho_solve((L, True), I))(chol,
-                                                                   eye)
+    # Closed-form adjugate at db<=3 (pure exact-f32 VPU math; XLA's
+    # batched Cholesky is a ~1%-of-peak sequential kernel), Cholesky
+    # fallback above: a non-PSD block yields NaNs either way -> ok
+    # False -> the loop's λ-escalation (optimizer.h:356-399 route).
+    from .schur_obs import spd_inv_blocks
+    Cinv = spd_inv_blocks(Cd)
 
     EC = _esum("ijab,jbc->ijac", E, Cinv,
                     preferred_element_type=g_a.dtype)

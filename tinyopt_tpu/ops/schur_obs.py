@@ -108,6 +108,55 @@ def _esum(spec, a, b, preferred_element_type=None, **_):
     return res
 
 
+def spd_inv_blocks(C: jax.Array) -> jax.Array:
+    """Batched SPD inverse of (n, db, db) blocks, failure-detecting.
+
+    db ≤ 3: CLOSED-FORM adjugate inverse — pure elementwise VPU math
+    (exact f32, no dot_generals to bf16-truncate), with positive-
+    definiteness checked via Sylvester's leading principal minors so a
+    non-PD block still surfaces as NaN (the λ-escalation contract that
+    ``cholesky`` provides for free).  XLA's batched small Cholesky is a
+    ~per-element sequential kernel (~1% of peak, exp_roofline.py) —
+    measured on the 50k-landmark flagship, the adjugate form is the
+    difference between the C⁻¹ sweep dominating pass A and vanishing
+    into it.  db > 3 falls back to Cholesky.
+    """
+    db = C.shape[-1]
+    nan = jnp.asarray(jnp.nan, C.dtype)
+    if db == 1:
+        a = C[..., 0, 0]
+        return jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0),
+                         nan)[..., None, None]
+    if db == 2:
+        a, b, d = C[..., 0, 0], C[..., 0, 1], C[..., 1, 1]
+        det = a * d - b * b
+        pd = (a > 0) & (det > 0)
+        inv_det = 1.0 / jnp.where(pd, det, 1.0)
+        Ci = (jnp.stack([d, -b, -b, a], -1)
+              .reshape(C.shape) * inv_det[..., None, None])
+        return jnp.where(pd[..., None, None], Ci, nan)
+    if db == 3:
+        a, b, c = C[..., 0, 0], C[..., 0, 1], C[..., 0, 2]
+        d, e, f = C[..., 1, 1], C[..., 1, 2], C[..., 2, 2]
+        A = d * f - e * e                   # cofactors (symmetric)
+        B = c * e - b * f
+        Cc = b * e - c * d
+        D = a * f - c * c
+        E = b * c - a * e
+        F = a * d - b * b
+        det = a * A + b * B + c * Cc
+        pd = (a > 0) & (F > 0) & (det > 0)  # leading principal minors
+        inv_det = 1.0 / jnp.where(pd, det, 1.0)
+        Ci = (jnp.stack([A, B, Cc, B, D, E, Cc, E, F], -1)
+              .reshape(C.shape) * inv_det[..., None, None])
+        return jnp.where(pd[..., None, None], Ci, nan)
+    eye = jnp.eye(db, dtype=C.dtype)
+    with jax.default_matmul_precision("highest"):
+        chol = jnp.linalg.cholesky(C)
+        return jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
+            (L, True), eye))(chol)
+
+
 class SchurObsSystem(NamedTuple):
     """Arrow system in sparse-observation form (pluggable H).
 
@@ -295,13 +344,9 @@ def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
             # exact zeros either way).
             zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
             Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
-            # Exact multiplies for the tiny C⁻¹ factorizations: cho_solve
-            # lowers to dot_generals, whose TPU DEFAULT bf16 truncation
-            # poisons everything downstream of C⁻¹ (see _esum).
-            with jax.default_matmul_precision("highest"):
-                chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
-                Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
-                    (L, True), eye))(chol)
+            # exact elementwise C⁻¹ (adjugate at db<=3) with the NaN
+            # non-PD contract — see spd_inv_blocks
+            Cinv_c = spd_inv_blocks(Cd_c)
             EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
                               preferred_element_type=dtype)
             # strict-lower slot pairs only (mirrors are transposes)
@@ -442,13 +487,10 @@ def make_reduce_pass_planned(n_a: int, K: int, da: int, db: int, dtype,
             E_c = _sl(E_p, c).reshape(CH, K, da, db)
             Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
             # zero-block identity substitution + exact C⁻¹
-            # (make_reduce_pass rationale)
+            # (make_reduce_pass rationale; adjugate at db<=3)
             zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
             Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
-            with jax.default_matmul_precision("highest"):
-                chol = jax.vmap(jnp.linalg.cholesky)(Cd_c)
-                Cinv_c = jax.vmap(lambda L: jax.scipy.linalg.cho_solve(
-                    (L, True), eye))(chol)
+            Cinv_c = spd_inv_blocks(Cd_c)
             EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
                          preferred_element_type=dtype)
             blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, ks_j],

@@ -194,8 +194,41 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
           f" dtype={jnp.dtype(dtype).name},"
           f" backend={jax.default_backend()}, marginal over {reps-1} reps")
     for name, t in rows:
-        print(f"{name:18s} {t*1e3:9.2f} ms/iter  {100*t/total:5.1f}%")
-    print(f"{'TOTAL':18s} {total*1e3:9.2f} ms/iter")
+        print(f"{name:28s} {t*1e3:9.2f} ms/iter  {100*t/total:5.1f}%")
+    print(f"{'TOTAL':28s} {total*1e3:9.2f} ms/iter")
+
+    # ---- roofline accounting for the WHOLE iteration (VERDICT r3 #2):
+    # analytic flop/byte model -> what fraction of light-speed the
+    # measured iteration achieves, and which bound (flops vs HBM) binds.
+    m_res = 2                       # reprojection residual dims
+    n_obs = n_pts * k_obs
+    P_tri = K * (K - 1) // 2
+    fl_linearize = n_obs * (da + db) * 400.0   # jvp sweeps, ~400 flop/res
+    fl_blocks = n_obs * m_res * (da * da + da * db + db * db)
+    fl_reduce = (n_pts * P_tri * da * da * db * 2    # pair blocks
+                 + n_obs * da * db * db * 2)         # EC
+    n_s = n_cams * da
+    fl_chol = n_s ** 3 / 3.0 + 2.0 * 2 * n_s * n_s   # + refine matvecs
+    fl_backsub = n_obs * da * db * 2 * 2
+    fl_total = (fl_linearize + fl_blocks + fl_reduce + fl_chol
+                + fl_backsub)
+    # HBM bytes: row buffers written+read+gathered (~3x), S target, E/C
+    by_rows = n_pts * P_tri * da * da * 4 * 3.0
+    by_state = (n_obs * da * db + n_pts * db * db) * 4 * 4.0
+    by_S = n_cams * n_cams * da * da * 4 * 2.0
+    by_total = by_rows + by_state + by_S
+    PEAK_F32 = 30.5e12              # f32-HIGHEST 6-pass (exp_roofline)
+    PEAK_BW = 8.1e11                # v5e HBM ~810 GB/s
+    t_flops = fl_total / PEAK_F32
+    t_bw = by_total / PEAK_BW
+    print(f"\n# roofline model: {fl_total/1e9:.1f} GFLOP/iter "
+          f"(cholesky {fl_chol/1e9:.1f}), {by_total/1e9:.2f} GB/iter")
+    print(f"# light-speed bound: max(flops {t_flops*1e3:.2f} ms, "
+          f"HBM {t_bw*1e3:.2f} ms) = {max(t_flops, t_bw)*1e3:.2f} ms")
+    print(f"# measured iteration = {total*1e3:.1f} ms -> "
+          f"{100*max(t_flops, t_bw)/total:.1f}% of roofline "
+          f"(binding stage: see table; XLA dense Cholesky runs ~1-3% "
+          f"of MXU peak — exp_roofline.py)")
     return rows
 
 

@@ -475,11 +475,23 @@ def bench_bal_robust(n_cams: int = 300, n_pts: int = 20_000,
     if dtype == jnp.float32:
         opts = opts.for_dtype(dtype)
 
-    def stage(x, th2):
+    # one whitened pair_fn OBJECT per threshold, built once: the solve
+    # cache is keyed on the function object, so a fresh closure per
+    # stage call would recompile all 5 stages on every anneal
+    # (measured: 327 s -> the compiled-path wall below)
+    def make_rp(th2):
         def rp(cam, pt, ob):
             return robust_whiten(bal_residual(cam, pt, ob),
                                  geman_mcclure, th2)
-        return to.schur_sparse_optimize(x, rp, obs, cam_idx, mask, opts)
+        return rp
+
+    sched = gnc_schedule(50.0, 2.0, steps=5)
+    # gnc_anneal squares the schedule before calling the stage
+    rp_of = {float(th) ** 2: make_rp(float(th) ** 2) for th in sched}
+
+    def stage(x, th2):
+        return to.schur_sparse_optimize(x, rp_of[th2], obs, cam_idx,
+                                        mask, opts)
 
     # clean-slot metric on determined landmarks (<2 clean rays is
     # legitimately unrecoverable under a saturating loss)
@@ -491,10 +503,9 @@ def bench_bal_robust(n_cams: int = 300, n_pts: int = 20_000,
         return float(bal_rmse(x[0], x[1], obs_c, cam_idx,
                               jnp.asarray(mask) * good))
 
-    # squared-threshold ladder 50 -> 2 (≈7 -> 1.4 px): measured best on
-    # this model family (a near-quadratic 50 px coarse stage lets the
+    # (squared-threshold ladder 50 -> 2 ≈ 7 -> 1.4 px: measured best on
+    # this model family — a near-quadratic 50 px coarse stage lets the
     # gross outliers bias the basin before saturation kicks in)
-    sched = gnc_schedule(50.0, 2.0, steps=5)
     # warm with a perturbed start (axon execution-cache honesty)
     x_w = (x0[0], x0[1] + jnp.asarray(1e-5, dtype))
     xw, _ = gnc_anneal(stage, x_w, sched)

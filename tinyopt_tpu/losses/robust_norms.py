@@ -177,7 +177,14 @@ def gnc_anneal(solve_stage, x0, thresholds):
     The stage loop is a HOST loop (each threshold is a different
     compiled program — th2 is a trace-time constant in the whitening),
     so per-stage compiles are cached by the entry points' solve caches
-    across repeated calls.
+    across repeated calls.  CACHING CAVEAT: those caches key on the
+    residual FUNCTION OBJECT — build one whitened pair_fn per threshold
+    OUTSIDE the anneal (e.g. ``rp_of = {float(th) ** 2: make_rp(
+    float(th) ** 2) for th in schedule}`` — note this driver SQUARES
+    the schedule) and look it up inside ``solve_stage``; a fresh closure
+    defined inside ``solve_stage`` recompiles every stage on every
+    anneal call (measured 327 s vs ~20 s on the 300-camera robust BAL
+    bench).
     """
     x, out = x0, None
     for th in thresholds:

@@ -385,22 +385,28 @@ def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
     return reduce_pass
 
 
-def make_planned_segment_reduce(ids, n_out: int, growth: float = 2.0,
-                                min_class: int = 32):
-    """Host-side plan for a SCATTER-FREE segment reduction.
+def make_planned_segment_reduce(ids, n_out: int, growth: float = 1.35,
+                                min_class: int = 8):
+    """Host-side plan for a (nearly) scatter-free segment reduction.
 
-    TPU scatter is ~per-row serialized (0.13-2 µs/row measured — the
-    reduce_pass scatter was 72% of the flagship BA iteration,
-    benchmarks/exp_ba_stages.py).  When the segment ids are STATIC
-    (camera topology is fixed per solver instance), the entire
-    reduction can be planned on the host: rows of each segment are
-    gathered into a padded (n_seg, L) layout (segment-length classes
-    growing by ``growth`` bound padding ~2×), summed by dense XLA tree
-    reduces along the padded axis, and placed into the (n_out, w)
-    target by ONE static gather (absent segments read a zero
-    sentinel).  Gathers + dense reduces only — no scatter anywhere, and
-    the per-segment tree sums are exact f32 reductions (no running-
-    cumsum cancellation).
+    TPU scatter-ADD of arbitrary rows is ~150 ns/row and gathers are
+    ~29 ns/row (benchmarks/exp_gather_scatter.py, v5e, 36-f32 rows);
+    the r3 reduce_pass scatter was 72% of the flagship BA iteration.
+    When the segment ids are STATIC (camera topology is fixed per
+    solver instance), the reduction can be planned on the host:
+
+    * rows of each segment are gathered into padded (n_seg, L) layouts
+      (segment-length classes growing by ``growth``, which bounds the
+      padded gather-row overhead — the gather IS the dominant cost, so
+      the default growth is tight);
+    * each class is summed by a dense XLA tree reduce along the padded
+      axis (exact f32 — no running-cumsum cancellation);
+    * the (n_out, w) target is densified EITHER by one static gather
+      with a zero sentinel (dense outputs) OR, when the real segments
+      are sparse in the output (n_seg ≪ n_out — the camera-PAIR
+      system, 28k of 1M rows), by one scatter-SET of the uid-sorted
+      segment rows — sorted+unique scatter-set measured 74 ns/row,
+      35× cheaper than gathering the mostly-zero dense output.
 
     Returns ``reduce(rows (n_rows, w)) -> (n_out, w)`` summing
     ``rows[i]`` into output row ``ids[i]``.
@@ -414,9 +420,10 @@ def make_planned_segment_reduce(ids, n_out: int, growth: float = 2.0,
     uids, starts, counts = np.unique(sorted_ids, return_index=True,
                                      return_counts=True)
     cap_of, used = bucket_caps(counts, growth, min_class)
+    n_seg = uids.size
 
     gathers = []
-    out_map = np.full(n_out, -1, np.int64)
+    concat_uids = []
     pos = 0
     for cap in used:
         sel = np.nonzero(cap_of == cap)[0]
@@ -425,17 +432,31 @@ def make_planned_segment_reduce(ids, n_out: int, growth: float = 2.0,
         valid = offs < counts[sel][:, None]
         g = np.where(valid, order[np.minimum(idx, n_rows - 1)], n_rows)
         gathers.append(jnp.asarray(g, jnp.int32))
-        out_map[uids[sel]] = pos + np.arange(len(sel))
+        concat_uids.append(uids[sel])
         pos += len(sel)
-    zero_slot = pos
-    out_map[out_map < 0] = zero_slot
-    out_map = jnp.asarray(out_map, jnp.int32)
+    concat_uids = np.concatenate(concat_uids) if concat_uids else \
+        np.zeros(0, np.int64)
+
+    densify_scatter = n_seg * 2 < n_out
+    if densify_scatter:
+        seg_perm = jnp.asarray(np.argsort(concat_uids), jnp.int32)
+        uids_sorted = jnp.asarray(np.sort(concat_uids), jnp.int32)
+    else:
+        out_map = np.full(n_out, -1, np.int64)
+        out_map[concat_uids] = np.arange(n_seg)
+        zero_slot = n_seg
+        out_map[out_map < 0] = zero_slot
+        out_map = jnp.asarray(out_map, jnp.int32)
 
     def reduce(rows: jax.Array) -> jax.Array:
         w = rows.shape[-1]
         rows1 = jnp.concatenate(
             [rows, jnp.zeros((1, w), rows.dtype)])
         parts = [jnp.sum(rows1[g], axis=1) for g in gathers]
+        if densify_scatter:
+            seg = jnp.concatenate(parts)[seg_perm]
+            return jnp.zeros((n_out, w), rows.dtype).at[uids_sorted] \
+                .set(seg, unique_indices=True, indices_are_sorted=True)
         parts.append(jnp.zeros((1, w), rows.dtype))
         return jnp.concatenate(parts)[out_map]
 

@@ -122,6 +122,11 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
                                     True, 2)
         return (jnp.sum(dx_a[0]) + ok).astype(dtype)
 
+    def st_assemble_cg(eps, S_f, rhs, Bd, g_a):
+        dx_a, ok = assemble_reduced(S_f * eps, rhs, Bd, g_a,
+                                    True, 0, 64)
+        return (jnp.sum(dx_a[0]) + ok).astype(dtype)
+
     def st_backsub(eps, E_p, Cinv, g_b_p, dx_a):
         dx_b = backsub_pass(E_p * eps, Cinv, cam_idx, g_b_p, dx_a)
         return jnp.sum(dx_b[0]).astype(dtype)
@@ -180,6 +185,8 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
         ("reduce (planned)", timed(st_reduce_planned, E_f, C_f, g_b)),
         ("assemble+refine2", timed(st_assemble, S_f0, rhs0, Ba, g_a)),
         ("backsub", timed(st_backsub, E_f, Cinv0, g_b, dx_a0)),
+        ("  sub: assemble cg=64", timed(st_assemble_cg, S_f0, rhs0,
+                                        Ba, g_a)),
         ("  sub: tri gather-reduce", timed(st_tri_gather, tri_rows0)),
         ("  sub: slot gather-reduce", timed(st_slot_gather, slot_rows0)),
         ("  sub: 3x3 inv (cholesky)", timed(st_cinv_chol, C3)),

@@ -328,7 +328,7 @@ def bench_ba(n_cams: int = 100, n_pts: int = 5000, noise: float = 1e-3,
 
 def bench_ba_sparse(n_cams: int = 1000, n_pts: int = 50_000,
                     k_obs: int = 8, noise: float = 1e-3, seed: int = 7,
-                    max_iters: int = 12):
+                    max_iters: int = 12, schur_cg: int = 0):
     """Sparse-visibility BA at a scale the dense grid CANNOT represent:
     1000 cameras x 50k landmarks = 156,000 tangent dims, 400k
     observations (a dense grid would need a 50M-slot E tensor ~ 3.6 TB;
@@ -351,8 +351,10 @@ def bench_ba_sparse(n_cams: int = 1000, n_pts: int = 50_000,
         dtype=dtype)
     opts = to.Options(max_iters=max_iters, max_consec_failures=0,
                       min_error=0.0,
-                      hessian=to.HessianOptions(save_last=False,
-                                                schur_refine=2))
+                      hessian=to.HessianOptions(
+                          save_last=False,
+                          schur_refine=0 if schur_cg else 2,
+                          schur_cg_iters=schur_cg))
     if dtype == jnp.float32:
         opts = opts.for_dtype(dtype)
 

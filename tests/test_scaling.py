@@ -56,7 +56,10 @@ def test_dp_weak_scaling():
         # devices (measured ~2.5x on a 4-core host, f64)
         if thpt[4] < 1.9 * base:
             return False
-        if cores >= 4 and thpt[2] / 2 / base < 0.55:
+        # re-established r4 (min/median of 5 quiet-host trials:
+        # 0.75/0.89): the clean number is ~0.89; 0.65 catches a real
+        # regression while riding worst-trial noise via _attempt
+        if cores >= 4 and thpt[2] / 2 / base < 0.65:
             return False
         return thpt[8] / 8 / base / min(1.0, cores / 8) >= 0.45
 

@@ -81,9 +81,11 @@ def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int,
     are structurally identical across paths.
 
     ``matvec``: (..., d) -> (..., d) applying the (damped) normal matrix;
-    ``dinv``: inverse of its diagonal (1 where non-positive); ``b``: the
-    right-hand side.  Runs exactly ``iters`` iterations — no
-    data-dependent exit, keeping the program static for jit/vmap.
+    ``dinv``: inverse of its diagonal (1 where non-positive) — or a
+    CALLABLE applying a general preconditioner M⁻¹ (block-Jacobi for
+    the Schur reduced solve); ``b``: the right-hand side.  Runs exactly
+    ``iters`` iterations — no data-dependent exit, keeping the program
+    static for jit/vmap.
 
     Curvature guard: a direction with non-positive curvature
     (p·Hp ≤ tiny — null space or indefinite damping corner) FREEZES the
@@ -94,10 +96,11 @@ def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int,
     small vector work).
     """
     eps = jnp.finfo(b.dtype).tiny
+    prec = dinv if callable(dinv) else (lambda r: r * dinv)
 
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = r0 * dinv
+    z0 = prec(r0)
     rz0 = jnp.sum(r0 * z0, axis=-1)
 
     def body(_, carry):
@@ -110,7 +113,7 @@ def pcg_core(matvec, dinv: jax.Array, b: jax.Array, iters: int,
                           jnp.zeros_like(rz))
         x = x + alpha[..., None] * p
         r = r - alpha[..., None] * Hp
-        z = r * dinv
+        z = prec(r)
         rz_new = jnp.sum(r * z, -1)
         p = z + (rz_new / jnp.maximum(rz, eps))[..., None] * p
         return x, r, p, rz_new

@@ -782,12 +782,16 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
 
 
 def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
-                     refine: int = 0):
+                     refine: int = 0, cg_iters: int = 0):
     """Solve the reduced camera system from the completed pass-A sums.
 
     ``S = diag(Bd) − scatter(S_f)``, ``rhs = −g_a + rhs_acc``; ``refine``
     = hessian.schur_refine mixed-precision rounds (ops/linalg
-    .refine_psd_solve).  Returns ``(dx_a (n_a, da), ok)``.
+    .refine_psd_solve).  ``cg_iters`` > 0 = hessian.schur_cg_iters:
+    block-Jacobi PCG instead of the dense Cholesky (inexact LM; the
+    6000² flagship factorization is 75 ms at XLA-Cholesky's ~1-3% of
+    peak while a PCG matvec is HBM-bound ~0.2 ms; ``refine`` is ignored
+    there).  Returns ``(dx_a (n_a, da), ok)``.
     """
     n_a, da = g_a.shape
     S_red = S_f.reshape(n_a, n_a, da, da)
@@ -795,13 +799,25 @@ def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
     S_blocks = (-S_red).at[idx, idx].add(Bd)
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
     rhs = (-g_a + rhs_acc).reshape(-1)
-    # HIGHEST-precision factorization: TPU DEFAULT bf16-truncates the
-    # Cholesky's internal dot_generals, and at corridor-BA conditioning
-    # (cond(S) ~ 1e6 at 1000 cameras) the bf16 solve error exceeds the
-    # step itself — schur_refine cannot rescue it either, because
-    # refinement only contracts when eps_solve·cond(S) < 1.  Measured
-    # standalone (6000², v5e): HIGHEST is no slower than DEFAULT.
+    # HIGHEST-precision solves: TPU DEFAULT bf16-truncates the
+    # Cholesky's internal dot_generals (and the CG matvecs), and at
+    # corridor-BA conditioning (cond(S) ~ 1e6 at 1000 cameras) the bf16
+    # solve error exceeds the step itself — schur_refine cannot rescue
+    # it either, because refinement only contracts when
+    # eps_solve·cond(S) < 1.  Measured standalone (6000², v5e): HIGHEST
+    # is no slower than DEFAULT.
     with jax.default_matmul_precision("highest"):
+        if cg_iters > 0:
+            from .linalg import pcg_core
+            Minv = spd_inv_blocks(S_blocks[idx, idx])
+
+            def prec(r):
+                return _esum("iab,ib->ia", Minv,
+                             r.reshape(n_a, da)).reshape(-1)
+
+            dx_a = pcg_core(lambda p: S @ p, prec, rhs, cg_iters)
+            ok = jnp.all(jnp.isfinite(dx_a))
+            return dx_a.reshape(n_a, da), ok
         dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
         if refine > 0:
             # hessian.schur_refine: f64-residual iterative refinement of
@@ -901,7 +917,7 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
             [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
 
     def eliminate(H: SchurObsSystem, Bd, Cd_flat, g, use_cholesky=True,
-                  refine: int = 0):
+                  refine: int = 0, cg_iters: int = 0):
         """Chunked Schur elimination + back-substitution. (dx, ok).
 
         Pass A accumulates the reduced system S (flat (n_a², da²)
@@ -918,7 +934,7 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
 
         S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_idx_p, g_b)
         dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a,
-                                    use_cholesky, refine)
+                                    use_cholesky, refine, cg_iters)
         dx_b = backsub_pass(E_p, Cinv_f, cam_idx_p, g_b, dx_a)[:n_b]
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         ok = ok & jnp.all(jnp.isfinite(dx))
@@ -929,19 +945,21 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
     def propose(H: SchurObsSystem, g, lam, opts):
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
+        cg_it = opts.hessian.schur_cg_iters
         if opts.solver_type == SolverType.DOGLEG:
             from ..solvers.step import dogleg_core  # local: avoid cycle
 
-            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine)
+            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine,
+                                     cg_it)
             return dogleg_core(
                 g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
                 lambda le: eliminate(H, _damp_blocks(H.Ba, le),
                                      _damp_flat(H.C, db, le), g,
-                                     use_chol, refine))
+                                     use_chol, refine, cg_it))
         is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
         Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
         Cd = _damp_flat(H.C, db, lam) if is_lm else H.C
-        return eliminate(H, Bd, Cd, g, use_chol, refine)
+        return eliminate(H, Bd, Cd, g, use_chol, refine, cg_it)
 
     return accumulate, evaluate, n_res, propose
 
@@ -1130,7 +1148,7 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
         return out if em2gl is None else out[em2gl]
 
     def eliminate(H: SchurObsBuckets, Bd, Cd_t, g, use_cholesky=True,
-                  refine: int = 0):
+                  refine: int = 0, cg_iters: int = 0):
         if gl2em is not None:
             g = g[gl2em]
         g_a = g[:n_a * da].reshape(n_a, da)
@@ -1148,7 +1166,7 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
             S_f, rhs = S_f + S_g, rhs + rhs_g
             stash.append((E_p, Cinv_p, g_b_p))
         dx_a, ok = assemble_reduced(S_f, rhs, Bd, g_a, use_cholesky,
-                                    refine)
+                                    refine, cg_iters)
         dxb_rows = []
         for bk, (E_p, Cinv_p, g_b_p) in zip(buckets, stash):
             backsub = bk["kernels"][3]
@@ -1165,21 +1183,23 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
     def propose(H: SchurObsBuckets, g, lam, opts):
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
+        cg_it = opts.hessian.schur_cg_iters
         if opts.solver_type == SolverType.DOGLEG:
             from ..solvers.step import dogleg_core  # local: avoid cycle
 
-            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine)
+            dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine,
+                                     cg_it)
             return dogleg_core(
                 g, lam, dx_gn, ok_gn, jnp.vdot(g, _matvec(H, g)),
                 lambda le: eliminate(
                     H, _damp_blocks(H.Ba, le),
                     tuple(_damp_flat(Cg, db, le) for Cg in H.C), g,
-                    use_chol, refine))
+                    use_chol, refine, cg_it))
         is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
         Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
         Cd_t = (tuple(_damp_flat(Cg, db, lam) for Cg in H.C)
                 if is_lm else H.C)
-        return eliminate(H, Bd, Cd_t, g, use_chol, refine)
+        return eliminate(H, Bd, Cd_t, g, use_chol, refine, cg_it)
 
     return accumulate, evaluate, n_res, propose
 

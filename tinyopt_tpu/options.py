@@ -148,6 +148,16 @@ class HessianOptions:
     #: Measured: a 1000-camera corridor BA stalls at 3×-noise rmse in
     #: plain f32 and converges to noise with 2 rounds.  0 = off.
     schur_refine: int = 0
+    #: Solve the Schur-family REDUCED camera system by block-Jacobi
+    #: preconditioned CG with this many iterations instead of the dense
+    #: Cholesky (0 = direct).  Inexact-LM semantics (a poor step is
+    #: rejected and λ escalates), matvecs are HBM-bandwidth-bound —
+    #: right when the (n_a·da)² factorization dominates the iteration
+    #: (XLA's dense Cholesky runs at ~1-3% of peak; the 6000² flagship
+    #: factorization is 75 ms vs ~0.2 ms/CG-matvec).  ``schur_refine``
+    #: is ignored on this path.  No reference counterpart (the
+    #: reference's solver is Eigen LDLT only, math.h:232-277).
+    schur_cg_iters: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

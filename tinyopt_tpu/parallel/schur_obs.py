@@ -185,7 +185,8 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
                         _pad_rows(cam_l), _pad_rows(mask_l))
         return jax.lax.psum(rss, axis)
 
-    def _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol, refine=0):
+    def _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol, refine=0,
+                         cg_iters=0):
         """Sharded elimination: (dx replicated, ok replicated); g/dx in
         the loop's global layout, algebra element-major."""
         g = _to_em(g)
@@ -198,7 +199,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         # The ONLY cross-landmark sums in the algebra: complete them once.
         S_f, rhs_acc = jax.lax.psum((S_f, rhs_acc), axis)
         dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a, use_chol,
-                                    refine)
+                                    refine, cg_iters)
         ok = ok & jnp.all(jnp.isfinite(dx_a))
         dx_b_l = backsub_pass(E_p, Cinv_f, cam_p, g_b_p, dx_a)[:nb_loc]
         bad_b = jax.lax.psum(
@@ -227,6 +228,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     def make_propose(opts: Options):
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
+        cg_it = opts.hessian.schur_cg_iters
 
         @partial(_shard_map, mesh=mesh,
                  in_specs=(H_spec, P(), P()), out_specs=(P(), P()))
@@ -235,17 +237,18 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
             if opts.solver_type == SolverType.DOGLEG:
                 from ..solvers.step import dogleg_core
                 dx_gn, ok_gn = _eliminate_local(E_l, cam_l, H.Ba, H.C, g,
-                                                use_chol, refine)
+                                                use_chol, refine, cg_it)
                 return dogleg_core(
                     g, lam, dx_gn, ok_gn, _ghg_local(H, g),
                     lambda le: _eliminate_local(
                         E_l, cam_l, _damp_blocks(H.Ba, le),
-                        _damp_flat(H.C, db, le), g, use_chol, refine))
+                        _damp_flat(H.C, db, le), g, use_chol, refine,
+                        cg_it))
             is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
             Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
             Cd_l = _damp_flat(H.C, db, lam) if is_lm else H.C
             return _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol,
-                                    refine)
+                                    refine, cg_it)
 
         def propose(H, g, lam, opts_inner):
             return _propose_sm(H, g, lam)

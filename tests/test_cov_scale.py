@@ -326,3 +326,73 @@ class TestChainMarginals:
         x, edges, edata, _ = _chain_instance(N=6, n_loops=0)
         marg = chain_marginals(x, _edge_fn, edges, edata)
         assert not bool(np.all(np.isfinite(np.asarray(marg))))
+
+
+class TestBucketedMarginals:
+    def test_matches_single_slab_covariance(self):
+        """schur_sparse_covariance_buckets == the single-slab marginals
+        on the same instance (same algebra, bucket summation order)."""
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        x, obs, cam_idx, smask = _obs_instance(n_a=4, n_b=32)
+        cov_a0, cov_b0 = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8)
+        slabs = bucket_obs(obs, cam_idx, smask, min_bucket=4)
+        assert len(slabs) >= 2
+        cov_a, cov_b = to.schur_sparse_covariance_buckets(
+            x, pair_fn, slabs, chunk=8)
+        np.testing.assert_allclose(np.asarray(cov_a), np.asarray(cov_a0),
+                                   rtol=1e-8, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov_b0),
+                                   rtol=1e-8, atol=1e-11)
+
+        cov_ar, cov_br = to.schur_sparse_covariance_buckets(
+            x, pair_fn, slabs, chunk=8, rescaled=True)
+        cov_ar0, _ = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask, chunk=8, rescaled=True)
+        np.testing.assert_allclose(np.asarray(cov_ar),
+                                   np.asarray(cov_ar0),
+                                   rtol=1e-8, atol=1e-11)
+
+
+class TestSchurCg:
+    """hessian.schur_cg_iters: block-Jacobi PCG reduced solve (inexact
+    LM) across the Schur paths — must reach the same solution quality
+    as the direct Cholesky."""
+
+    def test_sparse_obs_converges_to_direct_quality(self):
+        x, obs, cam_idx, smask = _obs_instance()
+        o_direct = to.Options(max_iters=10, max_consec_failures=0,
+                              hessian=to.HessianOptions(save_last=False))
+        o_cg = to.Options(max_iters=14, max_consec_failures=0,
+                          hessian=to.HessianOptions(
+                              save_last=False, schur_cg_iters=40))
+        xd, outd = to.schur_sparse_optimize(x, pair_fn, obs, cam_idx,
+                                            smask, o_direct)
+        xc, outc = to.schur_sparse_optimize(x, pair_fn, obs, cam_idx,
+                                            smask, o_cg)
+        assert bool(outc.succeeded())
+        assert float(outc.final_cost.cost) <= \
+            1.01 * float(outd.final_cost.cost) + 1e-12
+
+    def test_grid_converges_to_direct_quality(self):
+        from tinyopt_tpu.models.bundle_adjustment import (make_ba_problem,
+                                                          project)
+        data, x0, _ = make_ba_problem(n_cams=4, n_pts=24, noise=1e-4,
+                                      seed=5, visibility=0.6)
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        xt = (x0["poses"], x0["points"])
+        o_direct = to.Options(max_iters=10, max_consec_failures=0,
+                              hessian=to.HessianOptions(save_last=False))
+        o_cg = to.Options(max_iters=14, max_consec_failures=0,
+                          hessian=to.HessianOptions(
+                              save_last=False, schur_cg_iters=40))
+        xd, outd = to.schur_optimize(xt, pf, data.observations,
+                                     data.mask, o_direct)
+        xc, outc = to.schur_optimize(xt, pf, data.observations,
+                                     data.mask, o_cg)
+        assert bool(outc.succeeded())
+        assert float(outc.final_cost.cost) <= \
+            1.01 * float(outd.final_cost.cost) + 1e-12

@@ -41,7 +41,9 @@ from .checkpoint import stepper, Stepper
 from .profiling import profile_iterations, dispatch_floor
 from .implicit import implicit_solver
 from .sparse import (block_optimize, matfree_optimize, schur_optimize,
-                     schur_sparse_covariance, schur_sparse_optimize,
+                     schur_sparse_covariance,
+                     schur_sparse_covariance_buckets,
+                     schur_sparse_optimize,
                      schur_sparse_optimize_buckets, sparse_optimize)
 from .chain import ChainSystem, chain_marginals, chain_optimize
 from .ops.block import BlockDiag
@@ -83,7 +85,8 @@ __all__ = [
     "block_optimize", "matfree_optimize", "sparse_optimize",
     "schur_optimize", "schur_sparse_optimize",
     "schur_sparse_optimize_buckets",
-    "schur_sparse_covariance", "sharded_schur_sparse_covariance",
+    "schur_sparse_covariance", "schur_sparse_covariance_buckets",
+    "sharded_schur_sparse_covariance",
     "BlockDiag",
     "chain_optimize", "chain_marginals", "ChainSystem",
     "implicit", "implicit_solver",

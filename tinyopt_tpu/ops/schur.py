@@ -266,7 +266,8 @@ def blocks_from(r, Ja, Jb, dtype):
 
 
 def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
-                    reduce_fn=None, refine: int = 0):
+                    reduce_fn=None, refine: int = 0,
+                    cg_iters: int = 0):
     """Schur elimination + back-substitution of the (damped) arrow system
     [Bd, E; Eᵀ, Cd] dx = −g.  Returns ``(dx_a, dx_b, ok)``.
 
@@ -297,11 +298,26 @@ def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
     S_blocks = (-S_red).at[idx, idx].add(Bd)
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
     rhs = (-g_a + red(_esum("ijac,jc->ia", EC, g_b))).reshape(-1)
-    dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
-    if refine > 0:
-        from .linalg import refine_psd_solve
-        dx_a = refine_psd_solve(S, rhs, dx_a, refine,
-                                use_cholesky=use_cholesky)
+    if cg_iters > 0:
+        # hessian.schur_cg_iters: block-Jacobi PCG reduced solve
+        # (inexact LM — ops/schur_obs.assemble_reduced rationale)
+        from .linalg import pcg_core
+        from .schur_obs import spd_inv_blocks as _inv
+        Minv = _inv(S_blocks[idx, idx])
+
+        def prec(r):
+            return _esum("iab,ib->ia", Minv,
+                         r.reshape(n_a, da)).reshape(-1)
+
+        with jax.default_matmul_precision("highest"):
+            dx_a = pcg_core(lambda p: S @ p, prec, rhs, cg_iters)
+        ok = jnp.all(jnp.isfinite(dx_a))
+    else:
+        dx_a, ok = solve_psd(S, rhs, use_cholesky=use_cholesky)
+        if refine > 0:
+            from .linalg import refine_psd_solve
+            dx_a = refine_psd_solve(S, rhs, dx_a, refine,
+                                    use_cholesky=use_cholesky)
     dx_a = dx_a.reshape(n_a, da)
     dx_b = _esum(
         "jbc,jc->jb", Cinv,
@@ -377,7 +393,7 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         return Cost.make(rss_exact(r), n_res)
 
     def eliminate(H: SchurSystem, Bd, Cd, g, use_cholesky=True,
-                  refine=0):
+                  refine=0, cg_iters=0):
         """Schur elimination + back-substitution of the (damped) arrow
         system [Bd, E; Eᵀ, Cd] dx = −g. (dx, ok); g/dx in the loop's
         global layout, algebra element-major."""
@@ -387,7 +403,8 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         g_b = g[n_a * da:].reshape(n_b, db)
         dx_a, dx_b, ok = schur_eliminate(H.E, Bd, Cd, g_a, g_b,
                                          use_cholesky=use_cholesky,
-                                         refine=refine)
+                                         refine=refine,
+                                         cg_iters=cg_iters)
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         if em2gl is not None:
             dx = dx[em2gl]
@@ -398,6 +415,7 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
         """Damped Schur elimination per solver type. (dx, ok)."""
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
+        cg_it = opts.hessian.schur_cg_iters
         if opts.solver_type == SolverType.DOGLEG:
             # Dogleg over the elimination: GN point from the undamped
             # arrow solve, exact curvature via the block matvec, and the
@@ -406,15 +424,15 @@ def schur_system(pair_fn: Callable, a0, b0, data, mask,
             from ..solvers.step import dogleg_core  # local: avoid cycle
 
             dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol,
-                                     refine)
+                                     refine, cg_it)
             return dogleg_core(
                 g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
                 lambda le: eliminate(H, _damp_blocks(H.Ba, le),
                                      _damp_blocks(H.C, le), g, use_chol,
-                                     refine))
+                                     refine, cg_it))
         is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
         Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
         Cd = _damp_blocks(H.C, lam) if is_lm else H.C
-        return eliminate(H, Bd, Cd, g, use_chol, refine)
+        return eliminate(H, Bd, Cd, g, use_chol, refine, cg_it)
 
     return accumulate, evaluate, n_res, propose

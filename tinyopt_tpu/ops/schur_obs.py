@@ -660,6 +660,56 @@ def obs_marginals(H: "SchurObsSystem", chunk: int = 1024):
     return cov_a, cov_b
 
 
+def obs_marginals_buckets(H: "SchurObsBuckets", ids_list,
+                          chunk: int = 1024):
+    """Posterior marginal covariance blocks of a K-BUCKETED solution.
+
+    Same algebra as :func:`obs_marginals` with the reduced camera
+    system summed over buckets; ``ids_list`` gives each bucket's
+    original landmark indices (the ``ids`` of the slabs the system was
+    built from).  Returns ``(cov_a (n_a, da, da), cov_b (n_b, db, db))``
+    with ``cov_b`` in the ORIGINAL landmark order.
+    """
+    import numpy as np
+
+    n_a, da, _ = H.Ba.shape
+    db = int(round(math.isqrt(H.C[0].shape[1])))
+    dtype = H.Ba.dtype
+    ids_all = np.concatenate([np.asarray(i, np.int64) for i in ids_list])
+    inv_order = jnp.asarray(np.argsort(ids_all), jnp.int32)
+
+    S_f = jnp.zeros((n_a * n_a, da * da), dtype)
+    stash = []
+    for C_g, E_g, cam_g in zip(H.C, H.E, H.cam_idx):
+        n_g, Kg = cam_g.shape
+        step = min(chunk, max(n_g, 1))
+        n_gp = int(-(-n_g // step) * step)
+        pad = n_gp - n_g
+        CH = _pick_chunk(n_gp, chunk)
+
+        def _pad_rows(arr, pad=pad):
+            if not pad:
+                return arr
+            return jnp.concatenate(
+                [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+        E_p, C_p, cam_p = (_pad_rows(E_g), _pad_rows(C_g),
+                           _pad_rows(cam_g))
+        reduce_pass = make_reduce_pass(n_a, Kg, da, db, dtype, CH)
+        S_g, _, Cinv_p = reduce_pass(E_p, C_p, cam_p,
+                                     jnp.zeros((n_gp, db), dtype))
+        S_f = S_f + S_g
+        stash.append((E_p, Cinv_p, cam_p, Kg, CH, n_g))
+
+    cov_a, Sinv = camera_marginals_from_S(S_f, H.Ba)
+    cov_rows = []
+    for E_p, Cinv_p, cam_p, Kg, CH, n_g in stash:
+        mp = make_landmark_marginal_pass(n_a, Kg, da, db, dtype, CH)
+        cov_rows.append(mp(E_p, Cinv_p, cam_p, Sinv)[:n_g])
+    cov_b = jnp.concatenate(cov_rows)[inv_order]
+    return cov_a, cov_b
+
+
 def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
                      dtype, n_a: int, K: int, CH: int,
                      cam_idx_np=None):

@@ -155,14 +155,16 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
         r = jax.vmap(one_cam)(a, data_l, mask_l)
         return jax.lax.psum(rss_exact(r), axis)
 
-    def _eliminate_local(E_l, Bd, Cd_l, g, use_chol, refine=0):
+    def _eliminate_local(E_l, Bd, Cd_l, g, use_chol, refine=0,
+                         cg_iters=0):
         """Sharded elimination: (dx replicated, ok replicated); g/dx in
         the loop's global layout, algebra element-major."""
         g = _to_em(g)
         g_a = g[:n_a * da].reshape(n_a, da)
         dx_a, dx_b_l, ok = schur_eliminate(
             E_l, Bd, Cd_l, g_a, _local_gb(g), use_cholesky=use_chol,
-            reduce_fn=lambda t: jax.lax.psum(t, axis), refine=refine)
+            reduce_fn=lambda t: jax.lax.psum(t, axis), refine=refine,
+            cg_iters=cg_iters)
         # ok from the replicated reduced solve is already identical on
         # every device; dx_b finiteness is a cross-shard AND.
         bad_b = jax.lax.psum(
@@ -189,6 +191,7 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
     def make_propose(opts: Options):
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
+        cg_it = opts.hessian.schur_cg_iters
 
         @partial(_shard_map, mesh=mesh,
                  in_specs=(H_spec, P(), P()), out_specs=(P(), P()))
@@ -197,17 +200,18 @@ def make_sharded_schur_system(pair_fn: Callable, a0, b0, data, mask,
             if opts.solver_type == SolverType.DOGLEG:
                 from ..solvers.step import dogleg_core
                 dx_gn, ok_gn = _eliminate_local(E_l, Ba, C_l, g,
-                                                use_chol, refine)
+                                                use_chol, refine, cg_it)
                 gHg = jnp.vdot(g, _matvec_local(Ba, C_l, E_l, g))
                 return dogleg_core(
                     g, lam, dx_gn, ok_gn, gHg,
                     lambda le: _eliminate_local(
                         E_l, _damp_blocks(Ba, le), _damp_blocks(C_l, le),
-                        g, use_chol, refine))
+                        g, use_chol, refine, cg_it))
             is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
             Bd = _damp_blocks(Ba, lam) if is_lm else Ba
             Cd_l = _damp_blocks(C_l, lam) if is_lm else C_l
-            return _eliminate_local(E_l, Bd, Cd_l, g, use_chol, refine)
+            return _eliminate_local(E_l, Bd, Cd_l, g, use_chol, refine,
+                                    cg_it)
 
         def propose(H, g, lam, opts_inner):
             return _propose_sm(H, g, lam)

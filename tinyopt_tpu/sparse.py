@@ -607,6 +607,54 @@ def schur_sparse_optimize_buckets(x0: tuple, pair_fn: Callable, slabs,
     return solve(x0)
 
 
+def schur_sparse_covariance_buckets(x, pair_fn: Callable, slabs, *,
+                                    rescaled: bool = False,
+                                    chunk: int = 1024,
+                                    jit: bool = True):
+    """Posterior marginal covariance blocks of a K-BUCKETED solution —
+    the covariance companion of :func:`schur_sparse_optimize_buckets`,
+    with :func:`schur_sparse_covariance` semantics (camera marginals =
+    S⁻¹ diag blocks with S summed over buckets; landmark blocks
+    chunked per bucket; ``rescaled`` per output.h:80-93).  Returns
+    ``(cov_a, cov_b)`` with ``cov_b`` in the original landmark order.
+    """
+    from .ops.schur_obs import (obs_marginals_buckets,
+                                schur_obs_bucket_system)
+
+    if not (isinstance(x, tuple) and len(x) == 2):
+        raise ValueError("schur_sparse_covariance_buckets needs "
+                         "x = (a, b)")
+    x = (mf.as_pytree(x[0]), mf.as_pytree(x[1]))
+    slabs = [(obs, jnp.asarray(ci, jnp.int32), jnp.asarray(mk), ids)
+             for obs, ci, mk, ids in slabs]
+    ids_list = [ids for *_, ids in slabs]
+    data_leaves = jax.tree_util.tree_leaves(
+        [(obs, ci, mk) for obs, ci, mk, _ in slabs])
+    key = _solver_cache_key(
+        "schur_obs_buckets_cov", pair_fn, None, jit, x, data_leaves,
+        extra=(rescaled, chunk) + tuple(
+            np.asarray(ids).tobytes() for ids in ids_list))
+    compute = _solver_cache_get(key)
+    if compute is None:
+        spec = mf.tangent_spec(x)
+        acc, _, _, _ = schur_obs_bucket_system(pair_fn, x[0], x[1],
+                                               slabs, spec, chunk)
+
+        def compute(xv):
+            H, _, cost = acc(xv)
+            cov_a, cov_b = obs_marginals_buckets(H, ids_list, chunk)
+            if rescaled:
+                from .ops.linalg import cov_rescale
+                f = cov_rescale(cost.cost, cost.num_residuals, spec.dims)
+                cov_a, cov_b = cov_a * f, cov_b * f
+            return cov_a, cov_b
+
+        if jit:
+            compute = jax.jit(compute)
+        _solver_cache_put(key, compute, data_leaves)
+    return compute(x)
+
+
 def schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx, mask,
                             *, rescaled: bool = False,
                             chunk: int = 1024, jit: bool = True):

@@ -157,6 +157,11 @@ class HessianOptions:
     #: factorization is 75 ms vs ~0.2 ms/CG-matvec).  ``schur_refine``
     #: is ignored on this path.  No reference counterpart (the
     #: reference's solver is Eigen LDLT only, math.h:232-277).
+    #: Flagship-scale caveat (v5e, 2026-08-20): 32 iterations converge
+    #: the 1000-camera corridor BA (rmse 9.0e-4, 6.6 s wall); 64
+    #: iterations at that scale reproducibly crashed the axon TPU
+    #: worker (3/3, "kernel fault") while 64 at 300 cameras is fine —
+    #: prefer ≤32 on very large reduced systems.
     schur_cg_iters: int = 0
 
 

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
+def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -52,7 +52,6 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9):
     spec_b = mf.tangent_spec(b0[0])
     da, db = spec_a.dims, spec_b.dims
     K = int(cam_idx.shape[1])
-    chunk = 1024
     CH = _pick_chunk(n_pts, chunk)
     mask = jnp.asarray(mask, dtype)
 

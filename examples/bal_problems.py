@@ -53,14 +53,29 @@ def main():
 
     if args.bal_file:
         print(f"loading {args.bal_file} ...")
-        (obs, cam_idx, mask), x0 = load_bal(args.bal_file)
+        # published BAL visibility is heavy-tailed: the bucketed layout
+        # bounds padded slots ~2x the observation count instead of
+        # n_pts * K_max (models/bal.py)
+        slabs, x0 = load_bal(args.bal_file, layout="bucketed")
         n_cams = int(np.asarray(x0[0]["intr"]).shape[0])
         n_pts = int(np.asarray(x0[1]).shape[0])
-        print(f"{n_cams} cameras, {n_pts} points, "
-              f"{int(np.asarray(mask).sum())} observations "
-              f"(K={int(np.asarray(cam_idx).shape[1])})")
-        print("solving (schur_sparse_optimize):")
-        solve(x0, obs, cam_idx, mask, opts)
+        n_obs = sum(int(np.asarray(s[2]).sum()) for s in slabs)
+        print(f"{n_cams} cameras, {n_pts} points, {n_obs} observations; "
+              f"K-buckets: "
+              f"{[(len(np.asarray(s[3])), np.asarray(s[1]).shape[1]) for s in slabs]}")
+        print("solving (schur_sparse_optimize_buckets):")
+        (cams, pts), out = to.schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, opts)
+        # pixel RMSE over all buckets
+        num = den = 0.0
+        for obs_g, ci_g, mk_g, ids in slabs:
+            e = bal_rmse(cams, pts[np.asarray(ids)], obs_g, ci_g, mk_g)
+            n = float(np.asarray(mk_g).sum())
+            num += float(e) ** 2 * n
+            den += n
+        print(f"  -> rmse {(num / max(den, 1.0)) ** 0.5:8.3f} px  "
+              f"iters {int(out.num_iters)}  "
+              f"{out.stop_reason_description()}")
         return
 
     # --- synthetic corridor instance, BAL conventions -----------------
@@ -89,13 +104,24 @@ def main():
 
     print("Geman-McClure GNC (threshold ladder 50 -> 2 px):")
 
-    def stage(x, th2):
+    # one whitened pair_fn PER squared threshold, built OUTSIDE the
+    # anneal: the solve cache keys on the function object, so a fresh
+    # closure per stage call would recompile every stage on every
+    # anneal (gnc_anneal docstring; it squares the schedule)
+    def make_rp(th2):
         def rp(cam, pt, ob):
             return robust_whiten(bal_residual(cam, pt, ob),
                                  geman_mcclure, th2)
-        return to.schur_sparse_optimize(x, rp, obs_o, ci_o, mk_o, opts)
+        return rp
 
-    x_gnc, out = gnc_anneal(stage, x0_o, gnc_schedule(50.0, 2.0, steps=5))
+    sched = gnc_schedule(50.0, 2.0, steps=5)
+    rp_of = {float(t) ** 2: make_rp(float(t) ** 2) for t in sched}
+
+    def stage(x, th2):
+        return to.schur_sparse_optimize(x, rp_of[th2], obs_o, ci_o,
+                                        mk_o, opts)
+
+    x_gnc, out = gnc_anneal(stage, x0_o, sched)
     # judge against the CLEAN observations on uncorrupted slots of
     # determined landmarks (<2 clean rays = legitimately unrecoverable)
     bad = np.asarray(bad)

@@ -396,3 +396,67 @@ class TestSchurCg:
         assert bool(outc.succeeded())
         assert float(outc.final_cost.cost) <= \
             1.01 * float(outd.final_cost.cost) + 1e-12
+
+
+class TestDegenerateLayouts:
+    def test_k1_layout_solves(self):
+        """K=1 (every landmark observed once + priors via extra slots is
+        impossible -> needs camera coverage): the planned reduce has NO
+        strict-lower pairs; r4 regression pin (empty-plan crash)."""
+        rng = np.random.default_rng(0)
+        n_a, n_b = 4, 24
+        a = {"u": jnp.asarray(rng.normal(size=(n_a, 2))),
+             "v": jnp.asarray(rng.normal(size=(n_a, 1)))}
+        b = jnp.asarray(rng.normal(size=(n_b, 2)))
+        obs = {"A": jnp.asarray(rng.normal(size=(n_b, 1, M, 3))),
+               "B": jnp.asarray(rng.normal(size=(n_b, 1, M, 2))),
+               "y": jnp.asarray(rng.normal(size=(n_b, 1, M)))}
+        cam_idx = jnp.asarray(rng.integers(0, n_a, size=(n_b, 1)),
+                              jnp.int32)
+        mask = jnp.ones((n_b, 1))
+        x, out = to.schur_sparse_optimize(
+            (a, b), pair_fn, obs, cam_idx, mask,
+            to.Options(max_iters=8, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False)))
+        assert bool(out.succeeded())
+        cov_a, cov_b = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, mask)
+        assert np.all(np.isfinite(np.asarray(cov_a)))
+
+    def test_cap1_bucket_solves(self):
+        """A bucket whose cap is 1 must run through the bucketed system
+        (r4 regression pin: empty planned-reduce plan)."""
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        x, obs, cam_idx, smask = _obs_instance(n_a=4, n_b=32)
+        m = np.array(smask)
+        m[:20, 1:] = 0.0                 # 20 single-observation points
+        smask = jnp.asarray(m)
+        slabs = bucket_obs(obs, cam_idx, smask, min_bucket=4)
+        assert any(np.asarray(s[1]).shape[1] == 1 for s in slabs)
+        xs, out = to.schur_sparse_optimize_buckets(
+            x, pair_fn, slabs,
+            to.Options(max_iters=8, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False)))
+        assert bool(out.succeeded())
+
+    def test_dead_landmark_covariance_is_nan(self):
+        """A landmark with zero observations has a singular H row; its
+        marginal must be NaN (inv_cov contract), not the identity block
+        the zero-C substitution would leak (r4 review finding)."""
+        x, obs, cam_idx, smask = _obs_instance()
+        m = np.array(smask)
+        m[7, :] = 0.0
+        smask = jnp.asarray(m)
+        cov_a, cov_b = to.schur_sparse_covariance(
+            x, pair_fn, obs, cam_idx, smask)
+        assert np.all(np.isnan(np.asarray(cov_b)[7]))
+        live = np.asarray(cov_b)[np.arange(N_B) != 7]
+        assert np.all(np.isfinite(live))
+
+        from tinyopt_tpu.parallel import sharded_schur_sparse_covariance
+        x2, obs2, ci2, mk2 = _obs_instance(n_a=4, n_b=32)
+        m2 = np.array(mk2)
+        m2[5, :] = 0.0
+        ca, cb = sharded_schur_sparse_covariance(
+            x2, pair_fn, obs2, ci2, jnp.asarray(m2))
+        assert np.all(np.isnan(np.asarray(cb)[5]))

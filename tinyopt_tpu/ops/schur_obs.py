@@ -296,6 +296,41 @@ def _pick_chunk(n_bp: int, requested: int) -> int:
     return ch
 
 
+#: Staging-buffer budget for the planned reduce (bytes of the persistent
+#: camera-pair row buffer); above it make_obs_kernels falls back to the
+#: chunk-transient scatter pass.  Flagship (50k pts, K=8, da=6): 200 MB.
+_PLANNED_STAGING_LIMIT = 512 * 2 ** 20
+
+
+def _pair_block_chunk(E_c, Cd_c, g_b_c, ks, ls, eye, dtype):
+    """Shared per-chunk elimination algebra of pass A — ONE copy for
+    both reduce variants (scatter and planned), so the zero-block
+    substitution, the exact C⁻¹ and the precision discipline cannot
+    diverge between them.
+
+    Returns ``(Cinv_c, blocks_tri (CH, P_tri, da, da), blocks_diag
+    (CH, K, da, da), rhs_rows (CH, K, da))``.  Padded points carry
+    all-zero Cd blocks; Cholesky(0)/adjugate(0) is NaN, which would
+    poison the reduction — substitute identity for exactly-zero blocks
+    (their E rows are zero, contributions exact zeros either way).
+    """
+    zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
+    Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
+    # exact elementwise C⁻¹ (adjugate at db<=3) with the NaN non-PD
+    # contract — see spd_inv_blocks
+    Cinv_c = spd_inv_blocks(Cd_c)
+    EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
+                 preferred_element_type=dtype)
+    # strict-lower slot pairs only (mirrors are transposes)
+    blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, ks], E_c[:, ls],
+                       preferred_element_type=dtype)
+    # k == l diagonal slot pairs
+    blocks_diag = _esum("jkac,jkbc->jkab", EC_c, E_c,
+                        preferred_element_type=dtype)
+    rhs_rows = _esum("jkac,jc->jka", EC_c, g_b_c)
+    return Cinv_c, blocks_tri, blocks_diag, rhs_rows
+
+
 def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
                      CH: int):
     """Factory for pass A of the elimination — standalone so the
@@ -338,34 +373,19 @@ def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
             E_c = _sl(E_p, c).reshape(CH, K, da, db)
             Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
             cam_c = _sl(cam_p, c)
-            # Padded points carry all-zero Cd blocks; Cholesky(0) is NaN,
-            # which would poison the scatter — substitute identity for
-            # exactly-zero blocks (their E rows are zero, contributions
-            # exact zeros either way).
-            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
-            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
-            # exact elementwise C⁻¹ (adjugate at db<=3) with the NaN
-            # non-PD contract — see spd_inv_blocks
-            Cinv_c = spd_inv_blocks(Cd_c)
-            EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
-                              preferred_element_type=dtype)
-            # strict-lower slot pairs only (mirrors are transposes)
-            blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, _ks],
-                               E_c[:, _ls], preferred_element_type=dtype)
+            g_b_c = _sl(g_b_p, c)
+            Cinv_c, blocks_tri, blocks_diag, rhs_rows = \
+                _pair_block_chunk(E_c, Cd_c, g_b_c, _ks, _ls, eye, dtype)
             ids_tri = (jnp.take(cam_c, _ks, axis=1) * n_a
                        + jnp.take(cam_c, _ls, axis=1)).reshape(-1)
             S_f = S_f.at[ids_tri].add(
                 blocks_tri.reshape(CH * P_tri, da * da))
             # k == l diagonal slot pairs: per-camera accumulator
-            blocks_diag = _esum("jkac,jkbc->jkab", EC_c, E_c,
-                                preferred_element_type=dtype)
             S_diag = S_diag + jax.ops.segment_sum(
                 blocks_diag.reshape(CH * K, da * da),
                 cam_c.reshape(-1), num_segments=n_a)
-            g_b_c = _sl(g_b_p, c)
             rhs = rhs.at[cam_c.reshape(-1)].add(
-                _esum("jkac,jc->jka", EC_c, g_b_c).reshape(
-                    CH * K, da))
+                rhs_rows.reshape(CH * K, da))
             Cinv_f = _upd(Cinv_f, Cinv_c.reshape(CH, db * db), c)
             return S_f, S_diag, rhs, Cinv_f
 
@@ -415,6 +435,12 @@ def make_planned_segment_reduce(ids, n_out: int, growth: float = 1.35,
 
     ids = np.asarray(ids, np.int64).ravel()
     n_rows = ids.size
+    if n_rows == 0:
+        # degenerate plan (K=1 layouts have no strict-lower slot pairs)
+        def reduce_empty(rows: jax.Array) -> jax.Array:
+            return jnp.zeros((n_out, rows.shape[-1]), rows.dtype)
+
+        return reduce_empty
     order = np.argsort(ids, kind="stable")
     sorted_ids = ids[order]
     uids, starts, counts = np.unique(sorted_ids, return_index=True,
@@ -424,7 +450,6 @@ def make_planned_segment_reduce(ids, n_out: int, growth: float = 1.35,
 
     gathers = []
     concat_uids = []
-    pos = 0
     for cap in used:
         sel = np.nonzero(cap_of == cap)[0]
         offs = np.arange(cap)[None, :]
@@ -433,7 +458,6 @@ def make_planned_segment_reduce(ids, n_out: int, growth: float = 1.35,
         g = np.where(valid, order[np.minimum(idx, n_rows - 1)], n_rows)
         gathers.append(jnp.asarray(g, jnp.int32))
         concat_uids.append(uids[sel])
-        pos += len(sel)
     concat_uids = np.concatenate(concat_uids) if concat_uids else \
         np.zeros(0, np.int64)
 
@@ -504,44 +528,34 @@ def make_reduce_pass_planned(n_a: int, K: int, da: int, db: int, dtype,
 
     def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
         def bodyA(c, carry):
-            tri_rows, diag_rows, rhs_rows, Cinv_f = carry
+            tri_rows, diag_rows, rhs_buf, Cinv_f = carry
             E_c = _sl(E_p, c).reshape(CH, K, da, db)
             Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
-            # zero-block identity substitution + exact C⁻¹
-            # (make_reduce_pass rationale; adjugate at db<=3)
-            zero_blk = jnp.all(Cd_c == 0, axis=(-2, -1), keepdims=True)
-            Cd_c = jnp.where(zero_blk, eye[None], Cd_c)
-            Cinv_c = spd_inv_blocks(Cd_c)
-            EC_c = _esum("jkab,jbc->jkac", E_c, Cinv_c,
-                         preferred_element_type=dtype)
-            blocks_tri = _esum("jpac,jpbc->jpab", EC_c[:, ks_j],
-                               E_c[:, ls_j], preferred_element_type=dtype)
+            g_b_c = _sl(g_b_p, c)
+            Cinv_c, blocks_tri, blocks_diag, rhs_rows = \
+                _pair_block_chunk(E_c, Cd_c, g_b_c, ks_j, ls_j, eye,
+                                  dtype)
             tri_rows = _updr(
                 tri_rows, blocks_tri.reshape(CH * P_tri, da * da), c,
                 P_tri)
-            blocks_diag = _esum("jkac,jkbc->jkab", EC_c, E_c,
-                                preferred_element_type=dtype)
             diag_rows = _updr(
                 diag_rows, blocks_diag.reshape(CH * K, da * da), c, K)
-            g_b_c = _sl(g_b_p, c)
-            rhs_rows = _updr(
-                rhs_rows,
-                _esum("jkac,jc->jka", EC_c, g_b_c).reshape(CH * K, da),
-                c, K)
+            rhs_buf = _updr(
+                rhs_buf, rhs_rows.reshape(CH * K, da), c, K)
             Cinv_f = jax.lax.dynamic_update_slice_in_dim(
                 Cinv_f, Cinv_c.reshape(CH, db * db), c * CH, 0)
-            return tri_rows, diag_rows, rhs_rows, Cinv_f
+            return tri_rows, diag_rows, rhs_buf, Cinv_f
 
         init = (jnp.zeros((n_p * P_tri, da * da), dtype),
                 jnp.zeros((n_p * K, da * da), dtype),
                 jnp.zeros((n_p * K, da), dtype),
                 jnp.zeros((n_p, db * db), dtype))
-        tri_rows, diag_rows, rhs_rows, Cinv_f = jax.lax.fori_loop(
+        tri_rows, diag_rows, rhs_buf, Cinv_f = jax.lax.fori_loop(
             0, n_p // CH, bodyA, init)
 
         S_f = reduce_tri(tri_rows)
         S_diag = reduce_slot(diag_rows)
-        rhs = reduce_slot(rhs_rows)
+        rhs = reduce_slot(rhs_buf)
         X = S_f.reshape(n_a, n_a, da, da)
         X = X + X.transpose(1, 0, 3, 2)
         idx = jnp.arange(n_a)
@@ -657,6 +671,11 @@ def obs_marginals(H: "SchurObsSystem", chunk: int = 1024):
     cov_a, Sinv = camera_marginals_from_S(S_f, H.Ba)
     marginal_pass = make_landmark_marginal_pass(n_a, K, da, db, dtype, CH)
     cov_b = marginal_pass(E_p, Cinv_p, cam_p, Sinv)[:n_b]
+    # a landmark with no (unmasked) observations has a singular H row —
+    # NaN per the inv_cov contract, not the identity block the
+    # reduce_pass zero-C substitution would leak
+    dead = jnp.all(H.C == 0, axis=1)
+    cov_b = jnp.where(dead[:, None, None], jnp.nan, cov_b)
     return cov_a, cov_b
 
 
@@ -703,9 +722,11 @@ def obs_marginals_buckets(H: "SchurObsBuckets", ids_list,
 
     cov_a, Sinv = camera_marginals_from_S(S_f, H.Ba)
     cov_rows = []
-    for E_p, Cinv_p, cam_p, Kg, CH, n_g in stash:
+    for (E_p, Cinv_p, cam_p, Kg, CH, n_g), C_g in zip(stash, H.C):
         mp = make_landmark_marginal_pass(n_a, Kg, da, db, dtype, CH)
-        cov_rows.append(mp(E_p, Cinv_p, cam_p, Sinv)[:n_g])
+        rows = mp(E_p, Cinv_p, cam_p, Sinv)[:n_g]
+        dead = jnp.all(C_g == 0, axis=1)     # inv_cov NaN contract
+        cov_rows.append(jnp.where(dead[:, None, None], jnp.nan, rows))
     cov_b = jnp.concatenate(cov_rows)[inv_order]
     return cov_a, cov_b
 
@@ -807,6 +828,17 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
 
         return jax.lax.fori_loop(0, n_p // CH, body, jnp.zeros((), dtype))
 
+    # The planned reduce stages ALL camera-pair rows in a persistent
+    # (n_p·K(K-1)/2, da²) buffer (plus a comparable gather copy) —
+    # ~3× the scatter path's single-chunk peak.  Heavy-tail buckets
+    # with caps in the hundreds would blow HBM, so large stagings fall
+    # back to the chunk-transient scatter pass.
+    if cam_idx_np is not None:
+        import numpy as _np
+        staged = (int(_np.shape(cam_idx_np)[0]) * (K * (K - 1) // 2)
+                  * da * da * jnp.dtype(dtype).itemsize)
+        if staged > _PLANNED_STAGING_LIMIT:
+            cam_idx_np = None
     if cam_idx_np is None:
         reduce_pass = make_reduce_pass(n_a, K, da, db, dtype, CH)
     else:

@@ -470,6 +470,10 @@ def sharded_schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx,
             S_f = jax.lax.psum(S_f, axis)
             cov_a, Sinv = camera_marginals_from_S(S_f, Ba)
             cov_b_l = marginal_pass(E_f, Cinv_p, cam_p, Sinv)[:nb_loc]
+            # zero-observation landmarks: NaN (inv_cov contract), not
+            # the zero-C identity substitution's leak
+            dead = jnp.all(C_f[:nb_loc] == 0, axis=1)
+            cov_b_l = jnp.where(dead[:, None, None], jnp.nan, cov_b_l)
             return cov_a, cov_b_l, rss
 
         def compute(xv, o, ci, mk):

@@ -413,3 +413,68 @@ class TestPlannedReduce:
         np.testing.assert_allclose(np.asarray(out)[0],
                                    np.asarray(vals).sum(0))
         np.testing.assert_allclose(np.asarray(out)[1:], 0.0)
+
+
+class TestShardedBuckets:
+    """Landmark-sharded K-bucketed BA (parallel/schur_obs.py r4): the
+    heavy-tail layout composed with the mesh.  Spec: f64 trajectory
+    parity with the single-device bucketed entry (same algebra up to
+    psum order), including buckets smaller than the mesh axis."""
+
+    def _instance(self, seed=4):
+        (obs, cam_idx, mask), x0, _, _ = make_bal_problem(
+            n_cams=10, n_pts=90, k_obs=8, noise=0.3, seed=seed)
+        rng = np.random.default_rng(seed)
+        m = np.array(mask)
+        for j in range(70):
+            m[j, rng.integers(2, 4):] = 0.0
+        return (obs, jnp.asarray(np.where(m > 0, np.asarray(cam_idx),
+                                          0)),
+                jnp.asarray(m)), x0
+
+    @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg])
+    def test_matches_single_device(self, solver):
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        from tinyopt_tpu.parallel import (
+            sharded_schur_sparse_optimize_buckets)
+        (obs, cam_idx, mask), x0 = self._instance()
+        slabs = bucket_obs(obs, cam_idx, mask, min_bucket=8)
+        assert len(slabs) >= 2
+        o = to.Options(max_iters=8, max_consec_failures=0,
+                       solver_type=solver,
+                       hessian=to.HessianOptions(save_last=False))
+        (c1, p1), out1 = to.schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, o)
+        (c2, p2), out2 = sharded_schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, o)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(c2["pose"].translation),
+            np.asarray(c1["pose"].translation), rtol=1e-7, atol=1e-9)
+        assert int(out2.num_iters) == int(out1.num_iters)
+        assert int(out2.stop_reason) == int(out1.stop_reason)
+
+    def test_bucket_smaller_than_mesh(self):
+        """A 3-landmark bucket over the 8-device mesh pads internally
+        with mask-0 rows (zero contributions) and still matches."""
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        from tinyopt_tpu.parallel import (
+            sharded_schur_sparse_optimize_buckets)
+        (obs, cam_idx, mask), x0, _, _ = make_bal_problem(
+            n_cams=10, n_pts=90, k_obs=8, noise=0.3, seed=4)
+        m = np.array(mask)
+        m[3:, 3:] = 0.0               # rows 0-2 dense (8 obs), rest 3
+        cam_idx = jnp.asarray(np.where(m > 0, np.asarray(cam_idx), 0))
+        mask2 = jnp.asarray(m)
+        slabs = bucket_obs(obs, cam_idx, mask2, min_bucket=2)
+        assert any(len(np.asarray(s[3])) < 8 for s in slabs)
+        o = to.Options(max_iters=6, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False))
+        (c1, p1), out1 = to.schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, o)
+        (c2, p2), out2 = sharded_schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, o)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=1e-7, atol=1e-9)
+        assert int(out2.num_iters) == int(out1.num_iters)

@@ -4,7 +4,8 @@ from .sharded import make_block_system, sharded_optimize
 from .schur import make_sharded_schur_system, sharded_schur_optimize
 from .schur_obs import (make_sharded_schur_obs_system,
                         sharded_schur_sparse_covariance,
-                        sharded_schur_sparse_optimize)
+                        sharded_schur_sparse_optimize,
+                        sharded_schur_sparse_optimize_buckets)
 from .padding import pad_instances, masked_residuals
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "make_sharded_schur_system", "sharded_schur_optimize",
     "make_sharded_schur_obs_system", "sharded_schur_sparse_optimize",
     "sharded_schur_sparse_covariance",
+    "sharded_schur_sparse_optimize_buckets",
     "pad_instances", "masked_residuals",
 ]

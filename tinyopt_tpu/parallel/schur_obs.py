@@ -345,6 +345,349 @@ def sharded_schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs,
     return run(x0)
 
 
+def sharded_schur_sparse_optimize_buckets(
+        x0: tuple, pair_fn: Callable, slabs,
+        options: Options | None = None, *, mesh: Mesh | None = None,
+        axis: str = "block", chunk: int = 1024, jit: bool = True):
+    """Landmark-sharded K-BUCKETED sparse-observation BA over the mesh.
+
+    Composes the two r4 scale stories: the heavy-tail bucketed layout
+    (``sparse.schur_sparse_optimize_buckets`` — a few padded slabs with
+    per-bucket K caps instead of one n_b·K_max slab) sharded over the
+    mesh on the landmark axis (this module's decomposition).  Every
+    bucket's rows are split across devices; per-device slab kernels run
+    per bucket, the camera-side partials and the per-bucket reduced-
+    system partials are summed ACROSS buckets locally and completed
+    with ONE fused ``psum``, the replicated reduced solve covers all
+    buckets at once, and per-bucket back-substitutions ``all_gather``.
+    Buckets are padded internally to a mesh-axis multiple with mask-0
+    rows (exact zero contributions).  Same trajectory as the
+    single-device bucketed entry up to psum summation order.  ``x0``
+    stays in the ORIGINAL landmark order.  LM / GN / DogLeg.
+    """
+    import numpy as np
+
+    options = options or Options()
+    if mesh is None:
+        from .mesh import local_mesh
+        mesh = local_mesh(axis)
+    if not (isinstance(x0, tuple) and len(x0) == 2):
+        raise ValueError(
+            "sharded_schur_sparse_optimize_buckets needs x0 = (a0, b0)")
+    x0 = (mf.as_pytree(x0[0]), mf.as_pytree(x0[1]))
+    axis_size = mesh.shape[axis]
+
+    from ..sparse import (_solver_cache_get, _solver_cache_key,
+                          _solver_cache_put)
+    slabs = [(obs, jnp.asarray(ci, jnp.int32), jnp.asarray(mk),
+              np.asarray(ids)) for obs, ci, mk, ids in slabs]
+    orig_leaves = jax.tree_util.tree_leaves(
+        [(obs, ci, mk) for obs, ci, mk, _ in slabs])
+    key = _solver_cache_key(
+        "sharded_schur_obs_buckets", pair_fn, options, jit, x0,
+        orig_leaves,
+        extra=(mesh, axis, chunk) + tuple(
+            ids.tobytes() for *_, ids in slabs))
+    run = _solver_cache_get(key)
+    if run is None:
+        a0, b0 = x0
+        n_a = jnp.shape(jax.tree_util.tree_leaves(a0)[0])[0]
+        n_b = jnp.shape(jax.tree_util.tree_leaves(b0)[0])[0]
+        a_ex = jax.tree_util.tree_map(lambda l: l[0], a0)
+        b_ex = jax.tree_util.tree_map(lambda l: l[0], b0)
+        spec = mf.tangent_spec(x0)
+        spec_a = mf.tangent_spec(a_ex)
+        spec_b = mf.tangent_spec(b_ex)
+        da, db = spec_a.dims, spec_b.dims
+        dtype = spec.dtype
+
+        ids_all = np.concatenate([ids for *_, ids in slabs])
+        if (ids_all.size != n_b
+                or np.any(np.sort(ids_all) != np.arange(n_b))):
+            raise ValueError(
+                "bucket ids must partition the landmark axis")
+        inv_order = jnp.asarray(np.argsort(ids_all), jnp.int32)
+
+        sharding = NamedSharding(mesh, P(axis))
+        buckets = []
+        n_res = jnp.zeros((), jnp.int32)
+        for obs, ci, mk, ids in slabs:
+            mk = jnp.asarray(mk, dtype)
+            n_g, K = ci.shape
+            # pad to a mesh multiple with mask-0 rows (zero contribs)
+            n_gm = int(-(-n_g // axis_size) * axis_size)
+            padm = n_gm - n_g
+            if padm:
+                obs = jax.tree_util.tree_map(
+                    lambda l: jnp.concatenate(
+                        [jnp.asarray(l),
+                         jnp.zeros((padm,) + jnp.shape(l)[1:],
+                                   jnp.result_type(l))]), obs)
+                ci = jnp.concatenate(
+                    [ci, jnp.zeros((padm, K), jnp.int32)])
+                mk = jnp.concatenate(
+                    [mk, jnp.zeros((padm, K), dtype)])
+            ng_loc = n_gm // axis_size
+            step = min(chunk, max(ng_loc, 1))
+            n_lp = int(-(-ng_loc // step) * step)
+            padc = n_lp - ng_loc
+            CH = _pick_chunk(n_lp, chunk)
+            d_ex = jax.tree_util.tree_map(lambda l: l[0, 0], obs)
+            m = int(sum(math.prod(l.shape)
+                        for l in jax.tree_util.tree_leaves(
+                jax.eval_shape(lambda a, b, d: flatten_residuals(
+                    pair_fn(a, b, d)), a_ex, b_ex, d_ex))))
+            n_res = n_res + (jnp.count_nonzero(mk).astype(jnp.int32)
+                             * m)
+            kernels = make_obs_kernels(pair_fn, a0, spec_a, spec_b,
+                                       dtype, n_a, K, CH)
+            obs = jax.tree_util.tree_map(
+                lambda l: jax.device_put(jnp.asarray(l), sharding), obs)
+            buckets.append(dict(
+                obs=obs, cam=jax.device_put(ci, sharding),
+                mask=jax.device_put(mk, sharding),
+                ids=jnp.asarray(ids, jnp.int32), n_g=n_g,
+                ng_loc=ng_loc, padc=padc, K=K, CH=CH, kernels=kernels))
+
+        em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
+
+        def _to_gl(v):
+            return v if em2gl is None else v[em2gl]
+
+        def _to_em(v):
+            return v if gl2em is None else v[gl2em]
+
+        x_spec = jax.tree_util.tree_map(lambda _: P(), x0)
+        data_spec = tuple(
+            (jax.tree_util.tree_map(lambda _: P(axis), bk["obs"]),
+             P(axis), P(axis)) for bk in buckets)
+        data_vals = tuple((bk["obs"], bk["cam"], bk["mask"])
+                          for bk in buckets)
+        # H = (Ba replicated, per-bucket C rows, per-bucket E rows) —
+        # landmark-side rows sharded on the mesh axis
+        H_spec = (P(), tuple(P(axis) for _ in buckets),
+                  tuple(P(axis) for _ in buckets))
+
+        def _padc_rows(arr, padc):
+            if not padc:
+                return arr
+            return jnp.concatenate(
+                [arr, jnp.zeros((padc,) + arr.shape[1:], arr.dtype)])
+
+        def _local_b(b, bk):
+            """This device's rows of bucket bk, padded to CH multiple."""
+            b_g = jax.tree_util.tree_map(lambda l: l[bk["ids"]], b)
+            j = jax.lax.axis_index(axis)
+            ng_loc = bk["ng_loc"]
+
+            def slc(l):
+                # bucket rows beyond n_g (mesh pad) have no landmark —
+                # broadcast row 0 (mask 0 zeroes the math)
+                src = jnp.concatenate(
+                    [l, jnp.broadcast_to(
+                        l[:1],
+                        (ng_loc * axis_size - l.shape[0],)
+                        + l.shape[1:])]) \
+                    if l.shape[0] < ng_loc * axis_size else l
+                loc = jax.lax.dynamic_slice_in_dim(
+                    src, j * ng_loc, ng_loc, 0)
+                if bk["padc"]:
+                    loc = jnp.concatenate(
+                        [loc, jnp.broadcast_to(
+                            loc[:1], (bk["padc"],) + loc.shape[1:])])
+                return loc
+
+            return jax.tree_util.tree_map(slc, b_g)
+
+        @partial(_shard_map, mesh=mesh,
+                 in_specs=(x_spec, data_spec),
+                 out_specs=(H_spec, P(), P()))
+        def _accumulate_sm(x, data):
+            a = mf.as_pytree(x[0])
+            b = mf.as_pytree(x[1])
+            Ba_p = jnp.zeros((n_a, da, da), dtype)
+            ga_p = jnp.zeros((n_a, da), dtype)
+            rss_p = jnp.zeros((), dtype)
+            C_t, E_t, gb_t = [], [], []
+            for bk, (obs_l, cam_l, mask_l) in zip(buckets, data):
+                acc_slab = bk["kernels"][0]
+                Ba_g, ga_g, E_f, C_f, g_b, rss_g = acc_slab(
+                    a, _local_b(b, bk),
+                    jax.tree_util.tree_map(
+                        lambda l: _padc_rows(l, bk["padc"]), obs_l),
+                    _padc_rows(cam_l, bk["padc"]),
+                    _padc_rows(mask_l, bk["padc"]))
+                Ba_p, ga_p = Ba_p + Ba_g, ga_p + ga_g
+                rss_p = rss_p + rss_g
+                nl = bk["ng_loc"]
+                C_t.append(C_f[:nl])
+                E_t.append(E_f[:nl])
+                gb_t.append(jax.lax.all_gather(g_b[:nl], axis, axis=0,
+                                               tiled=True))
+            Ba, g_a, rss = jax.lax.psum((Ba_p, ga_p, rss_p), axis)
+            g_b_all = jnp.concatenate(
+                [gb[:bk["n_g"]] for gb, bk in zip(gb_t, buckets)]
+            )[inv_order]
+            g = _to_gl(jnp.concatenate(
+                [g_a.reshape(-1), g_b_all.reshape(-1)]))
+            return (Ba, tuple(C_t), tuple(E_t)), g, rss
+
+        @partial(_shard_map, mesh=mesh, in_specs=(x_spec, data_spec),
+                 out_specs=P())
+        def _evaluate_sm(x, data):
+            a = mf.as_pytree(x[0])
+            b = mf.as_pytree(x[1])
+            rss = jnp.zeros((), dtype)
+            for bk, (obs_l, cam_l, mask_l) in zip(buckets, data):
+                eval_slab = bk["kernels"][1]
+                rss = rss + eval_slab(
+                    a, _local_b(b, bk),
+                    jax.tree_util.tree_map(
+                        lambda l: _padc_rows(l, bk["padc"]), obs_l),
+                    _padc_rows(cam_l, bk["padc"]),
+                    _padc_rows(mask_l, bk["padc"]))
+            return jax.lax.psum(rss, axis)
+
+        def _eliminate_local(H, data, Bd, Cd_t, g, use_chol, refine,
+                             cg_it):
+            _, _, E_t = H
+            g = _to_em(g)
+            g_a = g[:n_a * da].reshape(n_a, da)
+            g_b = g[n_a * da:].reshape(n_b, db)
+            S_f = jnp.zeros((n_a * n_a, da * da), dtype)
+            rhs = jnp.zeros((n_a, da), dtype)
+            stash = []
+            j = jax.lax.axis_index(axis)
+            for bk, (obs_l, cam_l, mask_l), E_g, Cd_g in zip(
+                    buckets, data, E_t, Cd_t):
+                reduce_pass = bk["kernels"][2]
+                nl = bk["ng_loc"]
+                gb_bucket = g_b[bk["ids"]]
+                gb_bucket = jnp.concatenate(
+                    [gb_bucket,
+                     jnp.zeros((nl * axis_size - bk["n_g"], db),
+                               dtype)]) \
+                    if bk["n_g"] < nl * axis_size else gb_bucket
+                g_b_l = jax.lax.dynamic_slice_in_dim(
+                    gb_bucket, j * nl, nl, 0)
+                E_p = _padc_rows(E_g, bk["padc"])
+                Cd_p = _padc_rows(Cd_g, bk["padc"])
+                cam_p = _padc_rows(cam_l, bk["padc"])
+                g_b_p = _padc_rows(g_b_l, bk["padc"])
+                S_g, rhs_g, Cinv_p = reduce_pass(E_p, Cd_p, cam_p,
+                                                 g_b_p)
+                S_f, rhs = S_f + S_g, rhs + rhs_g
+                stash.append((E_p, Cinv_p, cam_p, g_b_p))
+            S_f, rhs = jax.lax.psum((S_f, rhs), axis)
+            dx_a, ok = assemble_reduced(S_f, rhs, Bd, g_a, use_chol,
+                                        refine, cg_it)
+            ok = ok & jnp.all(jnp.isfinite(dx_a))
+            dxb_rows = []
+            bad = jnp.zeros((), jnp.int32)
+            for bk, (E_p, Cinv_p, cam_p, g_b_p) in zip(buckets, stash):
+                backsub = bk["kernels"][3]
+                dxb_l = backsub(E_p, Cinv_p, cam_p, g_b_p,
+                                dx_a)[:bk["ng_loc"]]
+                bad = bad + jnp.any(~jnp.isfinite(dxb_l)) \
+                    .astype(jnp.int32)
+                dxb_rows.append(jax.lax.all_gather(
+                    dxb_l, axis, axis=0, tiled=True)[:bk["n_g"]])
+            ok = ok & (jax.lax.psum(bad, axis) == 0)
+            dx_b = jnp.concatenate(dxb_rows)[inv_order]
+            dx = _to_gl(jnp.concatenate(
+                [dx_a.reshape(-1), dx_b.reshape(-1)]))
+            return dx, ok
+
+        def make_propose(opts: Options):
+            use_chol = opts.hessian.use_ldlt
+            refine = opts.hessian.schur_refine
+            cg_it = opts.hessian.schur_cg_iters
+
+            @partial(_shard_map, mesh=mesh,
+                     in_specs=(H_spec, P(), P(), data_spec),
+                     out_specs=(P(), P()))
+            def _propose_sm(H, g, lam, data):
+                if opts.solver_type == SolverType.DOGLEG:
+                    from ..solvers.step import dogleg_core
+                    dx_gn, ok_gn = _eliminate_local(
+                        H, data, H[0], H[1], g, use_chol, refine,
+                        cg_it)
+                    # gHg via per-bucket slab contributions + psum
+                    gHg = _ghg_full(H, data, g)
+                    return dogleg_core(
+                        g, lam, dx_gn, ok_gn, gHg,
+                        lambda le: _eliminate_local(
+                            H, data, _damp_blocks(H[0], le),
+                            tuple(_damp_flat(Cg, db, le)
+                                  for Cg in H[1]), g, use_chol,
+                            refine, cg_it))
+                is_lm = (opts.solver_type
+                         == SolverType.LEVENBERG_MARQUARDT)
+                Bd = _damp_blocks(H[0], lam) if is_lm else H[0]
+                Cd_t = (tuple(_damp_flat(Cg, db, lam) for Cg in H[1])
+                        if is_lm else H[1])
+                return _eliminate_local(H, data, Bd, Cd_t, g,
+                                        use_chol, refine, cg_it)
+
+            def propose(H, g, lam, opts_inner):
+                return _propose_sm(H, g, lam, data_vals)
+
+            return propose
+
+        def _ghg_full(H, data, g):
+            """Replicated gᵀHg from per-bucket slab rows."""
+            _, C_t, E_t = H
+            gv = _to_em(g)
+            v_a = gv[:n_a * da].reshape(n_a, da)
+            v_b = gv[n_a * da:].reshape(n_b, db)
+            t_a = jnp.vdot(v_a, _esum("iab,ib->ia", H[0], v_a))
+            t_loc = jnp.zeros((), dtype)
+            j = jax.lax.axis_index(axis)
+            for bk, (obs_l, cam_l, mask_l), C_g, E_g in zip(
+                    buckets, data, C_t, E_t):
+                nl = bk["ng_loc"]
+                K = bk["K"]
+                vb_bucket = v_b[bk["ids"]]
+                vb_bucket = jnp.concatenate(
+                    [vb_bucket,
+                     jnp.zeros((nl * axis_size - bk["n_g"], db),
+                               dtype)]) \
+                    if bk["n_g"] < nl * axis_size else vb_bucket
+                v_b_l = jax.lax.dynamic_slice_in_dim(
+                    vb_bucket, j * nl, nl, 0)
+                E4 = E_g.reshape(nl, K, da, db)
+                C3 = C_g.reshape(nl, db, db)
+                va_g = v_a[cam_l[:nl]]
+                Evb = _esum("jkab,jb->jka", E4, v_b_l)
+                t_loc = t_loc + 2.0 * jnp.vdot(va_g, Evb) + jnp.vdot(
+                    v_b_l, _esum("jab,jb->ja", C3, v_b_l))
+            return t_a + jax.lax.psum(t_loc, axis)
+
+        propose = make_propose(options)
+
+        def accumulate(x, data):
+            H, g, rss = _accumulate_sm(x, data)
+            return H, g, Cost.make(rss, n_res)
+
+        def evaluate(x, data):
+            return Cost.make(_evaluate_sm(x, data), n_res)
+
+        def solve(x, data):
+            return optimize_from_acc(
+                x, lambda xv: accumulate(xv, data),
+                lambda xv: evaluate(xv, data), options, spec,
+                propose=propose)
+
+        if jit:
+            solve = jax.jit(solve)
+
+        def run(x):
+            return solve(x, data_vals)
+
+        _solver_cache_put(key, run, orig_leaves)
+    return run(x0)
+
+
 def sharded_schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx,
                                     mask, *, mesh: Mesh | None = None,
                                     axis: str = "block",

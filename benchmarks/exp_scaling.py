@@ -360,6 +360,22 @@ def main():
         print(json.dumps(row))
     for row in _report("schur_obs", measure_schur_obs(), cores):
         print(json.dumps(row))
+    # PARITY.md protocol rows (r4): schur_obs n=2 efficiency vs slab
+    # size (the replicated-reduced-solve amortization claim, VERDICT
+    # #6a) and dp n=2 as min/median of 5 trials (VERDICT #6b).
+    for per_dev in (1024, 4096, 8192):
+        t = measure_schur_obs(n_list=(1, 2), per_dev_landmarks=per_dev,
+                              reps=3)
+        print(json.dumps({"axis": "schur_obs_slab",
+                          "per_dev_landmarks": per_dev,
+                          "n2_efficiency": round(t[2] / 2 / t[1], 3)}))
+    effs = sorted(
+        (lambda t: t[2] / 2 / t[1])(
+            measure_dp(n_list=(1, 2), per_dev=args.per_dev, reps=7))
+        for _ in range(5))
+    print(json.dumps({"axis": "dp_n2_trials", "min": round(effs[0], 3),
+                      "median": round(effs[2], 3),
+                      "max": round(effs[-1], 3)}))
 
 
 if __name__ == "__main__":

@@ -57,3 +57,36 @@ class TestPoseGraph:
             cg_iters=120)
         assert bool(out.succeeded())
         assert float(jnp.max(_pose_errors(x, true_poses))) < 1e-5
+
+
+class TestPoseGraphMarginals:
+    def test_matches_dense_inverse(self):
+        """SE3 pose marginals (Takahashi + Woodbury on the manifold
+        tangent system) == diag blocks of the dense H⁻¹."""
+        from tinyopt_tpu.chain import chain_system
+        from tinyopt_tpu.models.pose_graph import (
+            _anchor_fn, make_pose_graph, pose_graph_edge_fn,
+            pose_graph_marginals, pose_graph_optimize)
+        from tinyopt_tpu.ops.linalg import inv_cov
+        from tinyopt_tpu import manifold as mf
+
+        data, x0, _ = make_pose_graph(n_poses=10, extra_loops=3,
+                                      noise=5e-3, seed=2)
+        x, out = pose_graph_optimize(
+            x0, data, to.Options(max_consec_failures=0))
+        assert bool(out.succeeded())
+        marg = pose_graph_marginals(x, data)
+
+        spec = mf.tangent_spec(x)
+        acc, *_ = chain_system(
+            x, pose_graph_edge_fn, np.asarray(data.edges),
+            (data.meas_q, data.meas_t), _anchor_fn, np.asarray([0]),
+            (data.anchor_q[None], data.anchor_t[None]), spec)
+        H, _, _ = jax.jit(acc)(x)
+        dense = inv_cov(H.to_dense())
+        d = 6
+        for i in range(10):
+            np.testing.assert_allclose(
+                np.asarray(marg)[i],
+                np.asarray(dense)[i * d:(i + 1) * d, i * d:(i + 1) * d],
+                rtol=1e-7, atol=1e-10)

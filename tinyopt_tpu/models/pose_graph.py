@@ -144,3 +144,26 @@ def pose_graph_optimize(x0: SE3, data: PoseGraphData, options=None,
         (data.meas_q, data.meas_t), options,
         unary_fn=anchor_fn, unary_nodes=np.asarray([0]),
         unary_data=(data.anchor_q[None], data.anchor_t[None]), **kw)
+
+
+def _anchor_fn(x_n: SE3, dd):
+    q, t = dd
+    return (SE3(SO3(q), t).inverse() @ x_n).log()
+
+
+def pose_graph_marginals(x: SE3, data: PoseGraphData,
+                         rescaled: bool = False):
+    """Per-pose (6, 6) posterior marginal covariance blocks at the
+    solution — the Takahashi selected-inverse recursion off the chain
+    solver's block-tridiagonal factor with the Woodbury loop-closure
+    downdate (:func:`tinyopt_tpu.chain.chain_marginals`); O(N·d³),
+    never densifies H.  Tangent order is the SE3 element-major layout.
+    """
+    from ..chain import chain_marginals
+
+    return chain_marginals(
+        x, pose_graph_edge_fn, np.asarray(data.edges),
+        (data.meas_q, data.meas_t), unary_fn=_anchor_fn,
+        unary_nodes=np.asarray([0]),
+        unary_data=(data.anchor_q[None], data.anchor_t[None]),
+        rescaled=rescaled)

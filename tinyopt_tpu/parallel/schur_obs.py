@@ -548,6 +548,18 @@ def sharded_schur_sparse_optimize_buckets(
                     _padc_rows(mask_l, bk["padc"]))
             return jax.lax.psum(rss, axis)
 
+        def _bucket_local_rows(v_b, bk, j):
+            """This device's rows of bucket bk from the (n_b, k) global
+            landmark-side array (mesh-pad rows zero-filled)."""
+            rows = v_b[bk["ids"]]
+            nl = bk["ng_loc"]
+            if bk["n_g"] < nl * axis_size:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros(
+                        (nl * axis_size - bk["n_g"],) + rows.shape[1:],
+                        rows.dtype)])
+            return jax.lax.dynamic_slice_in_dim(rows, j * nl, nl, 0)
+
         def _eliminate_local(H, data, Bd, Cd_t, g, use_chol, refine,
                              cg_it):
             _, _, E_t = H
@@ -562,14 +574,7 @@ def sharded_schur_sparse_optimize_buckets(
                     buckets, data, E_t, Cd_t):
                 reduce_pass = bk["kernels"][2]
                 nl = bk["ng_loc"]
-                gb_bucket = g_b[bk["ids"]]
-                gb_bucket = jnp.concatenate(
-                    [gb_bucket,
-                     jnp.zeros((nl * axis_size - bk["n_g"], db),
-                               dtype)]) \
-                    if bk["n_g"] < nl * axis_size else gb_bucket
-                g_b_l = jax.lax.dynamic_slice_in_dim(
-                    gb_bucket, j * nl, nl, 0)
+                g_b_l = _bucket_local_rows(g_b, bk, j)
                 E_p = _padc_rows(E_g, bk["padc"])
                 Cd_p = _padc_rows(Cd_g, bk["padc"])
                 cam_p = _padc_rows(cam_l, bk["padc"])
@@ -647,14 +652,7 @@ def sharded_schur_sparse_optimize_buckets(
                     buckets, data, C_t, E_t):
                 nl = bk["ng_loc"]
                 K = bk["K"]
-                vb_bucket = v_b[bk["ids"]]
-                vb_bucket = jnp.concatenate(
-                    [vb_bucket,
-                     jnp.zeros((nl * axis_size - bk["n_g"], db),
-                               dtype)]) \
-                    if bk["n_g"] < nl * axis_size else vb_bucket
-                v_b_l = jax.lax.dynamic_slice_in_dim(
-                    vb_bucket, j * nl, nl, 0)
+                v_b_l = _bucket_local_rows(v_b, bk, j)
                 E4 = E_g.reshape(nl, K, da, db)
                 C3 = C_g.reshape(nl, db, db)
                 va_g = v_a[cam_l[:nl]]

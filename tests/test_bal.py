@@ -478,3 +478,35 @@ class TestShardedBuckets:
         np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
                                    rtol=1e-7, atol=1e-9)
         assert int(out2.num_iters) == int(out1.num_iters)
+
+
+class TestBucketFuzz:
+    """Randomized heavy-tail layouts: bucketed == single-slab
+    trajectories across visibility distributions (guards bucket_caps /
+    slot compaction / the planned reduce end-to-end)."""
+
+    @pytest.mark.parametrize("seed", [11, 12, 13])
+    def test_random_heavy_tail_parity(self, seed):
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        rng = np.random.default_rng(seed)
+        (obs, cam_idx, mask), x0, _, _ = make_bal_problem(
+            n_cams=8, n_pts=70, k_obs=8, noise=0.3, seed=seed)
+        m = np.array(mask)
+        for j in range(70):
+            keep = int(np.clip(rng.zipf(1.8), 1, 8))
+            m[j, keep:] = 0.0
+        cam_idx = jnp.asarray(np.where(m > 0, np.asarray(cam_idx), 0))
+        mask = jnp.asarray(m)
+        slabs = bucket_obs(obs, cam_idx, mask,
+                           min_bucket=int(rng.integers(2, 12)))
+        ids_all = np.concatenate([np.asarray(s[3]) for s in slabs])
+        assert sorted(ids_all.tolist()) == list(range(70))
+        o = to.Options(max_iters=6, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False))
+        (c1, p1), out1 = to.schur_sparse_optimize(
+            x0, bal_residual, obs, cam_idx, mask, o)
+        (c2, p2), out2 = to.schur_sparse_optimize_buckets(
+            x0, bal_residual, slabs, o)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=1e-6, atol=1e-8)
+        assert int(out2.num_iters) == int(out1.num_iters)

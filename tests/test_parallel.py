@@ -261,6 +261,29 @@ class TestShardedSchurObs:
         assert int(out_sh.final_cost.num_residuals) == int(
             out_ref.final_cost.num_residuals)
 
+    def test_scatter_fallback_matches_planned(self, monkeypatch):
+        """The sharded path's planned gather reduce (addressable cams)
+        and its scatter fallback (multi-process / over-budget) must be
+        the same algebra: force the fallback via a zero staging budget
+        and compare solves."""
+        import tinyopt_tpu.parallel.schur_obs as pso
+        pair_fn, obs, cam_idx, smask, x0 = self._problem(seed=9)
+        o = to.Options(max_iters=10, max_consec_failures=0)
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        x_pl, out_pl = sharded_schur_sparse_optimize(
+            x0, pair_fn, obs, cam_idx, smask, o,
+            mesh=local_mesh("block"))
+        monkeypatch.setattr(pso, "_PLANNED_STAGING_LIMIT", 0)
+        o2 = to.Options(max_iters=10, max_consec_failures=0,
+                        save_history=False)   # distinct cache key
+        x_sc, out_sc = sharded_schur_sparse_optimize(
+            x0, pair_fn, obs, cam_idx, smask, o2,
+            mesh=local_mesh("block"))
+        np.testing.assert_allclose(np.asarray(x_sc[1]),
+                                   np.asarray(x_pl[1]),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(out_sc.num_iters) == int(out_pl.num_iters)
+
     def test_se3_corridor_matches_unsharded(self):
         """Real manifold BA (SE3 poses + R³ landmarks) on the corridor
         rig: sharded == single-device, f64."""

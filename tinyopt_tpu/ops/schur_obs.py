@@ -487,6 +487,109 @@ def make_planned_segment_reduce(ids, n_out: int, growth: float = 1.35,
     return reduce
 
 
+def make_planned_segment_reduce_multi(ids_list, n_out: int,
+                                      growth: float = 1.35,
+                                      min_class: int = 8):
+    """Per-DEVICE plans for the planned segment reduction, with COMMON
+    table shapes so one SPMD program serves every mesh shard.
+
+    ``ids_list`` — one static id array per device (its slab's rows).
+    Class caps are chosen from the UNION of all devices' segment
+    lengths; within each class, the per-device segment count is padded
+    to the max across devices (padded segments gather only the zero
+    sentinel and scatter to a trash row).  Returns ``(tables,
+    apply)`` where ``tables`` is a pytree of STACKED (n_dev, ...)
+    int32 arrays (shard it ``P(axis)`` and index ``[0]`` inside
+    ``shard_map``) and ``apply(rows, tables_slice) -> (n_out, w)``
+    performs the device's reduction from traced tables.
+    """
+    import numpy as np
+
+    n_dev = len(ids_list)
+    ids_list = [np.asarray(i, np.int64).ravel() for i in ids_list]
+    n_rows = ids_list[0].size
+    assert all(i.size == n_rows for i in ids_list), \
+        "per-device row counts must match (same slab shapes)"
+    if n_rows == 0:
+        tables = {"g": (jnp.zeros((n_dev, 0, 1), jnp.int32),),
+                  "out": (jnp.zeros((n_dev, 0), jnp.int32),)}
+
+        def apply_empty(rows, tables_slice):
+            return jnp.zeros((n_out, rows.shape[-1]), rows.dtype)
+
+        return tables, apply_empty
+
+    per_dev = []
+    all_counts = []
+    for ids in ids_list:
+        order = np.argsort(ids, kind="stable")
+        uids, starts, counts = np.unique(ids[order], return_index=True,
+                                         return_counts=True)
+        per_dev.append((order, uids, starts, counts))
+        all_counts.append(counts)
+    _, used = bucket_caps(np.concatenate(all_counts), growth,
+                          min_class)
+    # common per-class segment capacity = max over devices
+    caps = used
+    seg_cap = []
+    dev_class_sel = []
+    for cap in caps:
+        sel_d = []
+        for order, uids, starts, counts in per_dev:
+            c_of, _ = _assign_caps(counts, caps)
+            sel_d.append(np.nonzero(c_of == cap)[0])
+        seg_cap.append(max((len(sl) for sl in sel_d), default=0))
+        dev_class_sel.append(sel_d)
+
+    g_tabs, out_tabs = [], []
+    for cap, n_seg_c, sel_d in zip(caps, seg_cap, dev_class_sel):
+        if n_seg_c == 0:
+            continue
+        g_dev, o_dev = [], []
+        for (order, uids, starts, counts), sel in zip(per_dev, sel_d):
+            g = np.full((n_seg_c, cap), n_rows, np.int64)
+            o = np.full((n_seg_c,), n_out, np.int64)      # trash row
+            if len(sel):
+                offs = np.arange(cap)[None, :]
+                idx = starts[sel][:, None] + offs
+                valid = offs < counts[sel][:, None]
+                g[:len(sel)] = np.where(
+                    valid, order[np.minimum(idx, n_rows - 1)], n_rows)
+                o[:len(sel)] = uids[sel]
+            g_dev.append(g)
+            o_dev.append(o)
+        g_tabs.append(jnp.asarray(np.stack(g_dev), jnp.int32))
+        out_tabs.append(jnp.asarray(np.stack(o_dev), jnp.int32))
+
+    tables = {"g": tuple(g_tabs), "out": tuple(out_tabs)}
+
+    def apply(rows: jax.Array, tables_slice) -> jax.Array:
+        w = rows.shape[-1]
+        rows1 = jnp.concatenate([rows, jnp.zeros((1, w), rows.dtype)])
+        parts = [jnp.sum(rows1[g], axis=1)
+                 for g in tables_slice["g"]]
+        if not parts:
+            return jnp.zeros((n_out, w), rows.dtype)
+        seg = jnp.concatenate(parts)
+        ids = jnp.concatenate(tables_slice["out"])
+        out = jnp.zeros((n_out + 1, w), rows.dtype).at[ids].set(seg)
+        return out[:n_out]
+
+    return tables, apply
+
+
+def _assign_caps(counts, caps):
+    """Smallest sufficient cap per segment from a FIXED cap list."""
+    import numpy as np
+
+    counts = np.asarray(counts)
+    cap_of = np.full(counts.shape, caps[-1], np.int64)
+    for cap in reversed(caps):
+        cap_of[counts <= cap] = cap
+    cap_of[counts == 0] = caps[0]
+    return cap_of, caps
+
+
 def make_reduce_pass_planned(n_a: int, K: int, da: int, db: int, dtype,
                              CH: int, cam_idx_np):
     """Pass A with PLANNED (scatter-free) reductions — same contract as
@@ -503,21 +606,40 @@ def make_reduce_pass_planned(n_a: int, K: int, da: int, db: int, dtype,
     """
     import numpy as np
 
-    eye = jnp.eye(db, dtype=dtype)
     cam_np = np.asarray(cam_idx_np, np.int64)
     n_p = cam_np.shape[0]
     assert n_p % CH == 0
 
     _ks = np.asarray([k for k in range(K) for l in range(k)], np.int64)
     _ls = np.asarray([l for k in range(K) for l in range(k)], np.int64)
-    P_tri = int(_ks.shape[0])
-    ks_j = jnp.asarray(_ks, jnp.int32)
-    ls_j = jnp.asarray(_ls, jnp.int32)
-
     ids_tri = (cam_np[:, _ks] * n_a + cam_np[:, _ls]).ravel()
     ids_slot = cam_np.ravel()
     reduce_tri = make_planned_segment_reduce(ids_tri, n_a * n_a)
     reduce_slot = make_planned_segment_reduce(ids_slot, n_a)
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        tri_rows, diag_rows, rhs_buf, Cinv_f = _planned_row_buffers(
+            E_p, Cd_p, g_b_p, K, da, db, dtype, CH)
+        S_f = reduce_tri(tri_rows)
+        S_diag = reduce_slot(diag_rows)
+        rhs = reduce_slot(rhs_buf)
+        return (_reconstruct_S(S_f, S_diag, n_a, da), rhs, Cinv_f)
+
+    return reduce_pass
+
+
+def _planned_row_buffers(E_p, Cd_p, g_b_p, K, da, db, dtype, CH):
+    """Chunk loop of the planned pass A: compute the per-chunk pair
+    blocks (shared `_pair_block_chunk` algebra) and write them to flat
+    global row buffers with contiguous ``dynamic_update_slice`` (no
+    scatter).  Returns (tri_rows, diag_rows, rhs_rows, Cinv_f)."""
+    eye = jnp.eye(db, dtype=dtype)
+    n_p = Cd_p.shape[0]
+    ks_j = jnp.asarray([k for k in range(K) for l in range(k)],
+                       jnp.int32)
+    ls_j = jnp.asarray([l for k in range(K) for l in range(k)],
+                       jnp.int32)
+    P_tri = int(ks_j.shape[0])
 
     def _sl(arr, c):
         return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
@@ -526,43 +648,37 @@ def make_reduce_pass_planned(n_a: int, K: int, da: int, db: int, dtype,
         return jax.lax.dynamic_update_slice_in_dim(
             arr, val, c * CH * stride, 0)
 
-    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
-        def bodyA(c, carry):
-            tri_rows, diag_rows, rhs_buf, Cinv_f = carry
-            E_c = _sl(E_p, c).reshape(CH, K, da, db)
-            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
-            g_b_c = _sl(g_b_p, c)
-            Cinv_c, blocks_tri, blocks_diag, rhs_rows = \
-                _pair_block_chunk(E_c, Cd_c, g_b_c, ks_j, ls_j, eye,
-                                  dtype)
-            tri_rows = _updr(
-                tri_rows, blocks_tri.reshape(CH * P_tri, da * da), c,
-                P_tri)
-            diag_rows = _updr(
-                diag_rows, blocks_diag.reshape(CH * K, da * da), c, K)
-            rhs_buf = _updr(
-                rhs_buf, rhs_rows.reshape(CH * K, da), c, K)
-            Cinv_f = jax.lax.dynamic_update_slice_in_dim(
-                Cinv_f, Cinv_c.reshape(CH, db * db), c * CH, 0)
-            return tri_rows, diag_rows, rhs_buf, Cinv_f
+    def bodyA(c, carry):
+        tri_rows, diag_rows, rhs_buf, Cinv_f = carry
+        E_c = _sl(E_p, c).reshape(CH, K, da, db)
+        Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
+        g_b_c = _sl(g_b_p, c)
+        Cinv_c, blocks_tri, blocks_diag, rhs_rows = \
+            _pair_block_chunk(E_c, Cd_c, g_b_c, ks_j, ls_j, eye, dtype)
+        tri_rows = _updr(
+            tri_rows, blocks_tri.reshape(CH * P_tri, da * da), c,
+            P_tri)
+        diag_rows = _updr(
+            diag_rows, blocks_diag.reshape(CH * K, da * da), c, K)
+        rhs_buf = _updr(rhs_buf, rhs_rows.reshape(CH * K, da), c, K)
+        Cinv_f = jax.lax.dynamic_update_slice_in_dim(
+            Cinv_f, Cinv_c.reshape(CH, db * db), c * CH, 0)
+        return tri_rows, diag_rows, rhs_buf, Cinv_f
 
-        init = (jnp.zeros((n_p * P_tri, da * da), dtype),
-                jnp.zeros((n_p * K, da * da), dtype),
-                jnp.zeros((n_p * K, da), dtype),
-                jnp.zeros((n_p, db * db), dtype))
-        tri_rows, diag_rows, rhs_buf, Cinv_f = jax.lax.fori_loop(
-            0, n_p // CH, bodyA, init)
+    init = (jnp.zeros((n_p * P_tri, da * da), dtype),
+            jnp.zeros((n_p * K, da * da), dtype),
+            jnp.zeros((n_p * K, da), dtype),
+            jnp.zeros((n_p, db * db), dtype))
+    return jax.lax.fori_loop(0, n_p // CH, bodyA, init)
 
-        S_f = reduce_tri(tri_rows)
-        S_diag = reduce_slot(diag_rows)
-        rhs = reduce_slot(rhs_buf)
-        X = S_f.reshape(n_a, n_a, da, da)
-        X = X + X.transpose(1, 0, 3, 2)
-        idx = jnp.arange(n_a)
-        X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
-        return X.reshape(n_a * n_a, da * da), rhs, Cinv_f
 
-    return reduce_pass
+def _reconstruct_S(S_f, S_diag, n_a, da):
+    """S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag, flat (n_a², da²)."""
+    X = S_f.reshape(n_a, n_a, da, da)
+    X = X + X.transpose(1, 0, 3, 2)
+    idx = jnp.arange(n_a)
+    X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
+    return X.reshape(n_a * n_a, da * da)
 
 
 def camera_marginals_from_S(S_f, Ba):

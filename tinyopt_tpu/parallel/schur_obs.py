@@ -48,11 +48,13 @@ from ..diff.auto import flatten_residuals
 from ..optimizers.loop import optimize_from_acc
 from ..options import Options, SolverType
 from ..ops.schur import _damp_blocks, bipartite_perms
-from ..ops.schur_obs import (SchurObsSystem, _damp_flat, _esum,
-                             _pick_chunk, assemble_reduced,
-                             camera_marginals_from_S,
+from ..ops.schur_obs import (_PLANNED_STAGING_LIMIT, SchurObsSystem,
+                             _damp_flat, _esum, _pick_chunk,
+                             _planned_row_buffers, _reconstruct_S,
+                             assemble_reduced, camera_marginals_from_S,
                              make_landmark_marginal_pass,
-                             make_obs_kernels)
+                             make_obs_kernels,
+                             make_planned_segment_reduce_multi)
 from .sharded import _shard_map
 
 
@@ -107,6 +109,47 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
 
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
+
+    # PLANNED sharded reduction (r4): when every device's slab indices
+    # are host-visible (single-process meshes — the common case), build
+    # per-device gather plans with COMMON table shapes and ship them as
+    # P(axis)-sharded arguments; the per-iteration camera-pair scatter
+    # (~150 ns/row) becomes gathers + dense sums + one small
+    # scatter-set, exactly like the single-device path.  Multi-process
+    # global arrays (shards not addressable) and over-budget stagings
+    # fall back to the chunk-transient scatter pass.
+    import numpy as _np
+    tables = tables_spec = None
+    tri_apply = slot_apply = None
+    staged = n_lp * (K * (K - 1) // 2) * da * da \
+        * jnp.dtype(dtype).itemsize
+    cam_host = None
+    if staged <= _PLANNED_STAGING_LIMIT:
+        try:
+            if getattr(cam_idx, "is_fully_addressable", True):
+                cam_host = _np.asarray(cam_idx, _np.int64)
+        except Exception:
+            cam_host = None
+    if cam_host is not None:
+        ks = _np.asarray([k for k in range(K) for l in range(k)])
+        ls = _np.asarray([l for k in range(K) for l in range(k)])
+        ids_tri_list, ids_slot_list = [], []
+        for d in range(axis_size):
+            cam_d = cam_host[d * nb_loc:(d + 1) * nb_loc]
+            if pad:
+                cam_d = _np.concatenate(
+                    [cam_d, _np.zeros((pad, K), _np.int64)])
+            ids_tri_list.append(
+                (cam_d[:, ks] * n_a + cam_d[:, ls]).ravel())
+            ids_slot_list.append(cam_d.ravel())
+        tri_tables, tri_apply = make_planned_segment_reduce_multi(
+            ids_tri_list, n_a * n_a)
+        slot_tables, slot_apply = make_planned_segment_reduce_multi(
+            ids_slot_list, n_a)
+        sh = NamedSharding(mesh, P(axis))
+        tables = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, sh), (tri_tables, slot_tables))
+        tables_spec = jax.tree_util.tree_map(lambda _: P(axis), tables)
 
     # Loop-global <-> element-major tangent adapters (multi-leaf element
     # pytrees only; None = identity, ops/schur.bipartite_perms).
@@ -186,7 +229,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         return jax.lax.psum(rss, axis)
 
     def _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol, refine=0,
-                         cg_iters=0):
+                         cg_iters=0, tbls=None):
         """Sharded elimination: (dx replicated, ok replicated); g/dx in
         the loop's global layout, algebra element-major."""
         g = _to_em(g)
@@ -195,7 +238,21 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         E_p = _pad_rows(E_l)
         Cd_p = _pad_rows(Cd_l)
         cam_p = _pad_rows(cam_l)
-        S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_p, g_b_p)
+        if tbls is not None:
+            # planned sharded reduce: this device's table slice is the
+            # leading (1, ...) row of each P(axis)-sharded array
+            tri_sl, slot_sl = jax.tree_util.tree_map(
+                lambda l: l[0], tbls)
+            tri_rows, diag_rows, rhs_rows, Cinv_f = \
+                _planned_row_buffers(E_p, Cd_p, g_b_p, K, da, db,
+                                     dtype, CH)
+            S_f = _reconstruct_S(tri_apply(tri_rows, tri_sl),
+                                 slot_apply(diag_rows, slot_sl),
+                                 n_a, da)
+            rhs_acc = slot_apply(rhs_rows, slot_sl)
+        else:
+            S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_p,
+                                               g_b_p)
         # The ONLY cross-landmark sums in the algebra: complete them once.
         S_f, rhs_acc = jax.lax.psum((S_f, rhs_acc), axis)
         dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a, use_chol,
@@ -230,25 +287,41 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         refine = opts.hessian.schur_refine
         cg_it = opts.hessian.schur_cg_iters
 
-        @partial(_shard_map, mesh=mesh,
-                 in_specs=(H_spec, P(), P()), out_specs=(P(), P()))
-        def _propose_sm(H, g, lam):
+        def _propose_core(H, g, lam, tbls):
             E_l, cam_l = H.E, H.cam_idx
             if opts.solver_type == SolverType.DOGLEG:
                 from ..solvers.step import dogleg_core
                 dx_gn, ok_gn = _eliminate_local(E_l, cam_l, H.Ba, H.C, g,
-                                                use_chol, refine, cg_it)
+                                                use_chol, refine, cg_it,
+                                                tbls)
                 return dogleg_core(
                     g, lam, dx_gn, ok_gn, _ghg_local(H, g),
                     lambda le: _eliminate_local(
                         E_l, cam_l, _damp_blocks(H.Ba, le),
                         _damp_flat(H.C, db, le), g, use_chol, refine,
-                        cg_it))
+                        cg_it, tbls))
             is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
             Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
             Cd_l = _damp_flat(H.C, db, lam) if is_lm else H.C
             return _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol,
-                                    refine, cg_it)
+                                    refine, cg_it, tbls)
+
+        if tables is not None:
+            @partial(_shard_map, mesh=mesh,
+                     in_specs=(H_spec, P(), P(), tables_spec),
+                     out_specs=(P(), P()))
+            def _propose_sm_t(H, g, lam, tbls):
+                return _propose_core(H, g, lam, tbls)
+
+            def propose(H, g, lam, opts_inner):
+                return _propose_sm_t(H, g, lam, tables)
+
+            return propose
+
+        @partial(_shard_map, mesh=mesh,
+                 in_specs=(H_spec, P(), P()), out_specs=(P(), P()))
+        def _propose_sm(H, g, lam):
+            return _propose_core(H, g, lam, None)
 
         def propose(H, g, lam, opts_inner):
             return _propose_sm(H, g, lam)

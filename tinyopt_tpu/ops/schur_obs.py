@@ -855,10 +855,12 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
     ``cam_idx_np``: the PADDED (n_p, K) camera indices as a concrete
     host array — when given, ``reduce_pass`` uses the PLANNED
     scatter-free reduction (:func:`make_reduce_pass_planned`; the
-    camera topology is static per solver instance, measured 13× faster
-    on the flagship BA iteration's reduce stage); when None (e.g. the
-    sharded path, where each device's slab indices are traced), the
-    chunked-scatter ``reduce_pass`` is used.
+    camera topology is static per solver instance, measured 2.4× on
+    the flagship reduce stage); when None, the chunked-scatter
+    ``reduce_pass`` is used.  The SHARDED path builds its own
+    per-device plans (make_planned_segment_reduce_multi) and passes
+    them as sharded arguments, falling back to the scatter pass for
+    multi-process global arrays.
 
     Every function operates on a SLAB — the point-major padded arrays of
     however many landmarks one device holds (all of them on one device;

@@ -405,6 +405,24 @@ def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
     return reduce_pass
 
 
+def _class_gather_table(order, starts, counts, sel, cap, n_rows,
+                        n_seg_c=None):
+    """(n_seg_c, cap) gather table for one segment-length class: real
+    segments' row indices front-padded with the zero-sentinel n_rows;
+    rows beyond len(sel) (cross-device padding) are all-sentinel."""
+    import numpy as np
+
+    n_seg_c = len(sel) if n_seg_c is None else n_seg_c
+    g = np.full((n_seg_c, cap), n_rows, np.int64)
+    if len(sel):
+        offs = np.arange(cap)[None, :]
+        idx = starts[sel][:, None] + offs
+        valid = offs < counts[sel][:, None]
+        g[:len(sel)] = np.where(
+            valid, order[np.minimum(idx, n_rows - 1)], n_rows)
+    return g
+
+
 def make_planned_segment_reduce(ids, n_out: int, growth: float = 1.35,
                                 min_class: int = 8):
     """Host-side plan for a (nearly) scatter-free segment reduction.
@@ -452,11 +470,8 @@ def make_planned_segment_reduce(ids, n_out: int, growth: float = 1.35,
     concat_uids = []
     for cap in used:
         sel = np.nonzero(cap_of == cap)[0]
-        offs = np.arange(cap)[None, :]
-        idx = starts[sel][:, None] + offs
-        valid = offs < counts[sel][:, None]
-        g = np.where(valid, order[np.minimum(idx, n_rows - 1)], n_rows)
-        gathers.append(jnp.asarray(g, jnp.int32))
+        gathers.append(jnp.asarray(_class_gather_table(
+            order, starts, counts, sel, cap, n_rows), jnp.int32))
         concat_uids.append(uids[sel])
     concat_uids = np.concatenate(concat_uids) if concat_uids else \
         np.zeros(0, np.int64)
@@ -527,36 +542,24 @@ def make_planned_segment_reduce_multi(ids_list, n_out: int,
                                          return_counts=True)
         per_dev.append((order, uids, starts, counts))
         all_counts.append(counts)
-    _, used = bucket_caps(np.concatenate(all_counts), growth,
+    _, caps = bucket_caps(np.concatenate(all_counts), growth,
                           min_class)
-    # common per-class segment capacity = max over devices
-    caps = used
-    seg_cap = []
-    dev_class_sel = []
-    for cap in caps:
-        sel_d = []
-        for order, uids, starts, counts in per_dev:
-            c_of, _ = _assign_caps(counts, caps)
-            sel_d.append(np.nonzero(c_of == cap)[0])
-        seg_cap.append(max((len(sl) for sl in sel_d), default=0))
-        dev_class_sel.append(sel_d)
-
+    # per-device class membership (cap assignment hoisted out of the
+    # class loop); common per-class capacity = max over devices
+    dev_cap_of = [_assign_caps(counts, caps)[0]
+                  for *_, counts in per_dev]
     g_tabs, out_tabs = [], []
-    for cap, n_seg_c, sel_d in zip(caps, seg_cap, dev_class_sel):
+    for cap in caps:
+        sel_d = [np.nonzero(c_of == cap)[0] for c_of in dev_cap_of]
+        n_seg_c = max((len(sl) for sl in sel_d), default=0)
         if n_seg_c == 0:
             continue
         g_dev, o_dev = [], []
         for (order, uids, starts, counts), sel in zip(per_dev, sel_d):
-            g = np.full((n_seg_c, cap), n_rows, np.int64)
             o = np.full((n_seg_c,), n_out, np.int64)      # trash row
-            if len(sel):
-                offs = np.arange(cap)[None, :]
-                idx = starts[sel][:, None] + offs
-                valid = offs < counts[sel][:, None]
-                g[:len(sel)] = np.where(
-                    valid, order[np.minimum(idx, n_rows - 1)], n_rows)
-                o[:len(sel)] = uids[sel]
-            g_dev.append(g)
+            o[:len(sel)] = uids[sel]
+            g_dev.append(_class_gather_table(
+                order, starts, counts, sel, cap, n_rows, n_seg_c))
             o_dev.append(o)
         g_tabs.append(jnp.asarray(np.stack(g_dev), jnp.int32))
         out_tabs.append(jnp.asarray(np.stack(o_dev), jnp.int32))
@@ -602,7 +605,8 @@ def make_reduce_pass_planned(n_a: int, K: int, da: int, db: int, dtype,
     system assembly, the per-camera diagonal and the rhs then run
     through :func:`make_planned_segment_reduce` — gathers and dense
     tree sums only.  Measured v5e-1, 1000 cams × 50k pts, K=8: the
-    reduce stage drops 264 → ~20 ms/iter (benchmarks/exp_ba_stages.py).
+    reduce stage drops 264 → ~106 ms/iter and the whole iteration
+    368.5 → 211.6 ms (benchmarks/exp_ba_stages.py; PARITY.md table).
     """
     import numpy as np
 
@@ -1424,11 +1428,7 @@ def bucket_caps(counts, growth: float = 2.0, min_bucket: int = 256):
         caps.append(c)
         c = max(int(math.ceil(c * growth)), c + 1)
     caps.append(kmax)
-    # assign each point the smallest sufficient cap
-    cap_of = np.empty(n_b, np.int64)
-    for cap in reversed(caps):
-        cap_of[counts <= cap] = cap
-    cap_of[counts == 0] = caps[0]
+    cap_of, _ = _assign_caps(counts, caps)
     used = [c0 for c0 in caps if np.any(cap_of == c0)]
     for i, c0 in enumerate(used[:-1]):
         if (cap_of == c0).sum() < min_bucket:

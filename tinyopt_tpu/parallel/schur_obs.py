@@ -779,7 +779,6 @@ def sharded_schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx,
     each device backs out its own slab's landmark marginals (the
     ``P(axis)``-sharded output).  ``rescaled`` as in output.h:80-93.
     """
-    options_sentinel = None  # covariance has no Options; key slot only
     if mesh is None:
         from .mesh import local_mesh
         mesh = local_mesh(axis)
@@ -803,7 +802,7 @@ def sharded_schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx,
                           _solver_cache_put)
     orig_leaves = jax.tree_util.tree_leaves((obs, cam_idx, mask))
     key = _solver_cache_key(
-        "sharded_schur_obs_cov", pair_fn, options_sentinel, jit, x,
+        "sharded_schur_obs_cov", pair_fn, None, jit, x,
         orig_leaves, extra=(mesh, axis, chunk, rescaled))
     run = _solver_cache_get(key)
     if run is None:

@@ -369,3 +369,33 @@ class TestSolverCache:
         to.sparse_optimize(jnp.ones(8), rfn)
         to.sparse_optimize(jnp.ones(8), rfn)
         assert len(_SOLVE_CACHE) == 3
+
+
+class TestMatfreePrecond:
+    """Hutchinson-Jacobi preconditioning for the matrix-free path
+    (sparse.matfree_system precond_probes): must rescue badly scaled
+    loosely coupled systems and leave the default path untouched."""
+
+    def test_ill_scaled_diagonal_rescued(self):
+        rng = np.random.default_rng(0)
+        d = 200
+        scales = jnp.asarray(10.0 ** rng.uniform(-3, 3, d))
+        tgt = jnp.asarray(rng.normal(size=d))
+        fn = lambda x: scales * (x - tgt)
+        o = to.Options(max_iters=30, max_consec_failures=0)
+        x1, o1 = to.matfree_optimize(jnp.zeros(d), fn, o, cg_iters=30)
+        x2, o2 = to.matfree_optimize(jnp.zeros(d), fn, o, cg_iters=30,
+                                     precond_probes=8)
+        # plain CG stalls at this budget; preconditioned converges
+        assert float(o2.final_cost.cost) < 1e-12
+        assert int(o2.num_iters) < 10
+        assert float(o2.final_cost.cost) < 1e-6 * float(o1.final_cost.cost)
+
+    def test_off_path_unchanged(self):
+        fn = lambda x: x - jnp.arange(20.0)
+        o = to.Options(max_consec_failures=0)
+        x1, o1 = to.matfree_optimize(jnp.ones(20), fn, o)
+        x2, o2 = to.matfree_optimize(jnp.ones(20) * 1.0, fn, o,
+                                     precond_probes=0)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2))
+        assert bool(o1.converged()) and bool(o2.converged())

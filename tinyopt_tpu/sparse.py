@@ -180,12 +180,27 @@ class LinPoint:
 
 
 def matfree_system(residual_fn: Callable, x0, spec: mf.TangentSpec,
-                   cg_iters: int, cg_tol: float):
+                   cg_iters: int, cg_tol: float,
+                   precond_probes: int = 0):
     """(accumulate, evaluate, n_res, propose) closures for GN-CG.
 
     accumulate computes the gradient with ONE reverse-mode pass (the
     reference's forward-mode Jets need `dims` passes — reverse mode is the
     right tool when J itself is never needed).
+
+    ``precond_probes`` > 0 enables a HUTCHINSON-estimated Jacobi
+    preconditioner: diag(JᵀJ) ≈ mean over P Rademacher probes v of
+    (JᵀJ v) ⊙ v (exact in expectation; P extra matvec pairs per
+    propose).  The estimate also drives the reference's MULTIPLICATIVE
+    per-dimension damping ``H + λ·diag`` in place of the isotropic
+    Rayleigh fallback.  WHERE IT HELPS (measured): badly scaled,
+    loosely coupled systems — a 6-decade diagonal-scale spread goes
+    from stalled (cost 29 at the 30-iteration budget) to converged in
+    4 LM iterations.  WHERE IT DOES NOT: strongly coupled Hessians —
+    on a small BA instance the estimator's off-diagonal variance gives
+    ~80% median relative diag error and ~24% negative entries at P=8
+    (measured), and the misscaled M⁻¹ WORSENS convergence; use the
+    Schur paths for BA.  Default off.
     """
     n_res = int(sum(
         math.prod(l.shape) for l in
@@ -210,9 +225,40 @@ def matfree_system(residual_fn: Callable, x0, spec: mf.TangentSpec,
         _, jvp_fn = jax.linearize(lambda d: r_of_delta(d, H.x), delta0)
         _, vjp_fn = jax.vjp(lambda d: r_of_delta(d, H.x), delta0)
 
+        if precond_probes > 0:
+            # Hutchinson diagonal estimate (deterministic probes — the
+            # same Rademacher vectors every call, which keeps the
+            # compiled solve cacheable and the estimator unbiased)
+            vs = jnp.where(
+                jax.random.bernoulli(
+                    jax.random.PRNGKey(0),
+                    shape=(precond_probes, spec.dims)),
+                jnp.ones((), g.dtype), -jnp.ones((), g.dtype))
+            d_est = jnp.mean(
+                jax.vmap(lambda v: vjp_fn(jvp_fn(v))[0] * v)(vs),
+                axis=0)
+            floor = jnp.maximum(jnp.max(d_est), 1.0) \
+                * jnp.finfo(g.dtype).eps
+            diag_h = jnp.maximum(d_est, floor)
+            dinv = 1.0 / diag_h
+        else:
+            diag_h = dinv = None
+
         def cg_solve(add_lam):
+            if diag_h is not None:
+                # multiplicative per-dimension damping (lm.h:107-117
+                # semantics on the estimated diagonal) + Jacobi M⁻¹
+                def matvec(v):
+                    return vjp_fn(jvp_fn(v))[0] + add_lam * diag_h * v
+
+                dx, _ = jax.scipy.sparse.linalg.cg(
+                    matvec, -g, maxiter=cg_iters, tol=cg_tol,
+                    M=lambda v: v * dinv)
+                return dx, jnp.all(jnp.isfinite(dx))
+
             def matvec(v):
                 return vjp_fn(jvp_fn(v))[0] + add_lam * v
+
             dx, _ = jax.scipy.sparse.linalg.cg(
                 matvec, -g, maxiter=cg_iters, tol=cg_tol)
             return dx, jnp.all(jnp.isfinite(dx))
@@ -243,7 +289,7 @@ def matfree_system(residual_fn: Callable, x0, spec: mf.TangentSpec,
                                lambda le: cg_solve(le * ray))
 
         if opts.solver_type == SolverType.LEVENBERG_MARQUARDT:
-            add_lam = lam * ray
+            add_lam = lam if diag_h is not None else lam * ray
         else:
             add_lam = jnp.zeros_like(lam)
         return cg_solve(add_lam)
@@ -414,12 +460,16 @@ def sparse_optimize(x0, residual_fn: Callable,
 def matfree_optimize(x0, residual_fn: Callable,
                      options: Options | None = None, *,
                      cg_iters: int = 0, cg_tol: float = 1e-10,
-                     jit: bool = True):
+                     precond_probes: int = 0, jit: bool = True):
     """Matrix-free Gauss-Newton/LM with conjugate-gradient inner solves.
 
     Neither J nor JᵀJ is ever materialized — suitable for very large
     tangent dimensions.  ``cg_iters=0`` defaults to the tangent dimension
     (exact CG in exact arithmetic).  ``Output.final_hessian`` is None.
+    ``precond_probes`` > 0 adds a Hutchinson-estimated Jacobi
+    preconditioner + multiplicative per-dimension damping (P extra
+    matvec pairs per propose; see :func:`matfree_system`) — worth it on
+    badly scaled problems where plain CG stalls.
     """
     options = options or Options()
     if options.solver_type in FIRST_ORDER_TYPES:
@@ -432,13 +482,13 @@ def matfree_optimize(x0, residual_fn: Callable,
     if cg_iters <= 0:
         cg_iters = spec.dims
     key = _solver_cache_key("matfree", residual_fn, options, jit, x0, (),
-                            extra=(cg_iters, cg_tol))
+                            extra=(cg_iters, cg_tol, precond_probes))
     solve = _solver_cache_get(key)
     if solve is None:
         opts = options.replace(
             hessian=dataclasses.replace(options.hessian, save_last=False))
         acc, ev, n_res, propose = matfree_system(
-            residual_fn, x0, spec, cg_iters, cg_tol)
+            residual_fn, x0, spec, cg_iters, cg_tol, precond_probes)
 
         def solve(x):
             return optimize_from_acc(x, acc, ev, opts, spec,

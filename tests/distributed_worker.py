@@ -82,4 +82,46 @@ assert float(np.max(np.abs(x2h - np.asarray(x_ref)))) < 5e-4, (x2h, x_ref)
 assert abs(c2 - float(out_ref.final_cost.cost)) <= 1e-3 * max(1.0, c2)
 print(f"[p{pid}] block psum across processes OK (cost {c2:.4e})",
       flush=True)
+
+# ---- schur_obs axis: sparse-obs BA sharded ACROSS processes -----------
+# (multi-process global cam_idx is not fully addressable, so this also
+# pins the planned-reduce SCATTER FALLBACK in a real multi-process job)
+from tinyopt_tpu.parallel import sharded_schur_sparse_optimize  # noqa: E402
+from tinyopt_tpu.ops.schur_obs import grid_to_obs  # noqa: E402
+
+rng = np.random.default_rng(3)
+n_a, n_b = 4, 8 * nproc
+
+
+def pair_fn(a_i, b_j, d_ij):
+    return jnp.stack([a_i[0] + b_j[0] - d_ij,
+                      0.3 * a_i[0], 0.3 * b_j[0]])
+
+
+d_grid = jnp.asarray(rng.normal(size=(n_a, n_b)), jnp.float32)
+maskg = jnp.asarray((rng.uniform(size=(n_a, n_b)) > 0.3)
+                    .astype(np.float32))
+obs3, cam3, smask3 = grid_to_obs(d_grid, maskg)
+sh_b = NamedSharding(flat, P("block"))
+as_global_b = lambda a: jax.make_array_from_callback(
+    a.shape, sh_b, lambda idx, _a=np.asarray(a): _a[idx])
+obs3g = jax.tree_util.tree_map(as_global_b, obs3)
+cam3g = as_global_b(np.asarray(cam3))
+smask3g = as_global_b(np.asarray(smask3, np.float32))
+x0s = (jnp.zeros((n_a, 1), jnp.float32),
+       jnp.zeros((n_b, 1), jnp.float32))
+x3, out3 = sharded_schur_sparse_optimize(
+    x0s, pair_fn, obs3g, cam3g, smask3g,
+    to.Options(max_iters=10, max_consec_failures=0).for_dtype(
+        jnp.float32), mesh=flat, axis="block")
+c3 = float(np.asarray(out3.final_cost.cost.addressable_data(0)))
+# single-process reference on the same instance
+x3r, out3r = to.schur_sparse_optimize(
+    x0s, pair_fn, obs3, cam3, smask3,
+    to.Options(max_iters=10, max_consec_failures=0).for_dtype(
+        jnp.float32))
+assert abs(c3 - float(out3r.final_cost.cost)) <= 1e-3 * max(1.0, c3), (
+    c3, float(out3r.final_cost.cost))
+print(f"[p{pid}] schur_obs across processes OK (cost {c3:.4e})",
+      flush=True)
 print("DIST_OK", flush=True)

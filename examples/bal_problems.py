@@ -93,6 +93,10 @@ def main():
         (obs, cam_idx, mask), x0 = load_bal(path)
     print("write_bal -> load_bal round trip ok; solving:")
     solve(x0, obs, cam_idx, mask, opts)
+    # (posterior marginals need a FIXED gauge — a free BA's undamped H
+    # is singular; see examples/pose_graph_slam.py for the anchored
+    # marginal-covariance demo, and to.schur_sparse_covariance for the
+    # BA-scale API)
 
     # --- 15% gross outliers: plain L2 vs graduated non-convexity ------
     (obs_o, ci_o, mk_o), x0_o, _, bad = make_bal_problem(

@@ -460,3 +460,27 @@ class TestDegenerateLayouts:
         ca, cb = sharded_schur_sparse_covariance(
             x2, pair_fn, obs2, ci2, jnp.asarray(m2))
         assert np.all(np.isnan(np.asarray(cb)[5]))
+
+    def test_bucketed_and_sharded_cg(self):
+        """schur_cg_iters plumbs through the bucketed and sharded
+        entries (solution quality matches the direct solve)."""
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        x, obs, cam_idx, smask = _obs_instance(n_a=4, n_b=32)
+        o_direct = to.Options(max_iters=10, max_consec_failures=0,
+                              hessian=to.HessianOptions(save_last=False))
+        o_cg = to.Options(max_iters=14, max_consec_failures=0,
+                          hessian=to.HessianOptions(
+                              save_last=False, schur_cg_iters=40))
+        xd, outd = to.schur_sparse_optimize(x, pair_fn, obs, cam_idx,
+                                            smask, o_direct)
+        ref = float(outd.final_cost.cost)
+
+        slabs = bucket_obs(obs, cam_idx, smask, min_bucket=4)
+        xb, outb = to.schur_sparse_optimize_buckets(
+            x, pair_fn, slabs, o_cg)
+        assert float(outb.final_cost.cost) <= 1.01 * ref + 1e-12
+
+        xs, outs = sharded_schur_sparse_optimize(
+            x, pair_fn, obs, cam_idx, smask, o_cg)
+        assert float(outs.final_cost.cost) <= 1.01 * ref + 1e-12

@@ -29,9 +29,14 @@ per-point camera-pair block tensor (n_b, K, K, 6, 6) measures 13 GB at
   * all expanded small-block algebra (linearize sweeps, C⁻¹, EC, the
     (K·K, da, da) pair blocks) runs CHUNKED over points inside a
     ``lax.fori_loop``: transients are O(chunk), independent of n_b;
-  * the reduced camera system accumulates into a flat (n_a², da²)
-    scatter target and the camera-side blocks via per-chunk
-    ``segment_sum`` — two scatters per chunk, no dynamic shapes.
+  * the reduced camera system assembles through a host-PLANNED
+    segment reduction (r4): the chunk loop writes its camera-pair
+    blocks to flat row buffers with contiguous updates, and static
+    gather plans (camera topology is fixed per solver instance) sum
+    each segment with dense tree reduces — TPU scatter-adds serialize
+    ~150 ns/row vs ~29 ns/row gathers (exp_gather_scatter.py);
+    the per-chunk scatter pass remains as the fallback for traced
+    index layouts (multi-process shards) and over-budget stagings.
 
 The chunked per-point passes are factored as SLAB KERNELS
 (:func:`make_obs_kernels`): pure functions over any point-major slab

@@ -471,3 +471,74 @@ class TestSpdInvBlocks:
         assert np.all(np.isnan(out[0]))
         if db > 1:
             assert np.any(np.isnan(out[1]))
+
+
+class TestBandedReduced:
+    """Block-banded reduced camera solve (hessian.schur_banded="auto"):
+    corridor-style rigs detected from the static co-observation
+    structure and solved by chain CR instead of the dense Cholesky —
+    exact algebra, so trajectories must match the dense path."""
+
+    def test_detection(self):
+        from tinyopt_tpu.ops.schur_obs import (detect_camera_bandwidth,
+                                               pick_band_group)
+        cam = np.asarray([[0, 1, 2], [3, 4, 5], [7, 9, 8]])
+        mask = np.ones((3, 3))
+        assert detect_camera_bandwidth(cam, mask) == 2
+        mask2 = np.asarray([[1, 1, 1], [1, 1, 1], [1, 0, 0]])
+        assert detect_camera_bandwidth(cam, mask2) == 2
+        # masked slots with pad-0 cams must not inflate the span
+        cam3 = np.asarray([[50, 0, 0]])
+        assert detect_camera_bandwidth(cam3,
+                                       np.asarray([[1, 0, 0]])) == 0
+        assert pick_band_group(5, 60, 6) == 5
+        assert pick_band_group(100, 120, 6) is None     # block too big
+        assert pick_band_group(5, 20, 6) is None        # too few groups
+
+    @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg])
+    def test_matches_dense_path(self, solver):
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=60, n_pts=600, k_obs=6, noise=1e-4, seed=3)
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        xt = (x0["poses"], x0["points"])
+        o_off = to.Options(max_iters=10, max_consec_failures=0,
+                           solver_type=solver,
+                           hessian=to.HessianOptions(
+                               save_last=False, schur_banded="off"))
+        o_on = to.Options(max_iters=10, max_consec_failures=0,
+                          solver_type=solver,
+                          hessian=to.HessianOptions(save_last=False))
+        (p1, l1), out1 = to.schur_sparse_optimize(xt, pf, obs, ci, mk,
+                                                  o_off)
+        (p2, l2), out2 = to.schur_sparse_optimize(xt, pf, obs, ci, mk,
+                                                  o_on)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(p2.translation),
+                                   np.asarray(p1.translation),
+                                   rtol=1e-8, atol=1e-10)
+        assert int(out2.num_iters) == int(out1.num_iters)
+
+    def test_banded_with_refine(self):
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, reprojection_rmse_sparse, project)
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=60, n_pts=600, k_obs=6, noise=1e-4, seed=3)
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        o = to.Options(max_iters=12, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False,
+                                                 schur_refine=2))
+        (p, l), out = to.schur_sparse_optimize(
+            (x0["poses"], x0["points"]), pf, obs, ci, mk, o)
+        assert bool(out.succeeded())
+        rmse = float(reprojection_rmse_sparse(
+            {"poses": p, "points": l}, obs, ci, mk))
+        assert rmse < 1.2e-4, rmse

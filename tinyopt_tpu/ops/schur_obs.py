@@ -690,6 +690,97 @@ def _reconstruct_S(S_f, S_diag, n_a, da):
     return X.reshape(n_a * n_a, da * da)
 
 
+def detect_camera_bandwidth(cam_idx_np, mask_np) -> int:
+    """Max camera-index span co-observing any landmark (host-side).
+
+    The reduced camera system S couples cameras i, i' only when some
+    landmark sees both, so ``bw = max_j (max cam(j) − min cam(j))``
+    bounds S's block bandwidth.  Masked slots are excluded (their cam
+    index is a pad 0).  Corridor / rail / sequential-SLAM rigs have
+    bw ≪ n_cams; unordered SfM sets typically do not.
+    """
+    import numpy as np
+
+    cam = np.asarray(cam_idx_np, np.int64)
+    mk = np.asarray(mask_np) != 0
+    big = np.where(mk, cam, np.iinfo(np.int64).max)
+    small = np.where(mk, cam, np.iinfo(np.int64).min)
+    lo = big.min(axis=1)
+    hi = small.max(axis=1)
+    span = np.where(mk.any(axis=1), hi - lo, 0)
+    return int(span.max()) if span.size else 0
+
+
+def pick_band_group(bw_cams: int, n_a: int, da: int,
+                    max_block: int = 384, min_groups: int = 8
+                    ) -> int | None:
+    """Group size (cameras) for the block-banded reduced solve, or None
+    when the structure does not pay: groups of ``g ≥ bw`` cameras make
+    S block-TRIDIAGONAL over ⌈n_a/g⌉ groups (any co-observing pair
+    lands in the same or adjacent group), solvable by the chain
+    machinery in O(n_a·(g·da)²) instead of the dense (n_a·da)³/3 —
+    1900× fewer flops at the 1000-camera corridor flagship.  Gated to
+    blocks ≤ ``max_block`` tangent dims and ≥ ``min_groups`` groups
+    (below that the dense Cholesky is comparable)."""
+    g = max(bw_cams, 1)
+    if g * da > max_block:
+        return None
+    if n_a // g < min_groups:
+        return None
+    return g
+
+
+def banded_reduced_solve(S_blocks, rhs, band_group: int, refine: int = 0):
+    """Solve the block-BANDED reduced camera system by log-depth block
+    cyclic reduction (ops/tridiag.py) instead of a dense Cholesky.
+
+    ``S_blocks`` (n_a, n_a, da, da) with bandwidth < ``band_group``
+    camera blocks; cameras group into consecutive ``band_group``-sized
+    super-blocks → an exactly block-tridiagonal SPD system (identity
+    padding completes the last group).  ``refine`` rounds of
+    f64-residual iterative refinement re-solve through the same CR
+    (each CR pass is O(n_a·(g·da)²) — cheap enough to repeat).
+    Returns ``(dx (n_s,), ok)``.
+    """
+    from .tridiag import block_tridiag_cr_solve
+
+    n_a, _, da, _ = S_blocks.shape
+    g = band_group
+    Ng = -(-n_a // g)
+    pad = Ng * g - n_a
+    d_blk = g * da
+    dtype = S_blocks.dtype
+
+    Sd = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
+    n_s = n_a * da
+    if pad:
+        Sp = jnp.zeros((Ng * d_blk, Ng * d_blk), dtype)
+        Sp = Sp.at[:n_s, :n_s].set(Sd)
+        idx = jnp.arange(n_s, Ng * d_blk)
+        Sp = Sp.at[idx, idx].set(1.0)     # decoupled identity pad
+        rhs_p = jnp.concatenate(
+            [rhs, jnp.zeros((Ng * d_blk - n_s,), dtype)])
+    else:
+        Sp, rhs_p = Sd, rhs
+    S4 = Sp.reshape(Ng, d_blk, Ng, d_blk)
+    ig = jnp.arange(Ng)
+    D = S4[ig, :, ig, :]                              # (Ng, d, d)
+    B = S4[ig[1:], :, ig[:-1], :] if Ng > 1 \
+        else jnp.zeros((0, d_blk, d_blk), dtype)
+    b2 = rhs_p.reshape(Ng, d_blk)
+    x = block_tridiag_cr_solve(D, B, b2)
+    if refine > 0:
+        for _ in range(refine):
+            r = (rhs_p.astype(jnp.float64)
+                 - Sp.astype(jnp.float64)
+                 @ x.reshape(-1).astype(jnp.float64)).astype(dtype)
+            corr = block_tridiag_cr_solve(D, B, r.reshape(Ng, d_blk))
+            good = jnp.all(jnp.isfinite(corr))
+            x = x + jnp.where(good, corr, jnp.zeros_like(corr))
+    dx = x.reshape(-1)[:n_s]
+    return dx, jnp.all(jnp.isfinite(dx))
+
+
 def camera_marginals_from_S(S_f, Ba):
     """Per-camera marginal covariance from the completed pass-A sums.
 
@@ -991,7 +1082,8 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
 
 
 def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
-                     refine: int = 0, cg_iters: int = 0):
+                     refine: int = 0, cg_iters: int = 0,
+                     band_group=None):
     """Solve the reduced camera system from the completed pass-A sums.
 
     ``S = diag(Bd) − scatter(S_f)``, ``rhs = −g_a + rhs_acc``; ``refine``
@@ -1016,6 +1108,13 @@ def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
     # eps_solve·cond(S) < 1.  Measured standalone (6000², v5e): HIGHEST
     # is no slower than DEFAULT.
     with jax.default_matmul_precision("highest"):
+        if band_group is not None and cg_iters == 0:
+            # block-banded structure (hessian.schur_banded): chain-
+            # machinery CR solve, O(n_a*(g*da)^2) instead of the dense
+            # (n_a*da)^3/3 factorization
+            dx_a, ok = banded_reduced_solve(S_blocks, rhs, band_group,
+                                            refine)
+            return dx_a.reshape(n_a, da), ok
         if cg_iters > 0:
             from .linalg import pcg_core
             Minv = spd_inv_blocks(S_blocks[idx, idx])
@@ -1091,6 +1190,10 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH,
         cam_idx_np=np.asarray(cam_idx_p))
+    # static banded-structure detection (hessian.schur_banded="auto")
+    band_g = pick_band_group(
+        detect_camera_bandwidth(np.asarray(cam_idx_p),
+                                np.asarray(mask_p)), n_a, da)
     em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
 
     def split(x):
@@ -1126,7 +1229,8 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
             [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
 
     def eliminate(H: SchurObsSystem, Bd, Cd_flat, g, use_cholesky=True,
-                  refine: int = 0, cg_iters: int = 0):
+                  refine: int = 0, cg_iters: int = 0,
+                  band_group=None):
         """Chunked Schur elimination + back-substitution. (dx, ok).
 
         Pass A accumulates the reduced system S (flat (n_a², da²)
@@ -1143,7 +1247,8 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
 
         S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_idx_p, g_b)
         dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a,
-                                    use_cholesky, refine, cg_iters)
+                                    use_cholesky, refine, cg_iters,
+                                    band_group)
         dx_b = backsub_pass(E_p, Cinv_f, cam_idx_p, g_b, dx_a)[:n_b]
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         ok = ok & jnp.all(jnp.isfinite(dx))
@@ -1155,20 +1260,21 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
         cg_it = opts.hessian.schur_cg_iters
+        band = band_g if opts.hessian.schur_banded == "auto" else None
         if opts.solver_type == SolverType.DOGLEG:
             from ..solvers.step import dogleg_core  # local: avoid cycle
 
             dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine,
-                                     cg_it)
+                                     cg_it, band)
             return dogleg_core(
                 g, lam, dx_gn, ok_gn, jnp.vdot(g, H.matvec(g)),
                 lambda le: eliminate(H, _damp_blocks(H.Ba, le),
                                      _damp_flat(H.C, db, le), g,
-                                     use_chol, refine, cg_it))
+                                     use_chol, refine, cg_it, band))
         is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
         Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
         Cd = _damp_flat(H.C, db, lam) if is_lm else H.C
-        return eliminate(H, Bd, Cd, g, use_chol, refine, cg_it)
+        return eliminate(H, Bd, Cd, g, use_chol, refine, cg_it, band)
 
     return accumulate, evaluate, n_res, propose
 

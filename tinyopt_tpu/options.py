@@ -163,6 +163,17 @@ class HessianOptions:
     #: worker (3/3, "kernel fault") while 64 at 300 cameras is fine —
     #: prefer ≤32 on very large reduced systems.
     schur_cg_iters: int = 0
+    #: Exploit block-BANDED reduced camera systems ("auto", default):
+    #: when the static camera co-observation structure has bandwidth
+    #: bw ≪ n_cams (corridor / rail / sequential-SLAM rigs — detected
+    #: at build time from cam_idx), consecutive cameras group into
+    #: bw-sized super-blocks and the reduced solve runs by log-depth
+    #: block cyclic reduction (ops/tridiag.py) in O(n_a·(bw·da)²)
+    #: instead of the dense (n_a·da)³/3 Cholesky — exact algebra, same
+    #: refine semantics.  Activates only when blocks ≤ 384 tangent
+    #: dims and ≥ 8 groups (ops/schur_obs.pick_band_group); "off"
+    #: forces the dense path.  Single-slab schur_sparse_optimize only.
+    schur_banded: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,6 +137,11 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
                                     True, 2, 0, band_g)
         return (jnp.sum(dx_a[0]) + ok).astype(dtype)
 
+    def st_assemble_banded0(eps, S_f, rhs, Bd, g_a):
+        dx_a, ok = assemble_reduced(S_f * eps, rhs, Bd, g_a,
+                                    True, 0, 0, band_g)
+        return (jnp.sum(dx_a[0]) + ok).astype(dtype)
+
     def st_backsub(eps, E_p, Cinv, g_b_p, dx_a):
         dx_b = backsub_pass(E_p * eps, Cinv, cam_idx, g_b_p, dx_a)
         return jnp.sum(dx_b[0]).astype(dtype)
@@ -200,6 +205,8 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
     ] + ([
         (f"  sub: assemble banded g={band_g}+refine2",
          timed(st_assemble_banded, S_f0, rhs0, Ba, g_a)),
+        (f"  sub: assemble banded g={band_g} refine0",
+         timed(st_assemble_banded0, S_f0, rhs0, Ba, g_a)),
     ] if band_g else []) + [
         ("  sub: tri gather-reduce", timed(st_tri_gather, tri_rows0)),
         ("  sub: slot gather-reduce", timed(st_slot_gather, slot_rows0)),

@@ -770,11 +770,21 @@ def banded_reduced_solve(S_blocks, rhs, band_group: int, refine: int = 0):
     b2 = rhs_p.reshape(Ng, d_blk)
     x = block_tridiag_cr_solve(D, B, b2)
     if refine > 0:
+        # f64 residual through the BANDED matvec (O(Ng·d²) instead of
+        # the dense (n_a·da)² product the dense path pays)
+        D64 = D.astype(jnp.float64)
+        B64 = B.astype(jnp.float64)
+        b64 = b2.astype(jnp.float64)
         for _ in range(refine):
-            r = (rhs_p.astype(jnp.float64)
-                 - Sp.astype(jnp.float64)
-                 @ x.reshape(-1).astype(jnp.float64)).astype(dtype)
-            corr = block_tridiag_cr_solve(D, B, r.reshape(Ng, d_blk))
+            x64 = x.astype(jnp.float64)
+            Sx = jnp.einsum("nab,nb->na", D64, x64)
+            if Ng > 1:
+                Sx = Sx.at[1:].add(
+                    jnp.einsum("nab,nb->na", B64, x64[:-1]))
+                Sx = Sx.at[:-1].add(
+                    jnp.einsum("nba,nb->na", B64, x64[1:]))
+            r = (b64 - Sx).astype(dtype)
+            corr = block_tridiag_cr_solve(D, B, r)
             good = jnp.all(jnp.isfinite(corr))
             x = x + jnp.where(good, corr, jnp.zeros_like(corr))
     dx = x.reshape(-1)[:n_s]

@@ -1394,6 +1394,12 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
                             n_g=n_g, pad=pad, K=K, CH=CH,
                             kernels=kernels))
     n_res = n_res_total
+    # banded reduced solve (hessian.schur_banded): bandwidth over the
+    # UNION of all buckets' co-observation structure
+    bw = max((detect_camera_bandwidth(np.asarray(bk["cam"]),
+                                      np.asarray(bk["mask"]))
+              for bk in buckets), default=0)
+    band_g = pick_band_group(bw, n_a, da)
     em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
 
     def split(x):
@@ -1473,7 +1479,7 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
         return out if em2gl is None else out[em2gl]
 
     def eliminate(H: SchurObsBuckets, Bd, Cd_t, g, use_cholesky=True,
-                  refine: int = 0, cg_iters: int = 0):
+                  refine: int = 0, cg_iters: int = 0, band=None):
         if gl2em is not None:
             g = g[gl2em]
         g_a = g[:n_a * da].reshape(n_a, da)
@@ -1491,7 +1497,7 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
             S_f, rhs = S_f + S_g, rhs + rhs_g
             stash.append((E_p, Cinv_p, g_b_p))
         dx_a, ok = assemble_reduced(S_f, rhs, Bd, g_a, use_cholesky,
-                                    refine, cg_iters)
+                                    refine, cg_iters, band)
         dxb_rows = []
         for bk, (E_p, Cinv_p, g_b_p) in zip(buckets, stash):
             backsub = bk["kernels"][3]
@@ -1509,22 +1515,23 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
         cg_it = opts.hessian.schur_cg_iters
+        band = band_g if opts.hessian.schur_banded == "auto" else None
         if opts.solver_type == SolverType.DOGLEG:
             from ..solvers.step import dogleg_core  # local: avoid cycle
 
             dx_gn, ok_gn = eliminate(H, H.Ba, H.C, g, use_chol, refine,
-                                     cg_it)
+                                     cg_it, band)
             return dogleg_core(
                 g, lam, dx_gn, ok_gn, jnp.vdot(g, _matvec(H, g)),
                 lambda le: eliminate(
                     H, _damp_blocks(H.Ba, le),
                     tuple(_damp_flat(Cg, db, le) for Cg in H.C), g,
-                    use_chol, refine, cg_it))
+                    use_chol, refine, cg_it, band))
         is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
         Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
         Cd_t = (tuple(_damp_flat(Cg, db, lam) for Cg in H.C)
                 if is_lm else H.C)
-        return eliminate(H, Bd, Cd_t, g, use_chol, refine, cg_it)
+        return eliminate(H, Bd, Cd_t, g, use_chol, refine, cg_it, band)
 
     return accumulate, evaluate, n_res, propose
 

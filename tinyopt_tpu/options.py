@@ -172,7 +172,10 @@ class HessianOptions:
     #: instead of the dense (n_a·da)³/3 Cholesky — exact algebra, same
     #: refine semantics.  Activates only when blocks ≤ 384 tangent
     #: dims and ≥ 8 groups (ops/schur_obs.pick_band_group); "off"
-    #: forces the dense path.  Single-slab schur_sparse_optimize only.
+    #: forces the dense path.  Covers schur_sparse_optimize, the
+    #: bucketed entry (bandwidth over the union of buckets) and the
+    #: sharded entry (single-process meshes, where the global structure
+    #: is host-visible).
     schur_banded: str = "auto"
 
 

@@ -52,9 +52,11 @@ from ..ops.schur_obs import (_PLANNED_STAGING_LIMIT, SchurObsSystem,
                              _damp_flat, _esum, _pick_chunk,
                              _planned_row_buffers, _reconstruct_S,
                              assemble_reduced, camera_marginals_from_S,
+                             detect_camera_bandwidth,
                              make_landmark_marginal_pass,
                              make_obs_kernels,
-                             make_planned_segment_reduce_multi)
+                             make_planned_segment_reduce_multi,
+                             pick_band_group)
 from .sharded import _shard_map
 
 
@@ -130,7 +132,13 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
                 cam_host = _np.asarray(cam_idx, _np.int64)
         except Exception:
             cam_host = None
+    band_g = None
     if cam_host is not None:
+        # banded reduced solve (hessian.schur_banded): structure from
+        # the GLOBAL co-observation pattern
+        band_g = pick_band_group(
+            detect_camera_bandwidth(cam_host, _np.asarray(mask)),
+            n_a, da)
         ks = _np.asarray([k for k in range(K) for l in range(k)])
         ls = _np.asarray([l for k in range(K) for l in range(k)])
         ids_tri_list, ids_slot_list = [], []
@@ -229,7 +237,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         return jax.lax.psum(rss, axis)
 
     def _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol, refine=0,
-                         cg_iters=0, tbls=None):
+                         cg_iters=0, tbls=None, band=None):
         """Sharded elimination: (dx replicated, ok replicated); g/dx in
         the loop's global layout, algebra element-major."""
         g = _to_em(g)
@@ -256,7 +264,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         # The ONLY cross-landmark sums in the algebra: complete them once.
         S_f, rhs_acc = jax.lax.psum((S_f, rhs_acc), axis)
         dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a, use_chol,
-                                    refine, cg_iters)
+                                    refine, cg_iters, band)
         ok = ok & jnp.all(jnp.isfinite(dx_a))
         dx_b_l = backsub_pass(E_p, Cinv_f, cam_p, g_b_p, dx_a)[:nb_loc]
         bad_b = jax.lax.psum(
@@ -286,6 +294,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         use_chol = opts.hessian.use_ldlt
         refine = opts.hessian.schur_refine
         cg_it = opts.hessian.schur_cg_iters
+        band = band_g if opts.hessian.schur_banded == "auto" else None
 
         def _propose_core(H, g, lam, tbls):
             E_l, cam_l = H.E, H.cam_idx
@@ -293,18 +302,18 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
                 from ..solvers.step import dogleg_core
                 dx_gn, ok_gn = _eliminate_local(E_l, cam_l, H.Ba, H.C, g,
                                                 use_chol, refine, cg_it,
-                                                tbls)
+                                                tbls, band)
                 return dogleg_core(
                     g, lam, dx_gn, ok_gn, _ghg_local(H, g),
                     lambda le: _eliminate_local(
                         E_l, cam_l, _damp_blocks(H.Ba, le),
                         _damp_flat(H.C, db, le), g, use_chol, refine,
-                        cg_it, tbls))
+                        cg_it, tbls, band))
             is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
             Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
             Cd_l = _damp_flat(H.C, db, lam) if is_lm else H.C
             return _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol,
-                                    refine, cg_it, tbls)
+                                    refine, cg_it, tbls, band)
 
         if tables is not None:
             @partial(_shard_map, mesh=mesh,

@@ -213,11 +213,19 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
         ("  sub: 3x3 inv (cholesky)", timed(st_cinv_chol, C3)),
         ("  sub: 3x3 inv (adjugate)", timed(st_cinv_adj, C3)),
     ]
-    # the solver uses the PLANNED reduce; total excludes the scatter row
-    # and the sub-decomposition probes
+    # the solver's DEFAULT path: planned reduce + (when the structure
+    # allows) the banded reduced solve — total swaps in the banded
+    # assemble row and excludes the scatter row + sub-probes
+    banded_t = next((t for name, t in rows
+                     if name.startswith("  sub: assemble banded")
+                     and "refine2" in name), None)
     total = sum(t for name, t in rows
                 if name != "reduce (scatter)"
-                and not name.startswith("  sub:"))
+                and not name.startswith("  sub:")
+                and not (banded_t is not None
+                         and name == "assemble+refine2"))
+    if banded_t is not None:
+        total += banded_t
     print(f"# stage decomposition: {n_cams} cams x {n_pts} pts, K={k_obs},"
           f" dtype={jnp.dtype(dtype).name},"
           f" backend={jax.default_backend()}, marginal over {reps-1} reps")
@@ -236,7 +244,12 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
     fl_reduce = (n_pts * P_tri * da * da * db * 2    # pair blocks
                  + n_obs * da * db * db * 2)         # EC
     n_s = n_cams * da
-    fl_chol = n_s ** 3 / 3.0 + 2.0 * 2 * n_s * n_s   # + refine matvecs
+    if banded_t is not None and band_g:
+        # banded CR: O(n_a·(g·da)²) factor work + banded refine matvecs
+        d_blk = band_g * da
+        fl_chol = (n_cams / band_g) * d_blk ** 3 * 4.0
+    else:
+        fl_chol = n_s ** 3 / 3.0 + 2.0 * 2 * n_s * n_s  # + refine mv
     fl_backsub = n_obs * da * db * 2 * 2
     fl_total = (fl_linearize + fl_blocks + fl_reduce + fl_chol
                 + fl_backsub)

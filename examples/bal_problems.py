@@ -26,8 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tinyopt_tpu as to
-from tinyopt_tpu.losses import (geman_mcclure, gnc_anneal, gnc_schedule,
-                                robust_whiten)
+from tinyopt_tpu.losses import geman_mcclure, gnc_anneal, gnc_schedule
 from tinyopt_tpu.models.bal import (bal_residual, bal_rmse, load_bal,
                                     make_bal_problem, write_bal)
 
@@ -108,24 +107,19 @@ def main():
 
     print("Geman-McClure GNC (threshold ladder 50 -> 2 px):")
 
-    # one whitened pair_fn PER squared threshold, built OUTSIDE the
-    # anneal: the solve cache keys on the function object, so a fresh
-    # closure per stage call would recompile every stage on every
-    # anneal (gnc_anneal docstring; it squares the schedule)
-    def make_rp(th2):
-        def rp(cam, pt, ob):
-            return robust_whiten(bal_residual(cam, pt, ob),
-                                 geman_mcclure, th2)
-        return rp
-
+    # gnc_anneal owns the per-threshold whitened-fn construction (and
+    # memoizes it across calls, so repeated anneals recompile nothing):
+    # pass the RAW residual + M-estimator and take the whitened fn as
+    # the stage's third argument.
     sched = gnc_schedule(50.0, 2.0, steps=5)
-    rp_of = {float(t) ** 2: make_rp(float(t) ** 2) for t in sched}
 
-    def stage(x, th2):
-        return to.schur_sparse_optimize(x, rp_of[th2], obs_o, ci_o,
+    def stage(x, th2, rp):
+        return to.schur_sparse_optimize(x, rp, obs_o, ci_o,
                                         mk_o, opts)
 
-    x_gnc, out = gnc_anneal(stage, x0_o, sched)
+    x_gnc, out = gnc_anneal(stage, x0_o, sched,
+                            residual_fn=bal_residual,
+                            robust_fn=geman_mcclure)
     # judge against the CLEAN observations on uncorrupted slots of
     # determined landmarks (<2 clean rays = legitimately unrecoverable)
     bad = np.asarray(bad)

@@ -55,7 +55,7 @@ def robust_gnc():
     """
     import numpy as np
     from tinyopt_tpu.losses.robust_norms import (geman_mcclure, gnc_anneal,
-                                                 gnc_schedule, robust_whiten)
+                                                 gnc_schedule)
     from tinyopt_tpu.models.bundle_adjustment import BAData, project
 
     noise = 1e-3
@@ -79,17 +79,17 @@ def robust_gnc():
 
     opts = to.Options(max_iters=60, max_consec_failures=0, min_error=0.0)
 
-    def stage(x, th2):
-        def rp(pose, point, ob):
-            return robust_whiten(pair_fn(pose, point, ob),
-                                 geman_mcclure, th2)
+    def stage(x, th2, rp):
         x, out = to.schur_optimize(x, rp, obs, data.mask, opts)
         print(f"  GNC stage th={th2 ** 0.5:<7.4f}: clean-inlier RMSE "
               f"{rmse_on_inliers(x):.2e}")
         return x, out
 
+    # gnc_anneal builds (and memoizes) the whitened pair_fn per
+    # threshold itself — the naive call is the cached fast path.
     x, out = gnc_anneal(stage, (x0["poses"], x0["points"]),
-                        gnc_schedule(0.5, 5 * noise, steps=5))
+                        gnc_schedule(0.5, 5 * noise, steps=5),
+                        residual_fn=pair_fn, robust_fn=geman_mcclure)
     print(f"final: {rmse_on_inliers(x):.2e} (noise level {noise:.0e}, "
           "despite 15% gross outliers)")
 

@@ -266,6 +266,33 @@ class TestRobustSchur:
         got = clean_rmse(x)
         assert got < 1.05 * oracle, (got, oracle)
 
+    def test_gnc_anneal_owns_caching(self):
+        """The 3-arg gnc_anneal API builds the per-threshold whitened
+        fns itself and memoizes them across calls: a SECOND anneal call
+        adds no new entries to the solve cache (i.e. compiles nothing
+        new) and reproduces the first call's result (VERDICT r4 #6)."""
+        from tinyopt_tpu import sparse as sp
+        from tinyopt_tpu.losses.robust_norms import (geman_mcclure,
+                                                     gnc_anneal,
+                                                     gnc_schedule)
+        data, obs_bad, clean_mask, clean_rmse, xt = self._contaminated()
+        o = to.Options(max_iters=20, max_consec_failures=0, min_error=0.0)
+
+        def stage(x, th2, rp):
+            return to.schur_optimize(x, rp, obs_bad, data.mask, o)
+
+        sched = gnc_schedule(0.5, 5e-3, steps=3)
+        x1, out1 = gnc_anneal(stage, xt, sched, residual_fn=pair_fn,
+                              robust_fn=geman_mcclure)
+        n_cached = len(sp._SOLVE_CACHE)
+        x2, out2 = gnc_anneal(stage, xt, sched, residual_fn=pair_fn,
+                              robust_fn=geman_mcclure)
+        assert len(sp._SOLVE_CACHE) == n_cached
+        for l1, l2 in zip(jax.tree_util.tree_leaves(x1),
+                          jax.tree_util.tree_leaves(x2)):
+            assert jnp.allclose(l1, l2)
+        assert bool(out2.succeeded())
+
     def test_single_stage_huber_beats_plain(self):
         """One-stage Huber lands at its own (tail-biased) optimum —
         far better than plain LM, far worse than GNC (docstring table)."""

@@ -193,11 +193,16 @@ def _parse_bal(path: str):
     with opener(path, "rt") as fh:
         text = fh.read()
     import warnings
-    with warnings.catch_warnings():
-        # np.fromstring's BINARY mode is deprecated; text mode (sep set)
-        # is not, but some numpy versions warn on any use.
-        warnings.simplefilter("ignore", DeprecationWarning)
-        vals = np.fromstring(text, dtype=np.float64, sep=" ")
+    try:
+        with warnings.catch_warnings():
+            # np.fromstring's BINARY mode is deprecated; text mode (sep
+            # set) is not, but some numpy versions warn on any use.
+            warnings.simplefilter("ignore", DeprecationWarning)
+            vals = np.fromstring(text, dtype=np.float64, sep=" ")
+    except Exception:
+        # fromstring may be removed in a future numpy: parse the token
+        # stream via str.split (also C-speed; higher transient memory).
+        vals = np.array(text.split(), dtype=np.float64)
     del text
     n_cams, n_pts, n_obs = (int(vals[0]), int(vals[1]), int(vals[2]))
     expect = 3 + 4 * n_obs + 9 * n_cams + 3 * n_pts

@@ -1197,13 +1197,21 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
     n_res = jnp.count_nonzero(mask).astype(jnp.int32) * m
 
     import numpy as np
+    # The planned reduce and banded detection need CONCRETE indices at
+    # build time; when the builder runs under jit/vmap (traced cam_idx)
+    # fall back to the chunk-transient scatter pass with band_g=None,
+    # like the sharded builder (parallel/schur_obs.py).
+    try:
+        cam_idx_host = np.asarray(cam_idx_p)
+        mask_host = np.asarray(mask_p)
+    except Exception:
+        cam_idx_host = mask_host = None
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH,
-        cam_idx_np=np.asarray(cam_idx_p))
+        cam_idx_np=cam_idx_host)
     # static banded-structure detection (hessian.schur_banded="auto")
-    band_g = pick_band_group(
-        detect_camera_bandwidth(np.asarray(cam_idx_p),
-                                np.asarray(mask_p)), n_a, da)
+    band_g = None if cam_idx_host is None else pick_band_group(
+        detect_camera_bandwidth(cam_idx_host, mask_host), n_a, da)
     em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
 
     def split(x):

@@ -125,13 +125,16 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     tri_apply = slot_apply = None
     staged = n_lp * (K * (K - 1) // 2) * da * da \
         * jnp.dtype(dtype).itemsize
+    # Banded-structure detection is independent of the planned staging
+    # buffers: fetch the host copy whenever the shards are addressable,
+    # so hessian.schur_banded="auto" stays active even when the planned
+    # reduce is over budget and falls back to the scatter pass.
     cam_host = None
-    if staged <= _PLANNED_STAGING_LIMIT:
-        try:
-            if getattr(cam_idx, "is_fully_addressable", True):
-                cam_host = _np.asarray(cam_idx, _np.int64)
-        except Exception:
-            cam_host = None
+    try:
+        if getattr(cam_idx, "is_fully_addressable", True):
+            cam_host = _np.asarray(cam_idx, _np.int64)
+    except Exception:
+        cam_host = None
     band_g = None
     if cam_host is not None:
         # banded reduced solve (hessian.schur_banded): structure from
@@ -139,6 +142,7 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         band_g = pick_band_group(
             detect_camera_bandwidth(cam_host, _np.asarray(mask)),
             n_a, da)
+    if cam_host is not None and staged <= _PLANNED_STAGING_LIMIT:
         ks = _np.asarray([k for k in range(K) for l in range(k)])
         ls = _np.asarray([l for k in range(K) for l in range(k)])
         ids_tri_list, ids_slot_list = [], []

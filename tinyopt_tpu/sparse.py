@@ -284,8 +284,15 @@ def matfree_system(residual_fn: Callable, x0, spec: mf.TangentSpec,
             # lax.cond (solvers/step.dogleg_core).
             from .solvers.step import dogleg_core
             dx_gn, ok_gn = cg_solve(jnp.zeros((), g.dtype))
-            return dogleg_core(g, lam, dx_gn, ok_gn, gHg,
-                               lambda le: cg_solve(le * ray))
+            # Fallback damping mirrors the LM branch below: with an
+            # estimated diag(H) the matvec already scales the damping
+            # multiplicatively per-dimension, so the Rayleigh scale
+            # would double-count curvature.
+            if diag_h is not None:
+                fallback = cg_solve
+            else:
+                fallback = lambda le: cg_solve(le * ray)
+            return dogleg_core(g, lam, dx_gn, ok_gn, gHg, fallback)
 
         if opts.solver_type == SolverType.LEVENBERG_MARQUARDT:
             add_lam = lam if diag_h is not None else lam * ray

@@ -22,6 +22,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+
+if __import__("os").environ.get("TINYOPT_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=10_000)

@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+import os
+
+if os.environ.get("TINYOPT_CPU"):
+    # CI smoke lane: run on CPU without touching a (possibly
+    # unreachable) accelerator plugin
+    jax.config.update("jax_platforms", "cpu")
 if not any(d.platform == "tpu" for d in jax.devices()):
     jax.config.update("jax_enable_x64", True)
 

@@ -522,6 +522,20 @@ class TestBandedReduced:
         assert pick_band_group(100, 120, 6) is None     # block too big
         assert pick_band_group(5, 20, 6) is None        # too few groups
 
+    def test_gate_boundaries_exact(self):
+        """pick_band_group at the exact gate edges (VERDICT r4 #8):
+        max_block and min_groups both inclusive-boundary semantics."""
+        from tinyopt_tpu.ops.schur_obs import pick_band_group
+        # block-size gate: g*da <= 384
+        assert pick_band_group(64, 512, 6) == 64        # 384 == 384: in
+        assert pick_band_group(65, 520, 6) is None      # 390 > 384: out
+        # group-count gate: n_a // g >= 8
+        assert pick_band_group(7, 56, 6) == 7           # 8 groups: in
+        assert pick_band_group(7, 55, 6) is None        # 7 groups: out
+        # degenerate bandwidths
+        assert pick_band_group(0, 64, 6) == 1           # diag -> g=1
+        assert pick_band_group(1, 7, 6) is None
+
     @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg])
     def test_matches_dense_path(self, solver):
         from tinyopt_tpu.models.bundle_adjustment import (
@@ -569,3 +583,111 @@ class TestBandedReduced:
         rmse = float(reprojection_rmse_sparse(
             {"poses": p, "points": l}, obs, ci, mk))
         assert rmse < 1.2e-4, rmse
+
+
+class TestBandedGate:
+    """Adversarial structures for schur_banded="auto" (VERDICT r4 #8):
+    bandwidths just under/over the gate and unordered rigs must select
+    the right reduced-solve path, with f64 trajectory parity between
+    "auto" and the forced-dense "off" in every case — no silent
+    wrong-path selection."""
+
+    def _instance(self, n_cams=60, n_pts=400, k_obs=4, seed=5):
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse)
+        (obs, ci, mk), x0, x_true = make_ba_problem_sparse(
+            n_cams=n_cams, n_pts=n_pts, k_obs=k_obs, noise=1e-4,
+            seed=seed)
+        return (obs, np.array(ci), np.array(mk)), x0, x_true
+
+    @staticmethod
+    def _reproject_row(x_true, ci_row, pt_idx, noise, seed):
+        """Recompute one landmark's observations for edited cam slots."""
+        from tinyopt_tpu.manifolds import SE3, SO3
+        from tinyopt_tpu.models.bundle_adjustment import project
+        poses, pt = x_true["poses"], x_true["points"][pt_idx]
+        row = jax.vmap(lambda c: project(
+            SE3(SO3(poses.rotation.wxyz[c]), poses.translation[c]),
+            pt[None, :])[0])(jnp.asarray(ci_row, jnp.int32))
+        rng = np.random.default_rng(seed)
+        return row + jnp.asarray(rng.normal(size=row.shape) * noise,
+                                 row.dtype)
+
+    def _force_bandwidth(self, inst, bw, seed=11):
+        """Edit landmark 0's slots to span exactly [0, bw]."""
+        (obs, ci, mk), x0, x_true = inst
+        ci = ci.copy()
+        ci[0] = [0, bw, 1, 2][: ci.shape[1]]
+        obs = jnp.asarray(obs).at[0].set(
+            self._reproject_row(x_true, ci[0], 0, 1e-4, seed))
+        return (obs, jnp.asarray(ci, np.int32), jnp.asarray(mk)), x0
+
+    def _solve_pair(self, data, x0, max_iters=8):
+        from tinyopt_tpu.models.bundle_adjustment import project
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        obs, ci, mk = data
+        xt = (x0["poses"], x0["points"])
+        outs = []
+        for banded in ("auto", "off"):
+            o = to.Options(max_iters=max_iters, max_consec_failures=0,
+                           hessian=to.HessianOptions(
+                               save_last=False, schur_banded=banded))
+            outs.append(to.schur_sparse_optimize(xt, pf, obs, ci, mk, o))
+        (xa, oa), (xd, od) = outs
+        # exact algebra either path; tolerance = f64 rounding noise
+        # amplified over the 8-iteration trajectory
+        np.testing.assert_allclose(np.asarray(xa[1]), np.asarray(xd[1]),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(xa[0].translation),
+                                   np.asarray(xd[0].translation),
+                                   rtol=1e-7, atol=1e-9)
+        assert int(oa.num_iters) == int(od.num_iters)
+        assert int(oa.stop_reason) == int(od.stop_reason)
+        assert bool(oa.succeeded())
+
+    def _gate_of(self, data, n_cams, da=6):
+        from tinyopt_tpu.ops.schur_obs import (detect_camera_bandwidth,
+                                               pick_band_group)
+        _, ci, mk = data
+        return pick_band_group(
+            detect_camera_bandwidth(np.asarray(ci), np.asarray(mk)),
+            n_cams, da)
+
+    def test_bandwidth_just_under_gate_uses_banded(self):
+        """bw=7 on 60 cams: exactly min_groups=8 groups -> banded path
+        active, trajectory must equal the dense path."""
+        inst = self._instance()
+        data, x0 = self._force_bandwidth(inst, 7)
+        assert self._gate_of(data, 60) == 7
+        self._solve_pair(data, x0)
+
+    def test_bandwidth_just_over_gate_falls_back_dense(self):
+        """bw=8 on 60 cams: 7 groups < min_groups -> gate must refuse
+        (a banded solve here would still be exact, but the gate's
+        contract is dense); solve stays correct."""
+        inst = self._instance()
+        data, x0 = self._force_bandwidth(inst, 8)
+        assert self._gate_of(data, 60) is None
+        self._solve_pair(data, x0)
+
+    def test_unordered_rig_falls_back_dense(self):
+        """Randomly relabeled cameras: bw ~ n_cams, banded grouping
+        would be WRONG algebra -> gate must refuse; solve correct."""
+        from tinyopt_tpu.manifolds import SE3, SO3
+        (obs, ci, mk), x0, _ = self._instance()
+        rng = np.random.default_rng(3)
+        perm = rng.permutation(60)          # old label -> new label
+        inv = np.argsort(perm)
+        ci2 = perm[ci]
+        poses = x0["poses"]
+        x0p = {"poses": SE3(SO3(poses.rotation.wxyz[inv]),
+                            poses.translation[inv]),
+               "points": x0["points"]}
+        data = (jnp.asarray(obs), jnp.asarray(ci2, np.int32),
+                jnp.asarray(mk))
+        gate = self._gate_of(data, 60)
+        assert gate is None, gate
+        self._solve_pair(data, x0p)

@@ -192,6 +192,56 @@ def tridiag_woodbury_marginals(D: jax.Array, B: jax.Array,
     return Sig, ok
 
 
+def spd_inv_gj(A: jax.Array, unroll_max: int = 48) -> jax.Array:
+    """Explicit batched SPD inverse by Gauss-Jordan elimination — the
+    TPU replacement for ``vmap(cholesky)+cho_solve`` on many small
+    blocks (VERDICT r4 #1).
+
+    XLA's batched small Cholesky + triangular solves run at ~1% of peak
+    and pay per-level kernel overhead (the measured ~3 ms/level floor of
+    the banded CR); an UNROLLED Gauss-Jordan on the augmented system
+    ``(A | I)`` is d steps of pure elementwise broadcast arithmetic over
+    the (batch, d, 2d) slab — XLA fuses the chain, and the inverses then
+    ride ordinary MXU einsums.  Pivoting-free GJ is backward-stable on
+    SPD inputs (same leading-minor pivots as Cholesky), and a block is
+    declared non-PD exactly when Cholesky would fail: some pivot ≤ 0 —
+    those blocks are NaN-poisoned to keep the λ-escalation contract
+    (reference math.h:232-240 returns nullopt on LDLT failure).
+
+    ``A`` (batch, d, d); unrolls for d ≤ ``unroll_max``, else runs a
+    ``fori_loop`` with dynamic slices (large d: graph size over fusion).
+    """
+    nb, d, _ = A.shape
+    M = jnp.concatenate(
+        [A, jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)],
+        axis=-1)
+    minpiv = jnp.full((nb,), jnp.inf, A.dtype)
+
+    if d <= unroll_max:
+        for j in range(d):
+            piv = M[:, j, j]
+            minpiv = jnp.minimum(minpiv, piv)
+            row = M[:, j, :] / piv[:, None]
+            M = M - M[:, :, j:j + 1] * row[:, None, :]
+            M = M.at[:, j, :].set(row)
+    else:
+        def body(j, state):
+            M, minpiv = state
+            piv = jax.lax.dynamic_slice(M, (0, j, j), (nb, 1, 1))
+            minpiv = jnp.minimum(minpiv, piv[:, 0, 0])
+            row = jax.lax.dynamic_slice(
+                M, (0, j, 0), (nb, 1, 2 * d)) / piv
+            col = jax.lax.dynamic_slice(M, (0, 0, j), (nb, d, 1))
+            M = M - col * row
+            M = jax.lax.dynamic_update_slice(M, row, (0, j, 0))
+            return M, minpiv
+
+        M, minpiv = jax.lax.fori_loop(0, d, body, (M, minpiv))
+    inv = M[:, :, d:]
+    nan = jnp.asarray(jnp.nan, A.dtype)
+    return jnp.where((minpiv > 0)[:, None, None], inv, nan)
+
+
 def block_tridiag_cr_solve(D: jax.Array, B: jax.Array, b: jax.Array
                            ) -> jax.Array:
     """Solve the SPD block-tridiagonal system by block CYCLIC REDUCTION
@@ -224,16 +274,15 @@ def block_tridiag_cr_solve(D: jax.Array, B: jax.Array, b: jax.Array
 def _cr_solve(D, B, b):
     N, d, _ = D.shape
     if N == 1:
-        L0 = jnp.linalg.cholesky(D[0])
-        return cho_solve((L0, True), b[0])[None]
+        return (spd_inv_gj(D[:1])[0] @ b[0])[None]
     if N == 2:
         # base case (an even pad would recurse 2→3→2 forever): Schur-
         # eliminate block 1 into block 0
-        L1 = jnp.linalg.cholesky(D[1])
-        Y = cho_solve((L1, True), B[0])           # D₁⁻¹ B₀
-        yb = cho_solve((L1, True), b[1])
-        L0 = jnp.linalg.cholesky(D[0] - B[0].T @ Y)
-        x0 = cho_solve((L0, True), b[0] - B[0].T @ yb)
+        i1 = spd_inv_gj(D[1:2])[0]
+        Y = i1 @ B[0]                             # D₁⁻¹ B₀
+        yb = i1 @ b[1]
+        i0 = spd_inv_gj((D[0] - B[0].T @ Y)[None])[0]
+        x0 = i0 @ (b[0] - B[0].T @ yb)
         x1 = yb - Y @ x0
         return jnp.stack([x0, x1])
     n0 = N
@@ -247,11 +296,13 @@ def _cr_solve(D, B, b):
     Do, bo = D[1::2], b[1::2]                  # odd blocks (Mo = N//2)
     Bl = B[0::2]                               # B[2k]   = H[2k+1, 2k]
     Br = B[1::2]                               # B[2k+1] = H[2k+2, 2k+1]
-    Lo = jnp.linalg.cholesky(Do)
-    solve_o = jax.vmap(lambda L, X: cho_solve((L, True), X))
-    Yl = solve_o(Lo, Bl)                       # D⁻¹ Bl
-    Zr = solve_o(Lo, jnp.swapaxes(Br, -1, -2))  # D⁻¹ Brᵀ
-    Yb = solve_o(Lo, bo)                       # D⁻¹ b_odd
+    # Explicit sweep inverses (spd_inv_gj) instead of batched
+    # Cholesky+cho_solve: the level's whole elimination becomes fused
+    # elementwise chains + three MXU einsums (VERDICT r4 #1).
+    Dinv = spd_inv_gj(Do)
+    Yl = jnp.einsum("kab,kbc->kac", Dinv, Bl)            # D⁻¹ Bl
+    Zr = jnp.einsum("kab,kcb->kac", Dinv, Br)            # D⁻¹ Brᵀ
+    Yb = jnp.einsum("kab,kbr->kar", Dinv, bo)            # D⁻¹ b_odd
     De = D[0::2]
     be = b[0::2]
     De = De.at[1:].add(-jnp.einsum("kab,kbc->kac", Br, Zr))

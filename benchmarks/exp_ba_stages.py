@@ -251,10 +251,42 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
     blk_diag_c0 = jnp.full((CH * K, da * da), 0.5, dtype)
     rhs_c0 = jnp.full((CH * K, da), 0.5, dtype)
 
+    # ---- windowed MXU reduce (r5): measured on the SORTED layout the
+    # schur_sort="auto" path solves in (landmark order is arbitrary;
+    # the sort is a one-time static permutation at build).
+    from tinyopt_tpu.ops.schur_obs import (camera_sort_perm,
+                                           make_reduce_pass_window,
+                                           plan_window_reduce)
+    sort_perm = camera_sort_perm(cam_np, np.asarray(mask), n_cams,
+                                 k_obs, chunk)
+    if sort_perm is None:
+        wplan = plan_window_reduce(cam_np, n_cams, K, CH)
+        cam_sorted = cam_idx
+        E_srt, C_srt, g_b_srt = E_f, C_f, g_b
+    else:
+        wplan = plan_window_reduce(cam_np[sort_perm], n_cams, K, CH)
+        permj = jnp.asarray(sort_perm)
+        cam_sorted = cam_idx[permj]
+        E_srt, C_srt, g_b_srt = E_f[permj], C_f[permj], g_b[permj]
+    if wplan is not None:
+        reduce_window = make_reduce_pass_window(
+            n_cams, K, da, db, dtype, CH, wplan)
+
+        def st_reduce_window(eps, E_p, C_p, g_b_p):
+            S_f, rhs, Cinv = reduce_window(E_p * eps, C_p * eps,
+                                           cam_sorted, g_b_p)
+            return (jnp.sum(S_f[0]) + jnp.sum(rhs[0])
+                    + jnp.sum(Cinv[0])).astype(dtype)
+
     rows = [
         ("accumulate", timed(st_accumulate, b0)),
         ("reduce (scatter)", timed(st_reduce, E_f, C_f, g_b)),
         ("reduce (planned)", timed(st_reduce_planned, E_f, C_f, g_b)),
+    ] + ([
+        (f"reduce (window W={wplan[2]}"
+         + (" sorted)" if sort_perm is not None else ")"),
+         timed(st_reduce_window, E_srt, C_srt, g_b_srt)),
+    ] if wplan is not None else []) + [
         ("  sub: chunk loop (alg+buf)", timed(st_chunkloop, E_f, C_f,
                                               g_b)),
         ("  sub: pair algebra only", timed(st_pair_algebra, E_f, C_f,
@@ -282,8 +314,11 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
     banded_t = next((t for name, t in rows
                      if name.startswith("  sub: assemble banded")
                      and "refine2" in name), None)
+    has_window = any(name.startswith("reduce (window")
+                     for name, _ in rows)
     total = sum(t for name, t in rows
                 if name != "reduce (scatter)"
+                and not (has_window and name == "reduce (planned)")
                 and not name.startswith("  sub:")
                 and not (banded_t is not None
                          and name == "assemble+refine2"))

@@ -691,3 +691,176 @@ class TestBandedGate:
         gate = self._gate_of(data, 60)
         assert gate is None, gate
         self._solve_pair(data, x0p)
+
+
+class TestWindowReduceAndSort:
+    """The windowed MXU segment reduction (ops/schur_obs.py r5) and the
+    internal camera-locality landmark sort behind it: exact same algebra
+    as the gather/scatter reduces, so f64 trajectories must match; the
+    sort must activate exactly when the natural order defeats the
+    window plan but the sorted order admits it."""
+
+    def test_plan_prefers_natural_when_local(self, monkeypatch):
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse)
+        from tinyopt_tpu.ops.schur_obs import camera_sort_perm
+        (_, ci, mk), _, _ = make_ba_problem_sparse(
+            n_cams=300, n_pts=4096, k_obs=6, noise=1e-4, seed=3)
+        # ~1500 distinct pair segments per chunk: natural order plans
+        assert camera_sort_perm(np.asarray(ci), np.asarray(mk),
+                                300, 6) is None
+
+    def test_window_disabled_off_mxu_by_default(self):
+        """On the CPU backend the window reduce is extra flops with no
+        MXU to ride: the sort must not activate without the override."""
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse)
+        from tinyopt_tpu.ops.schur_obs import camera_sort_perm
+        (_, ci, mk), _, _ = make_ba_problem_sparse(
+            n_cams=300, n_pts=4096, k_obs=6, noise=1e-4, seed=3)
+        assert camera_sort_perm(np.asarray(ci), np.asarray(mk),
+                                300, 6) is None
+
+    def test_sort_activates_and_matches(self, monkeypatch):
+        """300 cams x 8192 pts, K=8: ~10.8k distinct pair segments
+        defeat the natural window plan; the primary-camera sort brings
+        per-chunk windows under budget.  Sorted (auto) trajectory ==
+        forced-natural (off) trajectory."""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        from tinyopt_tpu.ops.schur_obs import camera_sort_perm
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=300, n_pts=8192, k_obs=8, noise=1e-4, seed=5)
+        perm = camera_sort_perm(np.asarray(ci), np.asarray(mk), 300, 8)
+        assert perm is not None, "sort should activate at this shape"
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        xt = (x0["poses"], x0["points"])
+        outs = []
+        for hs in ("auto", "off"):
+            o = to.Options(max_iters=4, max_consec_failures=0,
+                           hessian=to.HessianOptions(save_last=False,
+                                                     schur_sort=hs))
+            outs.append(to.schur_sparse_optimize(xt, pf, obs, ci, mk, o))
+        (xa, oa), (xn, on) = outs
+        assert int(oa.num_iters) == int(on.num_iters)
+        assert int(oa.stop_reason) == int(on.stop_reason)
+        np.testing.assert_allclose(np.asarray(xa[1]), np.asarray(xn[1]),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(xa[0].translation),
+                                   np.asarray(xn[0].translation),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_window_reduce_matches_scatter(self):
+        """make_reduce_pass_window == make_reduce_pass (scatter) on the
+        same system blocks (pure reduction parity, f64)."""
+        from tinyopt_tpu import manifold as mft
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        from tinyopt_tpu.ops.schur_obs import (
+            _pick_chunk, make_obs_kernels, make_reduce_pass,
+            make_reduce_pass_window, plan_window_reduce)
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=24, n_pts=128, k_obs=4, noise=1e-3, seed=9)
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        a0 = mft.as_pytree(x0["poses"])
+        spec_a = mft.tangent_spec(
+            jax.tree_util.tree_map(lambda l: l[0], a0))
+        spec_b = mft.tangent_spec(x0["points"][0])
+        CH = _pick_chunk(128, 32)
+        acc_slab, _, _, _ = make_obs_kernels(
+            pf, a0, spec_a, spec_b, jnp.float64, 24, 4, CH)
+        mkf = jnp.asarray(mk, jnp.float64)
+        Ba, g_a, E_f, C_f, g_b, _ = jax.jit(
+            lambda b: acc_slab(a0, b, obs, ci, mkf))(x0["points"])
+        import os
+        os.environ["TINYOPT_WINDOW_REDUCE"] = "1"
+        try:
+            plan = plan_window_reduce(np.asarray(ci), 24, 4, CH)
+        finally:
+            del os.environ["TINYOPT_WINDOW_REDUCE"]
+        assert plan is not None
+        rp_w = make_reduce_pass_window(24, 4, 6, 3, jnp.float64, CH,
+                                       plan)
+        rp_s = make_reduce_pass(24, 4, 6, 3, jnp.float64, CH)
+        S_w, rhs_w, Ci_w = jax.jit(
+            lambda: rp_w(E_f, C_f, ci, g_b))()
+        S_s, rhs_s, Ci_s = jax.jit(
+            lambda: rp_s(E_f, C_f, ci, g_b))()
+        np.testing.assert_allclose(np.asarray(S_w), np.asarray(S_s),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(rhs_w), np.asarray(rhs_s),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Ci_w), np.asarray(Ci_s),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_band_storage_matches_dense(self, monkeypatch):
+        """With the window reduce forced on, the banded path reduces
+        straight into BAND storage (the (n_a, n_a) S grid never
+        exists); trajectory must equal the dense-assembled path."""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=60, n_pts=600, k_obs=6, noise=1e-4, seed=3)
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        xt = (x0["poses"], x0["points"])
+        outs = []
+        for banded in ("auto", "off"):
+            o = to.Options(max_iters=8, max_consec_failures=0,
+                           hessian=to.HessianOptions(
+                               save_last=False, schur_banded=banded,
+                               schur_refine=2))
+            outs.append(to.schur_sparse_optimize(xt, pf, obs, ci, mk,
+                                                 o))
+        (xa, oa), (xd, od) = outs
+        assert int(oa.num_iters) == int(od.num_iters)
+        np.testing.assert_allclose(np.asarray(xa[1]), np.asarray(xd[1]),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(xa[0].translation),
+                                   np.asarray(xd[0].translation),
+                                   rtol=1e-7, atol=1e-9)
+        assert bool(oa.succeeded())
+
+    def test_band_storage_through_buckets(self, monkeypatch):
+        """Bucketed entry with band storage (heavy-tail corridor,
+        window forced): == the same solve with banded off."""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        from tinyopt_tpu.ops.schur_obs import bucket_obs
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=60, n_pts=400, k_obs=6, noise=1e-4, seed=8)
+        m = np.array(mk)
+        m[:300, 3:] = 0.0                 # heavy tail -> >= 2 buckets
+        ci = jnp.asarray(np.where(m > 0, np.asarray(ci), 0))
+        mk = jnp.asarray(m)
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        slabs = bucket_obs(obs, ci, mk, min_bucket=8)
+        assert len(slabs) >= 2
+        xt = (x0["poses"], x0["points"])
+        outs = []
+        for banded in ("auto", "off"):
+            o = to.Options(max_iters=8, max_consec_failures=0,
+                           hessian=to.HessianOptions(
+                               save_last=False, schur_banded=banded))
+            outs.append(to.schur_sparse_optimize_buckets(xt, pf, slabs,
+                                                         o))
+        (xa, oa), (xd, od) = outs
+        assert int(oa.num_iters) == int(od.num_iters)
+        np.testing.assert_allclose(np.asarray(xa[1]), np.asarray(xd[1]),
+                                   rtol=1e-7, atol=1e-9)
+        assert bool(oa.succeeded())

@@ -681,6 +681,359 @@ def _planned_row_buffers(E_p, Cd_p, g_b_p, K, da, db, dtype, CH):
     return jax.lax.fori_loop(0, n_p // CH, bodyA, init)
 
 
+#: Per-chunk distinct-segment budget for the windowed matmul reduce
+#: (lanes of the per-chunk onehot): above it the onehot matmuls stop
+#: paying vs the 29 ns/row planned gathers.
+_WINDOW_BUDGET = 2048
+
+
+def _window_enabled() -> bool:
+    """Window reduce trades gather rows for onehot matmuls — a win on
+    the MXU, a loss on CPU (pure extra flops).  Default: TPU only;
+    TINYOPT_WINDOW_REDUCE=1/0 forces it on/off (tests, experiments)."""
+    import os
+    v = os.environ.get("TINYOPT_WINDOW_REDUCE")
+    if v is not None:
+        return v not in ("0", "off", "")
+    return jax.default_backend() == "tpu"
+
+
+def plan_window_reduce(cam_idx_np, n_a: int, K: int, CH: int,
+                       budget: int = _WINDOW_BUDGET):
+    """Host plan for the per-chunk WINDOWED matmul reduction, or None.
+
+    The planned gather reduce pays the TPU gather primitive's ~29 ns/row
+    floor on every camera-pair row (59 ms on the 1.4M-row flagship —
+    VERDICT r4 #3).  When each chunk of points touches few distinct
+    segments (camera-LOCAL layouts: corridor rigs, or any rig after the
+    internal landmark sort), the segment sums can ride the MXU instead:
+    the chunk's rows are multiplied by a 0/1 onehot built on the fly
+    from a static local-id table, giving per-chunk (W, da²) partial
+    windows; one small final planned reduce over n_chunks·W window rows
+    completes the sum.  No global row buffer exists at all (the planned
+    path stages n_p·P_tri rows — 200 MB at the flagship).
+
+    Returns ``(loc_tri, seg_tri, W_tri, loc_slot, seg_slot, W_slot)``
+    tables (numpy) or None when some chunk exceeds ``budget`` distinct
+    pair segments.
+    """
+    import numpy as np
+
+    cam = np.asarray(cam_idx_np, np.int64)
+    n_p = cam.shape[0]
+    assert n_p % CH == 0
+    n_chunks = n_p // CH
+    ks = np.asarray([k for k in range(K) for l in range(k)], np.int64)
+    ls = np.asarray([l for k in range(K) for l in range(k)], np.int64)
+    ids_tri = (cam[:, ks] * n_a + cam[:, ls]).reshape(n_p, -1)
+    P_tri = ids_tri.shape[1]
+
+    # pass 1: window sizes (cheap bail-out before building tables)
+    W_tri = W_slot = 0
+    for c in range(n_chunks):
+        W_tri = max(W_tri, np.unique(
+            ids_tri[c * CH:(c + 1) * CH]).size)
+        if W_tri > budget:
+            return None
+        W_slot = max(W_slot, np.unique(
+            cam[c * CH:(c + 1) * CH]).size)
+
+    def _pad(w):
+        return max(128, -(-w // 128) * 128)
+
+    W_tri, W_slot = _pad(W_tri), _pad(W_slot)
+    loc_tri = np.zeros((n_chunks, CH * P_tri), np.int32)
+    seg_tri = np.zeros((n_chunks, W_tri), np.int64)
+    loc_slot = np.zeros((n_chunks, CH * K), np.int32)
+    seg_slot = np.zeros((n_chunks, W_slot), np.int64)
+    for c in range(n_chunks):
+        seg, inv = np.unique(ids_tri[c * CH:(c + 1) * CH].ravel(),
+                             return_inverse=True)
+        loc_tri[c] = inv
+        seg_tri[c, :seg.size] = seg
+        seg2, inv2 = np.unique(cam[c * CH:(c + 1) * CH].ravel(),
+                               return_inverse=True)
+        loc_slot[c] = inv2
+        seg_slot[c, :seg2.size] = seg2
+    return loc_tri, seg_tri, W_tri, loc_slot, seg_slot, W_slot
+
+
+def plan_window_reduce_banded(cam_idx_np, n_a: int, K: int, CH: int,
+                              bw: int, budget: int = _WINDOW_BUDGET):
+    """Host plan for the windowed reduction into BAND storage, or None.
+
+    Like :func:`plan_window_reduce` but the camera-pair targets live in
+    the band space ``hi·(bw+1) + (hi−lo)`` (n_a·(bw+1) ids instead of
+    n_a²) with per-row orientation weights: a pair block computed as
+    X(c1, c2) contributes to band entry (hi, hi−lo) as the block
+    (c1 > c2), its transpose (c1 < c2), or block+blockᵀ (c1 == c2 —
+    the diagonal X+Xᵀ sum).  Per-chunk row sets MERGE the tri pairs and
+    the k==l diagonal slot blocks (both target the band), so one onehot
+    matmul per chunk covers the whole reduced system; the rhs keeps its
+    own (n_a-id) slot windows.
+
+    Returns ``(loc_band (n_chunks, CH·(P_tri+K)), seg_band, W_band,
+    w1, w2 (n_chunks, CH·P_tri) uint8, loc_slot, seg_slot, W_slot)``.
+    """
+    import numpy as np
+
+    if not _window_enabled():
+        return None
+    cam = np.asarray(cam_idx_np, np.int64)
+    n_p = cam.shape[0]
+    assert n_p % CH == 0
+    n_chunks = n_p // CH
+    ks = np.asarray([k for k in range(K) for l in range(k)], np.int64)
+    ls = np.asarray([l for k in range(K) for l in range(k)], np.int64)
+    c1 = cam[:, ks]
+    c2 = cam[:, ls]
+    hi = np.maximum(c1, c2)
+    lo = np.minimum(c1, c2)
+    assert int((hi - lo).max(initial=0)) <= bw
+    bw1 = bw + 1
+    ids_tri = (hi * bw1 + (hi - lo)).reshape(n_p, -1)   # (n_p, P_tri)
+    ids_diag = cam * bw1                                # (n_p, K)
+    P_tri = ids_tri.shape[1]
+    w1 = (c1 >= c2).astype(np.uint8).reshape(n_p, -1)
+    w2 = (c1 <= c2).astype(np.uint8).reshape(n_p, -1)
+
+    R_band = CH * (P_tri + K)
+    W_band = W_slot = 0
+    for c in range(n_chunks):
+        sl = slice(c * CH, (c + 1) * CH)
+        u = np.unique(np.concatenate(
+            [ids_tri[sl].ravel(), ids_diag[sl].ravel()]))
+        W_band = max(W_band, u.size)
+        if W_band > budget:
+            return None
+        W_slot = max(W_slot, np.unique(cam[sl]).size)
+
+    def _pad(w):
+        return max(128, -(-w // 128) * 128)
+
+    W_band, W_slot = _pad(W_band), _pad(W_slot)
+    loc_band = np.zeros((n_chunks, R_band), np.int32)
+    seg_band = np.zeros((n_chunks, W_band), np.int64)
+    loc_slot = np.zeros((n_chunks, CH * K), np.int32)
+    seg_slot = np.zeros((n_chunks, W_slot), np.int64)
+    w1_t = np.zeros((n_chunks, CH * P_tri), np.uint8)
+    w2_t = np.zeros((n_chunks, CH * P_tri), np.uint8)
+    for c in range(n_chunks):
+        sl = slice(c * CH, (c + 1) * CH)
+        all_ids = np.concatenate(
+            [ids_tri[sl].ravel(), ids_diag[sl].ravel()])
+        seg, inv = np.unique(all_ids, return_inverse=True)
+        loc_band[c] = inv
+        seg_band[c, :seg.size] = seg
+        seg2, inv2 = np.unique(cam[sl].ravel(), return_inverse=True)
+        loc_slot[c] = inv2
+        seg_slot[c, :seg2.size] = seg2
+        w1_t[c] = w1[sl].ravel()
+        w2_t[c] = w2[sl].ravel()
+    return (loc_band, seg_band, W_band, w1_t, w2_t,
+            loc_slot, seg_slot, W_slot, bw)
+
+
+def make_reduce_pass_window_banded(n_a: int, K: int, da: int, db: int,
+                                   dtype, CH: int, plan):
+    """Pass A reducing straight into BAND storage (windowed MXU sums).
+
+    Returns a reduce with the signature of the other passes but whose
+    first output is ``S_low`` flat (n_a·(bw+1), da²) band entries
+    (:func:`band_to_tridiag` semantics) instead of the (n_a², da²)
+    dense-flat S — the (n_a, n_a) grid never exists, which is what
+    lifts the camera-count memory ceiling (14.4 GB at 10k cameras).
+    """
+    (loc_band, seg_band, W_band, w1_t, w2_t,
+     loc_slot, seg_slot, W_slot, bw) = plan
+    n_chunks = loc_band.shape[0]
+    bw1 = bw + 1
+    fin_band = make_planned_segment_reduce(seg_band.ravel(),
+                                           n_a * bw1)
+    fin_slot = make_planned_segment_reduce(seg_slot.ravel(), n_a)
+    loc_band_t = jnp.asarray(loc_band)
+    loc_slot_t = jnp.asarray(loc_slot)
+    w1_j = jnp.asarray(w1_t)
+    w2_j = jnp.asarray(w2_t)
+    P_tri = w1_t.shape[1] // CH
+    eye = jnp.eye(db, dtype=dtype)
+    ks_j = jnp.asarray([k for k in range(K) for l in range(k)],
+                       jnp.int32)
+    ls_j = jnp.asarray([l for k in range(K) for l in range(k)],
+                       jnp.int32)
+
+    def _onehot_sum(loc_row, rows, W):
+        oh = (loc_row[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (W, 1), 0)).astype(rows.dtype)
+        return jax.lax.dot(oh, rows,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        n_p = Cd_p.shape[0]
+
+        def _sl(arr, c):
+            return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
+
+        def bodyA(c, carry):
+            part_band, part_rhs, Cinv_f = carry
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
+            g_b_c = _sl(g_b_p, c)
+            Cinv_c, blocks_tri, blocks_diag, rhs_rows = \
+                _pair_block_chunk(E_c, Cd_c, g_b_c, ks_j, ls_j, eye,
+                                  dtype)
+            bt = blocks_tri.reshape(CH * P_tri, da, da)
+            w1c = jax.lax.dynamic_slice_in_dim(
+                w1_j, c, 1, 0)[0].astype(dtype)[:, None]
+            w2c = jax.lax.dynamic_slice_in_dim(
+                w2_j, c, 1, 0)[0].astype(dtype)[:, None]
+            oriented = (w1c * bt.reshape(-1, da * da)
+                        + w2c * jnp.swapaxes(bt, -1, -2)
+                        .reshape(-1, da * da))
+            rows = jnp.concatenate(
+                [oriented, blocks_diag.reshape(CH * K, da * da)])
+            lb = jax.lax.dynamic_slice_in_dim(loc_band_t, c, 1, 0)[0]
+            lsl = jax.lax.dynamic_slice_in_dim(loc_slot_t, c, 1, 0)[0]
+            w_band = _onehot_sum(lb, rows, W_band)
+            w_rhs = _onehot_sum(lsl, rhs_rows.reshape(-1, da), W_slot)
+            part_band = jax.lax.dynamic_update_slice_in_dim(
+                part_band, w_band, c * W_band, 0)
+            part_rhs = jax.lax.dynamic_update_slice_in_dim(
+                part_rhs, w_rhs, c * W_slot, 0)
+            Cinv_f = jax.lax.dynamic_update_slice_in_dim(
+                Cinv_f, Cinv_c.reshape(CH, db * db), c * CH, 0)
+            return part_band, part_rhs, Cinv_f
+
+        init = (jnp.zeros((n_chunks * W_band, da * da), dtype),
+                jnp.zeros((n_chunks * W_slot, da), dtype),
+                jnp.zeros((n_p, db * db), dtype))
+        part_band, part_rhs, Cinv_f = jax.lax.fori_loop(
+            0, n_p // CH, bodyA, init)
+        S_low = fin_band(part_band)
+        rhs = fin_slot(part_rhs)
+        return S_low, rhs, Cinv_f
+
+    return reduce_pass
+
+
+def camera_sort_perm(cam_idx_np, mask_np, n_a: int, K: int,
+                     chunk: int = 1024):
+    """Static landmark permutation that makes chunks camera-local, or
+    None when sorting is unnecessary (the natural order already admits a
+    window plan) or unhelpful (even sorted, chunks touch too many
+    distinct camera pairs).
+
+    Landmark order is semantically arbitrary in the point-major layout;
+    sorting by primary (minimum masked) camera makes each chunk of
+    points touch a small camera window, which is what lets the reduced-
+    system assembly ride the MXU (:func:`plan_window_reduce`) instead of
+    paying the ~29 ns/row gather floor.  The permutation is applied
+    through the bucket machinery (one sorted slab), so the public
+    contract — x in the caller's landmark order — is unchanged.
+    """
+    import numpy as np
+
+    if not _window_enabled():
+        return None
+    cam = np.asarray(cam_idx_np, np.int64)
+    mk = np.asarray(mask_np) != 0
+    n_b = cam.shape[0]
+    step = min(chunk, max(n_b, 1))
+    n_bp = int(-(-n_b // step) * step)
+    CH = _pick_chunk(n_bp, chunk)
+
+    def _padded(c):
+        padn = n_bp - c.shape[0]
+        if padn:
+            c = np.concatenate([c, np.zeros((padn, K), np.int64)])
+        return c
+
+    if plan_window_reduce(_padded(cam), n_a, K, CH) is not None:
+        return None
+    primary = np.where(mk, cam, np.iinfo(np.int64).max).min(axis=1)
+    primary = np.where(mk.any(axis=1), primary, 0)
+    perm = np.argsort(primary, kind="stable")
+    if plan_window_reduce(_padded(cam[perm]), n_a, K, CH) is None:
+        return None
+    return perm
+
+
+def make_reduce_pass_window(n_a: int, K: int, da: int, db: int, dtype,
+                            CH: int, plan):
+    """Pass A with per-chunk WINDOWED MXU reductions — same contract as
+    :func:`make_reduce_pass_planned`; ``plan`` from
+    :func:`plan_window_reduce`.
+
+    Precision: the onehot matmuls run at HIGHEST (TPU DEFAULT would
+    bf16-truncate the f32 block operand — the r3 assembly discipline);
+    one operand is exactly 0/1, so HIGHEST here costs only the small
+    (W, rows)·(rows, da²) products.  Padded window rows accumulate
+    exact zeros into segment 0 of the final reduce.
+    """
+    loc_tri, seg_tri, W_tri, loc_slot, seg_slot, W_slot = plan
+    n_chunks = loc_tri.shape[0]
+    fin_tri = make_planned_segment_reduce(seg_tri.ravel(), n_a * n_a)
+    fin_slot = make_planned_segment_reduce(seg_slot.ravel(), n_a)
+    loc_tri_t = jnp.asarray(loc_tri)
+    loc_slot_t = jnp.asarray(loc_slot)
+    P_tri = loc_tri.shape[1] // CH
+    eye = jnp.eye(db, dtype=dtype)
+    ks_j = jnp.asarray([k for k in range(K) for l in range(k)],
+                       jnp.int32)
+    ls_j = jnp.asarray([l for k in range(K) for l in range(k)],
+                       jnp.int32)
+
+    def _onehot_sum(loc_row, rows, W):
+        oh = (loc_row[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (W, 1), 0)).astype(rows.dtype)
+        return jax.lax.dot(oh, rows,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        n_p = Cd_p.shape[0]
+
+        def _sl(arr, c):
+            return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
+
+        def bodyA(c, carry):
+            part_tri, part_diag, part_rhs, Cinv_f = carry
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cd_c = _sl(Cd_p, c).reshape(CH, db, db)
+            g_b_c = _sl(g_b_p, c)
+            Cinv_c, blocks_tri, blocks_diag, rhs_rows = \
+                _pair_block_chunk(E_c, Cd_c, g_b_c, ks_j, ls_j, eye,
+                                  dtype)
+            lt = jax.lax.dynamic_slice_in_dim(loc_tri_t, c, 1, 0)[0]
+            lsl = jax.lax.dynamic_slice_in_dim(loc_slot_t, c, 1, 0)[0]
+            w_tri = _onehot_sum(lt, blocks_tri.reshape(-1, da * da),
+                                W_tri)
+            w_diag = _onehot_sum(lsl, blocks_diag.reshape(-1, da * da),
+                                 W_slot)
+            w_rhs = _onehot_sum(lsl, rhs_rows.reshape(-1, da), W_slot)
+            part_tri = jax.lax.dynamic_update_slice_in_dim(
+                part_tri, w_tri, c * W_tri, 0)
+            part_diag = jax.lax.dynamic_update_slice_in_dim(
+                part_diag, w_diag, c * W_slot, 0)
+            part_rhs = jax.lax.dynamic_update_slice_in_dim(
+                part_rhs, w_rhs, c * W_slot, 0)
+            Cinv_f = jax.lax.dynamic_update_slice_in_dim(
+                Cinv_f, Cinv_c.reshape(CH, db * db), c * CH, 0)
+            return part_tri, part_diag, part_rhs, Cinv_f
+
+        init = (jnp.zeros((n_chunks * W_tri, da * da), dtype),
+                jnp.zeros((n_chunks * W_slot, da * da), dtype),
+                jnp.zeros((n_chunks * W_slot, da), dtype),
+                jnp.zeros((n_p, db * db), dtype))
+        part_tri, part_diag, part_rhs, Cinv_f = jax.lax.fori_loop(
+            0, n_p // CH, bodyA, init)
+        S_f = fin_tri(part_tri)
+        S_diag = fin_slot(part_diag)
+        rhs = fin_slot(part_rhs)
+        return (_reconstruct_S(S_f, S_diag, n_a, da), rhs, Cinv_f)
+
+    return reduce_pass
+
+
 def _reconstruct_S(S_f, S_diag, n_a, da):
     """S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag, flat (n_a², da²)."""
     X = S_f.reshape(n_a, n_a, da, da)
@@ -767,11 +1120,21 @@ def banded_reduced_solve(S_blocks, rhs, band_group: int, refine: int = 0):
     D = S4[ig, :, ig, :]                              # (Ng, d, d)
     B = S4[ig[1:], :, ig[:-1], :] if Ng > 1 \
         else jnp.zeros((0, d_blk, d_blk), dtype)
-    b2 = rhs_p.reshape(Ng, d_blk)
+    x = _tridiag_cr_refine(D, B, rhs_p.reshape(Ng, d_blk), refine,
+                           dtype)
+    dx = x.reshape(-1)[:n_s]
+    return dx, jnp.all(jnp.isfinite(dx))
+
+
+def _tridiag_cr_refine(D, B, b2, refine: int, dtype):
+    """CR solve of the (D, B) block-tridiagonal system with f64-residual
+    iterative refinement through the BANDED matvec (shared by the dense-
+    and band-storage assembly paths)."""
+    from .tridiag import block_tridiag_cr_solve
+
+    Ng = D.shape[0]
     x = block_tridiag_cr_solve(D, B, b2)
     if refine > 0:
-        # f64 residual through the BANDED matvec (O(Ng·d²) instead of
-        # the dense (n_a·da)² product the dense path pays)
         D64 = D.astype(jnp.float64)
         B64 = B.astype(jnp.float64)
         b64 = b2.astype(jnp.float64)
@@ -787,6 +1150,99 @@ def banded_reduced_solve(S_blocks, rhs, band_group: int, refine: int = 0):
             corr = block_tridiag_cr_solve(D, B, r)
             good = jnp.all(jnp.isfinite(corr))
             x = x + jnp.where(good, corr, jnp.zeros_like(corr))
+    return x
+
+
+def band_to_tridiag(S_low, Bd, band_group: int):
+    """Assemble the (D, B) super-block tridiagonals of the reduced
+    camera system DIRECTLY from band storage — never materializing the
+    (n_a, n_a) dense S (the memory ceiling of the flat path: 14.4 GB at
+    10k cameras vs ~20 MB here).
+
+    ``S_low`` (n_a, bw+1, da, da): band entry (i, o) holds the summed
+    camera-pair coupling X(i, i−o) + X(i−o, i)ᵀ for o ≥ 1 and the full
+    diagonal sum X(i,i)+X(i,i)ᵀ+Σ_k E C⁻¹ Eᵀ at o = 0, so
+    S(i, j≤i) = δ_ij·Bd_i − S_low[i, i−j].  Static numpy index maps
+    gather band entries into super-block positions; out-of-band
+    positions read a sentinel zero row.
+    """
+    import numpy as np
+
+    n_a, bw1, da, _ = S_low.shape
+    g = band_group
+    Ng = -(-n_a // g)
+    d_blk = g * da
+    dtype = S_low.dtype
+    flatz = jnp.concatenate(
+        [S_low.reshape(n_a * bw1, da, da),
+         jnp.zeros((1, da, da), dtype)])
+    sent = n_a * bw1
+
+    def gather_blocks(i_of, o_of):
+        """(n, g, g) maps of (camera row i, band offset o) → stacked
+        (n, d_blk, d_blk); invalid (i<0, i>=n_a, o<0, o>bw) → zero."""
+        i_of, o_of = np.broadcast_arrays(i_of, o_of)
+        n = i_of.shape[0]
+        ok = ((i_of >= 0) & (i_of < n_a) & (o_of >= 0) & (o_of < bw1))
+        idx = np.where(ok, i_of * bw1 + o_of, sent)
+        blk = jnp.take(flatz, jnp.asarray(idx.reshape(-1)), axis=0)
+        return (blk.reshape(n, g, g, da, da)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(n, d_blk, d_blk))
+
+    G = np.arange(Ng)[:, None, None]
+    p = np.arange(g)[None, :, None]
+    q = np.arange(g)[None, None, :]
+    # D strictly-lower: i = G*g+p, j = G*g+q, o = p−q ≥ 1
+    L = gather_blocks(np.broadcast_to(G * g + p, (Ng, g, g)),
+                      np.broadcast_to(np.where(p > q, p - q, -1),
+                                      (Ng, g, g)))
+    D = -(L + jnp.swapaxes(L, -1, -2))
+    # D diagonal: Bd − S_low[:, 0], identity pad past n_a
+    d0 = Bd - S_low[:, 0]
+    padn = Ng * g - n_a
+    if padn:
+        eye = jnp.broadcast_to(jnp.eye(da, dtype=dtype),
+                               (padn, da, da))
+        d0 = jnp.concatenate([d0, eye])
+    d0 = d0.reshape(Ng, g, da, da)
+    for pp in range(g):
+        D = D.at[:, pp * da:(pp + 1) * da,
+                 pp * da:(pp + 1) * da].add(d0[:, pp])
+    if Ng > 1:
+        # B[G] couples group G+1 rows to group G cols:
+        # i = (G+1)*g+p, j = G*g+q, o = g+p−q ∈ [1, 2g−1]
+        Gb = np.arange(Ng - 1)[:, None, None]
+        B = -gather_blocks(
+            np.broadcast_to((Gb + 1) * g + p, (Ng - 1, g, g)),
+            np.broadcast_to(g + p - q, (Ng - 1, g, g)))
+    else:
+        B = jnp.zeros((0, d_blk, d_blk), dtype)
+    return D, B
+
+
+def banded_reduced_solve_band(S_low, Bd, rhs, band_group: int,
+                              refine: int = 0):
+    """Banded reduced camera solve FROM BAND STORAGE (no dense S).
+
+    Same semantics as :func:`banded_reduced_solve` (CR + f64 banded
+    refine), with S given as ``S_low`` (n_a, bw+1, da, da) band entries
+    (see :func:`band_to_tridiag`).  Returns ``(dx (n_s,), ok)``.
+    """
+    n_a, _, da, _ = S_low.shape
+    g = band_group
+    Ng = -(-n_a // g)
+    d_blk = g * da
+    n_s = n_a * da
+    dtype = S_low.dtype
+    with jax.default_matmul_precision("highest"):
+        D, B = band_to_tridiag(S_low, Bd, g)
+        rhs_p = rhs.reshape(-1)
+        if Ng * d_blk != n_s:
+            rhs_p = jnp.concatenate(
+                [rhs_p, jnp.zeros((Ng * d_blk - n_s,), dtype)])
+        x = _tridiag_cr_refine(D, B, rhs_p.reshape(Ng, d_blk), refine,
+                               dtype)
     dx = x.reshape(-1)[:n_s]
     return dx, jnp.all(jnp.isfinite(dx))
 
@@ -1056,18 +1512,29 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
 
         return jax.lax.fori_loop(0, n_p // CH, body, jnp.zeros((), dtype))
 
-    # The planned reduce stages ALL camera-pair rows in a persistent
-    # (n_p·K(K-1)/2, da²) buffer (plus a comparable gather copy) —
-    # ~3× the scatter path's single-chunk peak.  Heavy-tail buckets
-    # with caps in the hundreds would blow HBM, so large stagings fall
-    # back to the chunk-transient scatter pass.
-    if cam_idx_np is not None:
+    # Reduce-pass selection, fastest first (all static host decisions):
+    #  1. WINDOWED matmul reduce — when every chunk touches few distinct
+    #     camera-pair segments (camera-local layouts), the segment sums
+    #     ride the MXU and no global row buffer exists (r5, VERDICT #3);
+    #  2. PLANNED gather reduce — stages all camera-pair rows
+    #     (n_p·K(K-1)/2, da²) persistently (~200 MB at the flagship) and
+    #     gathers them at ~29 ns/row; budget-gated (heavy-tail buckets
+    #     with caps in the hundreds would blow HBM);
+    #  3. chunk-transient scatter pass — the always-works fallback
+    #     (traced index layouts, multi-process shards).
+    window_plan = None
+    if cam_idx_np is not None and _window_enabled():
+        window_plan = plan_window_reduce(cam_idx_np, n_a, K, CH)
+    if cam_idx_np is not None and window_plan is None:
         import numpy as _np
         staged = (int(_np.shape(cam_idx_np)[0]) * (K * (K - 1) // 2)
                   * da * da * jnp.dtype(dtype).itemsize)
         if staged > _PLANNED_STAGING_LIMIT:
             cam_idx_np = None
-    if cam_idx_np is None:
+    if window_plan is not None:
+        reduce_pass = make_reduce_pass_window(n_a, K, da, db, dtype,
+                                              CH, window_plan)
+    elif cam_idx_np is None:
         reduce_pass = make_reduce_pass(n_a, K, da, db, dtype, CH)
     else:
         reduce_pass = make_reduce_pass_planned(n_a, K, da, db, dtype,
@@ -1210,8 +1677,22 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH,
         cam_idx_np=cam_idx_host)
     # static banded-structure detection (hessian.schur_banded="auto")
-    band_g = None if cam_idx_host is None else pick_band_group(
-        detect_camera_bandwidth(cam_idx_host, mask_host), n_a, da)
+    bw_det = None if cam_idx_host is None else \
+        detect_camera_bandwidth(cam_idx_host, mask_host)
+    band_g = None if bw_det is None else pick_band_group(bw_det, n_a,
+                                                         da)
+    # Band-STORAGE reduce (r5): when the banded solve applies and the
+    # windowed plan fits, pass A reduces straight into (n_a·(bw+1))
+    # band entries and the (n_a, n_a) S grid never exists — the
+    # camera-count memory ceiling moves from ~6k (14.4 GB flat S at
+    # 10k cams) to landmark-side storage.
+    reduce_band = None
+    if band_g is not None and cam_idx_host is not None:
+        bplan = plan_window_reduce_banded(cam_idx_host, n_a, K, CH,
+                                          bw_det)
+        if bplan is not None:
+            reduce_band = make_reduce_pass_window_banded(
+                n_a, K, da, db, dtype, CH, bplan)
     em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
 
     def split(x):
@@ -1263,10 +1744,21 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         E_p = _pad_rows(H.E)
         Cd_p = _pad_rows(Cd_flat)
 
-        S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_idx_p, g_b)
-        dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a,
-                                    use_cholesky, refine, cg_iters,
-                                    band_group)
+        if (band_group is not None and cg_iters == 0
+                and reduce_band is not None):
+            # band storage: S never materializes as (n_a, n_a)
+            S_low, rhs_acc, Cinv_f = reduce_band(E_p, Cd_p, cam_idx_p,
+                                                 g_b)
+            dx_a, ok = banded_reduced_solve_band(
+                S_low.reshape(n_a, bw_det + 1, da, da), Bd,
+                -g_a + rhs_acc, band_group, refine)
+            dx_a = dx_a.reshape(n_a, da)
+        else:
+            S_f, rhs_acc, Cinv_f = reduce_pass(E_p, Cd_p, cam_idx_p,
+                                               g_b)
+            dx_a, ok = assemble_reduced(S_f, rhs_acc, Bd, g_a,
+                                        use_cholesky, refine, cg_iters,
+                                        band_group)
         dx_b = backsub_pass(E_p, Cinv_f, cam_idx_p, g_b, dx_a)[:n_b]
         dx = jnp.concatenate([dx_a.reshape(-1), dx_b.reshape(-1)])
         ok = ok & jnp.all(jnp.isfinite(dx))
@@ -1408,6 +1900,21 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
                                       np.asarray(bk["mask"]))
               for bk in buckets), default=0)
     band_g = pick_band_group(bw, n_a, da)
+    # Band-storage reduces (r5): per-bucket windowed reduction straight
+    # into the GLOBAL (n_a·(bw+1)) band space; the cross-bucket sum is
+    # a cheap band-array add, and the (n_a, n_a) flat S never exists.
+    # Active only when EVERY bucket's plan fits (else all flat).
+    if band_g is not None:
+        for bk in buckets:
+            bplan = plan_window_reduce_banded(
+                np.asarray(bk["cam"]), n_a, bk["K"], bk["CH"], bw)
+            bk["reduce_band"] = None if bplan is None else \
+                make_reduce_pass_window_banded(
+                    n_a, bk["K"], da, db, dtype, bk["CH"], bplan)
+        band_storage = all(bk["reduce_band"] is not None
+                           for bk in buckets)
+    else:
+        band_storage = False
     em2gl, gl2em = bipartite_perms(a0, b0, n_a, n_b, da, db)
 
     def split(x):
@@ -1492,11 +1999,16 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
             g = g[gl2em]
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b = g[n_a * da:].reshape(n_b, db)
-        S_f = jnp.zeros((n_a * n_a, da * da), dtype)
+        use_band_storage = (band_storage and band is not None
+                            and cg_iters == 0)
+        S_f = jnp.zeros(
+            (n_a * (bw + 1), da * da) if use_band_storage
+            else (n_a * n_a, da * da), dtype)
         rhs = jnp.zeros((n_a, da), dtype)
         stash = []
         for bk, E_g, Cd_g in zip(buckets, H.E, Cd_t):
-            reduce_pass = bk["kernels"][2]
+            reduce_pass = bk["reduce_band"] if use_band_storage \
+                else bk["kernels"][2]
             pad = bk["pad"]
             g_b_p = _pad_rows(g_b[bk["ids"]], pad)
             E_p = _pad_rows(E_g, pad)
@@ -1504,8 +2016,14 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
             S_g, rhs_g, Cinv_p = reduce_pass(E_p, Cd_p, bk["cam"], g_b_p)
             S_f, rhs = S_f + S_g, rhs + rhs_g
             stash.append((E_p, Cinv_p, g_b_p))
-        dx_a, ok = assemble_reduced(S_f, rhs, Bd, g_a, use_cholesky,
-                                    refine, cg_iters, band)
+        if use_band_storage:
+            dx_a, ok = banded_reduced_solve_band(
+                S_f.reshape(n_a, bw + 1, da, da), Bd, -g_a + rhs,
+                band, refine)
+            dx_a = dx_a.reshape(n_a, da)
+        else:
+            dx_a, ok = assemble_reduced(S_f, rhs, Bd, g_a, use_cholesky,
+                                        refine, cg_iters, band)
         dxb_rows = []
         for bk, (E_p, Cinv_p, g_b_p) in zip(buckets, stash):
             backsub = bk["kernels"][3]

@@ -177,6 +177,16 @@ class HessianOptions:
     #: sharded entry (single-process meshes, where the global structure
     #: is host-visible).
     schur_banded: str = "auto"
+    #: Internal landmark sort for camera locality ("auto", default):
+    #: when the caller's landmark order defeats the windowed MXU
+    #: reduced-system assembly (ops/schur_obs.plan_window_reduce) but a
+    #: primary-camera sort admits it, schur_sparse_optimize re-orders
+    #: landmarks INTERNALLY (one static permutation through the bucket
+    #: machinery; x keeps the caller's order).  "off" keeps the given
+    #: order.  Landmark order is semantically arbitrary in the
+    #: point-major layout — this only changes summation order (f32
+    #: rounding), never the algebra.
+    schur_sort: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -578,7 +578,8 @@ def schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs, cam_idx,
     LM/GN/DogLeg.  ``ops.schur_obs.grid_to_obs`` converts grid-form data.
     ``Cost.num_residuals`` counts real slots only.
     """
-    from .ops.schur_obs import schur_obs_system
+    from .ops.schur_obs import (camera_sort_perm, schur_obs_bucket_system,
+                                schur_obs_system)
 
     options = options or Options()
     if options.solver_type in FIRST_ORDER_TYPES:
@@ -597,8 +598,33 @@ def schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs, cam_idx,
     solve = _solver_cache_get(key)
     if solve is None:
         spec = mf.tangent_spec(x0)
-        acc, ev, n_res, propose = schur_obs_system(
-            pair_fn, x0[0], x0[1], obs, cam_idx, mask, spec)
+        # Internal camera-locality sort (r5, VERDICT #3): when the
+        # caller's landmark order defeats the windowed MXU reduction but
+        # a primary-camera sort admits it, route through the bucket
+        # machinery as ONE sorted slab (x stays in the caller's order;
+        # steps are un-permuted by a static gather).  Host decision from
+        # concrete indices; traced builds keep the natural order.
+        perm = None
+        if options.hessian.schur_sort == "auto":
+            try:
+                import numpy as np
+                n_a = jnp.shape(
+                    jax.tree_util.tree_leaves(x0[0])[0])[0]
+                perm = camera_sort_perm(np.asarray(cam_idx),
+                                        np.asarray(mask), int(n_a),
+                                        int(cam_idx.shape[1]))
+            except Exception:
+                perm = None
+        if perm is not None:
+            permj = jnp.asarray(perm, jnp.int32)
+            slab = (jax.tree_util.tree_map(
+                        lambda l: jnp.asarray(l)[permj], obs),
+                    cam_idx[permj], mask[permj], perm)
+            acc, ev, n_res, propose = schur_obs_bucket_system(
+                pair_fn, x0[0], x0[1], [slab], spec)
+        else:
+            acc, ev, n_res, propose = schur_obs_system(
+                pair_fn, x0[0], x0[1], obs, cam_idx, mask, spec)
 
         def solve(x):
             return optimize_from_acc(x, acc, ev, options, spec,

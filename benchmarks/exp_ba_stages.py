@@ -278,6 +278,36 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
             return (jnp.sum(S_f[0]) + jnp.sum(rhs[0])
                     + jnp.sum(Cinv[0])).astype(dtype)
 
+    # band-storage direct path: reduce straight into band entries +
+    # CR solve from the band (the r5 TPU default when banded + window
+    # both plan — replaces reduce+assemble in one stage)
+    from tinyopt_tpu.ops.schur_obs import (_damp_blocks,
+                                           banded_reduced_solve_band,
+                                           make_reduce_pass_window_banded,
+                                           plan_window_reduce_banded)
+    bw_det = None
+    bplan = None
+    if band_g is not None:
+        from tinyopt_tpu.ops.schur_obs import detect_camera_bandwidth
+        cam_for_band = cam_np if sort_perm is None else cam_np[sort_perm]
+        bw_det = detect_camera_bandwidth(cam_for_band, np.asarray(mask))
+        bplan = plan_window_reduce_banded(cam_for_band, n_cams, K, CH,
+                                          bw_det)
+    if bplan is not None:
+        reduce_band = make_reduce_pass_window_banded(
+            n_cams, K, da, db, dtype, CH, bplan)
+        lam0 = jnp.asarray(1e-4, dtype)
+
+        def st_band_direct(eps, E_p, C_p, g_b_p, Ba_, g_a_):
+            S_low, rhs, Cinv = reduce_band(E_p * eps, C_p * eps,
+                                           cam_sorted, g_b_p)
+            Bd = _damp_blocks(Ba_, lam0)
+            dx_a, ok = banded_reduced_solve_band(
+                S_low.reshape(n_cams, bw_det + 1, da, da), Bd,
+                -g_a_ + rhs, band_g, 2)
+            return (jnp.sum(dx_a[:da]) + jnp.sum(Cinv[0])
+                    + ok).astype(dtype)
+
     rows = [
         ("accumulate", timed(st_accumulate, b0)),
         ("reduce (scatter)", timed(st_reduce, E_f, C_f, g_b)),
@@ -286,7 +316,10 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
         (f"reduce (window W={wplan[2]}"
          + (" sorted)" if sort_perm is not None else ")"),
          timed(st_reduce_window, E_srt, C_srt, g_b_srt)),
-    ] if wplan is not None else []) + [
+    ] if wplan is not None else []) + ([
+        (f"reduce+assemble (band W={bplan[2]})",
+         timed(st_band_direct, E_srt, C_srt, g_b_srt, Ba, g_a)),
+    ] if bplan is not None else []) + [
         ("  sub: chunk loop (alg+buf)", timed(st_chunkloop, E_f, C_f,
                                               g_b)),
         ("  sub: pair algebra only", timed(st_pair_algebra, E_f, C_f,
@@ -314,16 +347,25 @@ def main(n_cams=1000, n_pts=50_000, k_obs=8, reps=9, chunk=1024):
     banded_t = next((t for name, t in rows
                      if name.startswith("  sub: assemble banded")
                      and "refine2" in name), None)
-    has_window = any(name.startswith("reduce (window")
-                     for name, _ in rows)
-    total = sum(t for name, t in rows
-                if name != "reduce (scatter)"
-                and not (has_window and name == "reduce (planned)")
-                and not name.startswith("  sub:")
-                and not (banded_t is not None
-                         and name == "assemble+refine2"))
-    if banded_t is not None:
-        total += banded_t
+    band_direct_t = next((t for name, t in rows
+                          if name.startswith("reduce+assemble (band")),
+                         None)
+    if band_direct_t is not None:
+        # the r5 default path: accumulate + band-direct + backsub
+        total = band_direct_t + sum(
+            t for name, t in rows if name in ("accumulate", "backsub"))
+    else:
+        has_window = any(name.startswith("reduce (window")
+                         for name, _ in rows)
+        total = sum(t for name, t in rows
+                    if name != "reduce (scatter)"
+                    and not name.startswith("reduce+assemble")
+                    and not (has_window and name == "reduce (planned)")
+                    and not name.startswith("  sub:")
+                    and not (banded_t is not None
+                             and name == "assemble+refine2"))
+        if banded_t is not None:
+            total += banded_t
     print(f"# stage decomposition: {n_cams} cams x {n_pts} pts, K={k_obs},"
           f" dtype={jnp.dtype(dtype).name},"
           f" backend={jax.default_backend()}, marginal over {reps-1} reps")

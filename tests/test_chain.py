@@ -244,3 +244,51 @@ class TestChainOptimize:
         # min_error=1e-12 stops at cost ~1e-12 ⇒ per-coordinate ~1e-6
         np.testing.assert_allclose(np.asarray(xs), np.asarray(expect),
                                    atol=1e-6)
+
+
+class TestSpdInvGJ:
+    """spd_inv_gj (r5): the unrolled Gauss-Jordan sweep inverse that
+    replaced XLA's batched small Cholesky inside the CR levels — exact
+    inverse on SPD inputs, NaN-poisoned exactly when Cholesky would
+    fail (some leading principal minor <= 0)."""
+
+    @pytest.mark.parametrize("d", [1, 3, 6, 42, 60])
+    def test_inverse_both_paths(self, d):
+        # d <= 48 unrolls; d=60 takes the fori_loop path
+        from tinyopt_tpu.ops.tridiag import spd_inv_gj
+        rng = np.random.default_rng(d)
+        A = rng.normal(size=(5, d, d))
+        A = A @ A.transpose(0, 2, 1) + d * np.eye(d)
+        inv = np.asarray(spd_inv_gj(jnp.asarray(A)))
+        np.testing.assert_allclose(inv @ A,
+                                   np.broadcast_to(np.eye(d), A.shape),
+                                   atol=1e-8)
+
+    def test_non_pd_poisoned(self):
+        from tinyopt_tpu.ops.tridiag import spd_inv_gj
+        bad = np.stack([-np.eye(4),                       # negative
+                        np.eye(4) - 2.0 * np.ones((4, 4)),  # indefinite
+                        np.eye(4)])                        # fine
+        out = np.asarray(spd_inv_gj(jnp.asarray(bad)))
+        assert np.all(np.isnan(out[0]))
+        assert np.all(np.isnan(out[1]))
+        np.testing.assert_allclose(out[2], np.eye(4), atol=1e-12)
+
+    def test_cr_matches_scan_factorization(self):
+        """block_tridiag_cr_solve (sweep-inverse levels) == the
+        sequential scan factor+solve on the same SPD system."""
+        from tinyopt_tpu.ops.tridiag import (block_tridiag_cr_solve,
+                                             block_tridiag_factor,
+                                             block_tridiag_solve)
+        rng = np.random.default_rng(0)
+        N, d, k = 37, 5, 2
+        D = rng.normal(size=(N, d, d))
+        D = D @ D.transpose(0, 2, 1) + 4 * d * np.eye(d)
+        B = 0.3 * rng.normal(size=(N - 1, d, d))
+        b = rng.normal(size=(N, d, k))
+        x_cr = np.asarray(block_tridiag_cr_solve(
+            jnp.asarray(D), jnp.asarray(B), jnp.asarray(b)))
+        L, M, ok = block_tridiag_factor(jnp.asarray(D), jnp.asarray(B))
+        assert bool(ok)
+        x_sc = np.asarray(block_tridiag_solve(L, M, jnp.asarray(b)))
+        np.testing.assert_allclose(x_cr, x_sc, rtol=1e-9, atol=1e-12)

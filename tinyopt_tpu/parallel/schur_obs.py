@@ -112,6 +112,13 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH)
 
+    # (r5 note: the single-device entry additionally has the windowed
+    # MXU reduce, band STORAGE and the camera-locality sort — see
+    # ops/schur_obs.py.  The sharded path keeps the planned gathers +
+    # one psum: per-device window tables are a straightforward
+    # extension via make_planned_segment_reduce_multi but are not
+    # measurable on the virtual CPU mesh, so they wait for real
+    # multi-chip hardware.)
     # PLANNED sharded reduction (r4): when every device's slab indices
     # are host-visible (single-process meshes — the common case), build
     # per-device gather plans with COMMON table shapes and ship them as

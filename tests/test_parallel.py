@@ -237,6 +237,32 @@ class TestShardedSchurObs:
         x0 = (jnp.zeros((n_a, 1)), jnp.zeros((n_b, 1)))
         return pair_fn, obs, cam_idx, smask, x0
 
+    def test_windowed_sharded_reduce_matches(self, monkeypatch):
+        """With the window reduce forced on, the sharded eliminate
+        uses per-device window tables + MXU onehot sums (r5); the f64
+        trajectory must still equal the single-device solve."""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+
+        # fresh fn object: the solve cache must not serve the planned-
+        # path program built by the other tests
+        def pair_fn2(a_i, b_j, d_ij):
+            return jnp.stack([a_i[0] + b_j[0] - d_ij,
+                              0.3 * a_i[0], 0.3 * b_j[0]])
+
+        _, obs, cam_idx, smask, x0 = self._problem()
+        o = to.Options(max_iters=15, max_consec_failures=0)
+        x_ref, out_ref = to.schur_sparse_optimize(x0, pair_fn2, obs,
+                                                  cam_idx, smask, o)
+        x_sh, out_sh = sharded_schur_sparse_optimize(
+            x0, pair_fn2, obs, cam_idx, smask, o,
+            mesh=local_mesh("block"))
+        np.testing.assert_allclose(np.asarray(x_sh[1]),
+                                   np.asarray(x_ref[1]),
+                                   rtol=1e-9, atol=1e-11)
+        assert int(out_sh.num_iters) == int(out_ref.num_iters)
+        assert int(out_sh.stop_reason) == int(out_ref.stop_reason)
+
     @pytest.mark.parametrize("solver", [to.LevenbergMarquardt, to.DogLeg,
                                         to.GaussNewton])
     def test_matches_unsharded(self, solver):

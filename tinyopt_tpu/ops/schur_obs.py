@@ -758,6 +758,64 @@ def plan_window_reduce(cam_idx_np, n_a: int, K: int, CH: int,
     return loc_tri, seg_tri, W_tri, loc_slot, seg_slot, W_slot
 
 
+def plan_window_reduce_multi(cam_list, n_a: int, K: int, CH: int,
+                             budget: int = _WINDOW_BUDGET):
+    """Per-DEVICE window plans with COMMON shapes (sharded pass A), or
+    None.  ``cam_list`` — one padded (n_lp, K) host array per device;
+    all slabs must have the same shape.  Returns ``(loc_tri (n_dev,
+    n_chunks, CH·P_tri), seg_tri (n_dev, n_chunks, W_tri), W_tri,
+    loc_slot, seg_slot, W_slot)``; window widths are the max over all
+    devices' chunks so one SPMD program serves every shard.
+    """
+    import numpy as np
+
+    if not _window_enabled():
+        return None
+    raws = []
+    W_tri = W_slot = 0
+    for cam in cam_list:
+        cam = np.asarray(cam, np.int64)
+        n_p = cam.shape[0]
+        assert n_p % CH == 0
+        ks = np.asarray([k for k in range(K) for l in range(k)],
+                        np.int64)
+        ls = np.asarray([l for k in range(K) for l in range(k)],
+                        np.int64)
+        ids_tri = (cam[:, ks] * n_a + cam[:, ls]).reshape(n_p, -1)
+        dev = []
+        for c in range(n_p // CH):
+            sl = slice(c * CH, (c + 1) * CH)
+            seg, inv = np.unique(ids_tri[sl].ravel(),
+                                 return_inverse=True)
+            W_tri = max(W_tri, seg.size)
+            if W_tri > budget:
+                return None
+            seg2, inv2 = np.unique(cam[sl].ravel(),
+                                   return_inverse=True)
+            W_slot = max(W_slot, seg2.size)
+            dev.append((inv, seg, inv2, seg2))
+        raws.append(dev)
+
+    def _pad(w):
+        return max(128, -(-w // 128) * 128)
+
+    W_tri, W_slot = _pad(W_tri), _pad(W_slot)
+    n_dev = len(raws)
+    n_chunks = len(raws[0])
+    P_tri = K * (K - 1) // 2
+    loc_tri = np.zeros((n_dev, n_chunks, CH * P_tri), np.int32)
+    seg_tri = np.zeros((n_dev, n_chunks, W_tri), np.int64)
+    loc_slot = np.zeros((n_dev, n_chunks, CH * K), np.int32)
+    seg_slot = np.zeros((n_dev, n_chunks, W_slot), np.int64)
+    for d, dev in enumerate(raws):
+        for c, (inv, seg, inv2, seg2) in enumerate(dev):
+            loc_tri[d, c] = inv
+            seg_tri[d, c, :seg.size] = seg
+            loc_slot[d, c] = inv2
+            seg_slot[d, c, :seg2.size] = seg2
+    return loc_tri, seg_tri, W_tri, loc_slot, seg_slot, W_slot
+
+
 def plan_window_reduce_banded(cam_idx_np, n_a: int, K: int, CH: int,
                               bw: int, budget: int = _WINDOW_BUDGET):
     """Host plan for the windowed reduction into BAND storage, or None.
@@ -958,11 +1016,13 @@ def camera_sort_perm(cam_idx_np, mask_np, n_a: int, K: int,
     return perm
 
 
-def make_reduce_pass_window(n_a: int, K: int, da: int, db: int, dtype,
-                            CH: int, plan):
-    """Pass A with per-chunk WINDOWED MXU reductions — same contract as
-    :func:`make_reduce_pass_planned`; ``plan`` from
-    :func:`plan_window_reduce`.
+def make_window_chunk_loop(n_a: int, K: int, da: int, db: int, dtype,
+                           CH: int, W_tri: int, W_slot: int):
+    """The windowed pass-A chunk loop with the local-id tables as
+    ARGUMENTS (so sharded callers can ship per-device tables):
+    ``loop(E_p, Cd_p, g_b_p, loc_tri (n_chunks, CH·P_tri), loc_slot
+    (n_chunks, CH·K)) -> (part_tri (n_chunks·W_tri, da²), part_diag,
+    part_rhs, Cinv_f)``.
 
     Precision: the onehot matmuls run at HIGHEST (TPU DEFAULT would
     bf16-truncate the f32 block operand — the r3 assembly discipline);
@@ -970,27 +1030,15 @@ def make_reduce_pass_window(n_a: int, K: int, da: int, db: int, dtype,
     (W, rows)·(rows, da²) products.  Padded window rows accumulate
     exact zeros into segment 0 of the final reduce.
     """
-    loc_tri, seg_tri, W_tri, loc_slot, seg_slot, W_slot = plan
-    n_chunks = loc_tri.shape[0]
-    fin_tri = make_planned_segment_reduce(seg_tri.ravel(), n_a * n_a)
-    fin_slot = make_planned_segment_reduce(seg_slot.ravel(), n_a)
-    loc_tri_t = jnp.asarray(loc_tri)
-    loc_slot_t = jnp.asarray(loc_slot)
-    P_tri = loc_tri.shape[1] // CH
     eye = jnp.eye(db, dtype=dtype)
     ks_j = jnp.asarray([k for k in range(K) for l in range(k)],
                        jnp.int32)
     ls_j = jnp.asarray([l for k in range(K) for l in range(k)],
                        jnp.int32)
 
-    def _onehot_sum(loc_row, rows, W):
-        oh = (loc_row[None, :] == jax.lax.broadcasted_iota(
-            jnp.int32, (W, 1), 0)).astype(rows.dtype)
-        return jax.lax.dot(oh, rows,
-                           precision=jax.lax.Precision.HIGHEST)
-
-    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+    def chunk_loop(E_p, Cd_p, g_b_p, loc_tri_t, loc_slot_t):
         n_p = Cd_p.shape[0]
+        n_chunks = n_p // CH
 
         def _sl(arr, c):
             return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
@@ -1024,8 +1072,35 @@ def make_reduce_pass_window(n_a: int, K: int, da: int, db: int, dtype,
                 jnp.zeros((n_chunks * W_slot, da * da), dtype),
                 jnp.zeros((n_chunks * W_slot, da), dtype),
                 jnp.zeros((n_p, db * db), dtype))
-        part_tri, part_diag, part_rhs, Cinv_f = jax.lax.fori_loop(
-            0, n_p // CH, bodyA, init)
+        return jax.lax.fori_loop(0, n_chunks, bodyA, init)
+
+    return chunk_loop
+
+
+def _onehot_sum(loc_row, rows, W):
+    oh = (loc_row[None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (W, 1), 0)).astype(rows.dtype)
+    return jax.lax.dot(oh, rows, precision=jax.lax.Precision.HIGHEST)
+
+
+def make_reduce_pass_window(n_a: int, K: int, da: int, db: int, dtype,
+                            CH: int, plan):
+    """Pass A with per-chunk WINDOWED MXU reductions — same contract as
+    :func:`make_reduce_pass_planned`; ``plan`` from
+    :func:`plan_window_reduce` (see :func:`make_window_chunk_loop` for
+    the precision contract).
+    """
+    loc_tri, seg_tri, W_tri, loc_slot, seg_slot, W_slot = plan
+    fin_tri = make_planned_segment_reduce(seg_tri.ravel(), n_a * n_a)
+    fin_slot = make_planned_segment_reduce(seg_slot.ravel(), n_a)
+    loc_tri_t = jnp.asarray(loc_tri)
+    loc_slot_t = jnp.asarray(loc_slot)
+    chunk_loop = make_window_chunk_loop(n_a, K, da, db, dtype, CH,
+                                        W_tri, W_slot)
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        part_tri, part_diag, part_rhs, Cinv_f = chunk_loop(
+            E_p, Cd_p, g_b_p, loc_tri_t, loc_slot_t)
         S_f = fin_tri(part_tri)
         S_diag = fin_slot(part_diag)
         rhs = fin_slot(part_rhs)

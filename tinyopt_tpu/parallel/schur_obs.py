@@ -56,7 +56,9 @@ from ..ops.schur_obs import (_PLANNED_STAGING_LIMIT, SchurObsSystem,
                              make_landmark_marginal_pass,
                              make_obs_kernels,
                              make_planned_segment_reduce_multi,
-                             pick_band_group)
+                             make_window_chunk_loop,
+                             pick_band_group,
+                             plan_window_reduce_multi)
 from .sharded import _shard_map
 
 
@@ -143,24 +145,54 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     except Exception:
         cam_host = None
     band_g = None
+    cam_d_list = None
     if cam_host is not None:
         # banded reduced solve (hessian.schur_banded): structure from
         # the GLOBAL co-observation pattern
         band_g = pick_band_group(
             detect_camera_bandwidth(cam_host, _np.asarray(mask)),
             n_a, da)
-    if cam_host is not None and staged <= _PLANNED_STAGING_LIMIT:
-        ks = _np.asarray([k for k in range(K) for l in range(k)])
-        ls = _np.asarray([l for k in range(K) for l in range(k)])
-        ids_tri_list, ids_slot_list = [], []
+        cam_d_list = []
         for d in range(axis_size):
             cam_d = cam_host[d * nb_loc:(d + 1) * nb_loc]
             if pad:
                 cam_d = _np.concatenate(
                     [cam_d, _np.zeros((pad, K), _np.int64)])
-            ids_tri_list.append(
-                (cam_d[:, ks] * n_a + cam_d[:, ls]).ravel())
-            ids_slot_list.append(cam_d.ravel())
+            cam_d_list.append(cam_d)
+    # WINDOWED sharded reduce (r5): per-device window tables with
+    # common shapes — the per-chunk onehot matmuls of the single-device
+    # path, completed by per-device multi-plan final reduces and the
+    # same ONE psum.  Preferred over the planned gathers when it plans
+    # (TPU-gated inside plan_window_reduce_multi).
+    win_loop = None
+    fin_tri_apply = fin_slot_apply = None
+    if cam_d_list is not None:
+        wplan = plan_window_reduce_multi(cam_d_list, n_a, K, CH)
+        if wplan is not None:
+            (loc_tri, seg_tri, W_tri, loc_slot, seg_slot,
+             W_slot) = wplan
+            fin_tri_tabs, fin_tri_apply =                 make_planned_segment_reduce_multi(
+                    [seg_tri[d].ravel() for d in range(axis_size)],
+                    n_a * n_a)
+            fin_slot_tabs, fin_slot_apply =                 make_planned_segment_reduce_multi(
+                    [seg_slot[d].ravel() for d in range(axis_size)],
+                    n_a)
+            win_loop = make_window_chunk_loop(n_a, K, da, db, dtype,
+                                              CH, W_tri, W_slot)
+            sh = NamedSharding(mesh, P(axis))
+            tables = jax.tree_util.tree_map(
+                lambda l: jax.device_put(jnp.asarray(l), sh),
+                (jnp.asarray(loc_tri), jnp.asarray(loc_slot),
+                 fin_tri_tabs, fin_slot_tabs))
+            tables_spec = jax.tree_util.tree_map(lambda _: P(axis),
+                                                 tables)
+    if (win_loop is None and cam_d_list is not None
+            and staged <= _PLANNED_STAGING_LIMIT):
+        ks = _np.asarray([k for k in range(K) for l in range(k)])
+        ls = _np.asarray([l for k in range(K) for l in range(k)])
+        ids_tri_list = [(c[:, ks] * n_a + c[:, ls]).ravel()
+                        for c in cam_d_list]
+        ids_slot_list = [c.ravel() for c in cam_d_list]
         tri_tables, tri_apply = make_planned_segment_reduce_multi(
             ids_tri_list, n_a * n_a)
         slot_tables, slot_apply = make_planned_segment_reduce_multi(
@@ -257,7 +289,19 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         E_p = _pad_rows(E_l)
         Cd_p = _pad_rows(Cd_l)
         cam_p = _pad_rows(cam_l)
-        if tbls is not None:
+        if tbls is not None and win_loop is not None:
+            # windowed sharded reduce: device slices of the loc tables
+            # + multi-plan final reduces (leading (1, ...) row of each
+            # P(axis)-sharded array)
+            tb0 = jax.tree_util.tree_map(lambda l: l[0], tbls)
+            loc_tri_sl, loc_slot_sl, ftri_sl, fslot_sl = tb0
+            part_tri, part_diag, part_rhs, Cinv_f = win_loop(
+                E_p, Cd_p, g_b_p, loc_tri_sl, loc_slot_sl)
+            S_f = _reconstruct_S(
+                fin_tri_apply(part_tri, ftri_sl),
+                fin_slot_apply(part_diag, fslot_sl), n_a, da)
+            rhs_acc = fin_slot_apply(part_rhs, fslot_sl)
+        elif tbls is not None:
             # planned sharded reduce: this device's table slice is the
             # leading (1, ...) row of each P(axis)-sharded array
             tri_sl, slot_sl = jax.tree_util.tree_map(

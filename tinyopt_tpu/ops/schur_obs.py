@@ -2191,9 +2191,18 @@ def bucket_obs(obs, cam_idx, mask, growth: float = 2.0,
     counts = mask_np.astype(bool).sum(axis=1)
     cap_of, used = bucket_caps(counts, growth, min_bucket)
 
+    # primary (minimum masked) camera per landmark: each bucket's
+    # members are ordered by it so chunks are camera-LOCAL — what lets
+    # the windowed MXU reduction plan on TPU (r5; landmark order within
+    # a bucket is arbitrary, this only changes summation order)
+    big = np.where(mask_np.astype(bool), cam_np,
+                   np.iinfo(np.int64).max)
+    primary = np.where(mask_np.astype(bool).any(1), big.min(axis=1), 0)
+
     slabs = []
     for cap in used:
         ids = np.nonzero(cap_of == cap)[0]
+        ids = ids[np.argsort(primary[ids], kind="stable")]
         sel_rows = mask_np[ids].astype(bool)
         # compact each row's real slots to the front, cap columns
         order = np.argsort(~sel_rows, axis=1, kind="stable")

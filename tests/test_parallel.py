@@ -237,6 +237,47 @@ class TestShardedSchurObs:
         x0 = (jnp.zeros((n_a, 1)), jnp.zeros((n_b, 1)))
         return pair_fn, obs, cam_idx, smask, x0
 
+    def test_band_storage_sharded_matches(self, monkeypatch):
+        """Corridor rig + window forced: the sharded eliminate reduces
+        into per-device BAND partials, psums the band, and solves by CR
+        from band storage — f64 trajectory == single-device."""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=60, n_pts=64, k_obs=4, noise=1e-4, seed=6)
+
+        def pfb(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        # the band machinery must actually plan for this rig
+        from tinyopt_tpu.ops.schur_obs import (
+            _pick_chunk, detect_camera_bandwidth,
+            plan_window_reduce_banded_multi)
+        bw = detect_camera_bandwidth(np.asarray(ci), np.asarray(mk))
+        cam_np = np.asarray(ci)
+        slabs = [cam_np[d * 8:(d + 1) * 8] for d in range(8)]
+        assert plan_window_reduce_banded_multi(
+            slabs, 60, 4, _pick_chunk(8, 1024), bw) is not None
+
+        xt = (x0["poses"], x0["points"])
+        o = to.Options(max_iters=8, max_consec_failures=0,
+                       hessian=to.HessianOptions(save_last=False,
+                                                 schur_refine=1))
+        x_ref, out_ref = to.schur_sparse_optimize(xt, pfb, obs, ci,
+                                                  mk, o)
+        x_sh, out_sh = sharded_schur_sparse_optimize(
+            xt, pfb, obs, ci, mk, o, mesh=local_mesh("block"))
+        assert int(out_sh.num_iters) == int(out_ref.num_iters)
+        assert int(out_sh.stop_reason) == int(out_ref.stop_reason)
+        np.testing.assert_allclose(np.asarray(x_sh[1]),
+                                   np.asarray(x_ref[1]),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[0].translation),
+            np.asarray(x_ref[0].translation), rtol=1e-7, atol=1e-9)
+
     def test_windowed_sharded_reduce_matches(self, monkeypatch):
         """With the window reduce forced on, the sharded eliminate
         uses per-device window tables + MXU onehot sums (r5); the f64

@@ -892,42 +892,58 @@ def plan_window_reduce_banded(cam_idx_np, n_a: int, K: int, CH: int,
             loc_slot, seg_slot, W_slot, bw)
 
 
-def make_reduce_pass_window_banded(n_a: int, K: int, da: int, db: int,
-                                   dtype, CH: int, plan):
-    """Pass A reducing straight into BAND storage (windowed MXU sums).
+def plan_window_reduce_banded_multi(cam_list, n_a: int, K: int,
+                                    CH: int, bw: int,
+                                    budget: int = _WINDOW_BUDGET):
+    """Per-DEVICE banded window plans with COMMON shapes, or None.
+    Same contract as :func:`plan_window_reduce_multi` for the BAND
+    target space; every device's slab must plan or the whole thing
+    falls back (one SPMD program serves every shard)."""
+    import numpy as np
 
-    Returns a reduce with the signature of the other passes but whose
-    first output is ``S_low`` flat (n_a·(bw+1), da²) band entries
-    (:func:`band_to_tridiag` semantics) instead of the (n_a², da²)
-    dense-flat S — the (n_a, n_a) grid never exists, which is what
-    lifts the camera-count memory ceiling (14.4 GB at 10k cameras).
+    plans = []
+    for cam in cam_list:
+        p = plan_window_reduce_banded(cam, n_a, K, CH, bw, budget)
+        if p is None:
+            return None
+        plans.append(p)
+    W_band = max(p[2] for p in plans)
+    W_slot = max(p[7] for p in plans)
+
+    def _pad_seg(seg, W):
+        out = np.zeros((seg.shape[0], W), np.int64)
+        out[:, :seg.shape[1]] = seg
+        return out
+
+    return (np.stack([p[0] for p in plans]),
+            np.stack([_pad_seg(p[1], W_band) for p in plans]), W_band,
+            np.stack([p[3] for p in plans]),
+            np.stack([p[4] for p in plans]),
+            np.stack([p[5] for p in plans]),
+            np.stack([_pad_seg(p[6], W_slot) for p in plans]), W_slot,
+            bw)
+
+
+def make_banded_window_chunk_loop(n_a: int, K: int, da: int, db: int,
+                                  dtype, CH: int, W_band: int,
+                                  W_slot: int):
+    """The BANDED windowed pass-A chunk loop with loc/orientation
+    tables as ARGUMENTS (sharded callers ship per-device tables):
+    ``loop(E_p, Cd_p, g_b_p, loc_band (n_chunks, CH·(P_tri+K)),
+    loc_slot (n_chunks, CH·K), w1, w2 (n_chunks, CH·P_tri)) ->
+    (part_band (n_chunks·W_band, da²), part_rhs, Cinv_f)``.
     """
-    (loc_band, seg_band, W_band, w1_t, w2_t,
-     loc_slot, seg_slot, W_slot, bw) = plan
-    n_chunks = loc_band.shape[0]
-    bw1 = bw + 1
-    fin_band = make_planned_segment_reduce(seg_band.ravel(),
-                                           n_a * bw1)
-    fin_slot = make_planned_segment_reduce(seg_slot.ravel(), n_a)
-    loc_band_t = jnp.asarray(loc_band)
-    loc_slot_t = jnp.asarray(loc_slot)
-    w1_j = jnp.asarray(w1_t)
-    w2_j = jnp.asarray(w2_t)
-    P_tri = w1_t.shape[1] // CH
+    P_tri = K * (K - 1) // 2
     eye = jnp.eye(db, dtype=dtype)
     ks_j = jnp.asarray([k for k in range(K) for l in range(k)],
                        jnp.int32)
     ls_j = jnp.asarray([l for k in range(K) for l in range(k)],
                        jnp.int32)
 
-    def _onehot_sum(loc_row, rows, W):
-        oh = (loc_row[None, :] == jax.lax.broadcasted_iota(
-            jnp.int32, (W, 1), 0)).astype(rows.dtype)
-        return jax.lax.dot(oh, rows,
-                           precision=jax.lax.Precision.HIGHEST)
-
-    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+    def chunk_loop(E_p, Cd_p, g_b_p, loc_band_t, loc_slot_t, w1_j,
+                   w2_j):
         n_p = Cd_p.shape[0]
+        n_chunks = n_p // CH
 
         def _sl(arr, c):
             return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
@@ -965,8 +981,37 @@ def make_reduce_pass_window_banded(n_a: int, K: int, da: int, db: int,
         init = (jnp.zeros((n_chunks * W_band, da * da), dtype),
                 jnp.zeros((n_chunks * W_slot, da), dtype),
                 jnp.zeros((n_p, db * db), dtype))
-        part_band, part_rhs, Cinv_f = jax.lax.fori_loop(
-            0, n_p // CH, bodyA, init)
+        return jax.lax.fori_loop(0, n_chunks, bodyA, init)
+
+    return chunk_loop
+
+
+def make_reduce_pass_window_banded(n_a: int, K: int, da: int, db: int,
+                                   dtype, CH: int, plan):
+    """Pass A reducing straight into BAND storage (windowed MXU sums).
+
+    Returns a reduce with the signature of the other passes but whose
+    first output is ``S_low`` flat (n_a·(bw+1), da²) band entries
+    (:func:`band_to_tridiag` semantics) instead of the (n_a², da²)
+    dense-flat S — the (n_a, n_a) grid never exists, which is what
+    lifts the camera-count memory ceiling (14.4 GB at 10k cameras).
+    """
+    (loc_band, seg_band, W_band, w1_t, w2_t,
+     loc_slot, seg_slot, W_slot, bw) = plan
+    bw1 = bw + 1
+    fin_band = make_planned_segment_reduce(seg_band.ravel(),
+                                           n_a * bw1)
+    fin_slot = make_planned_segment_reduce(seg_slot.ravel(), n_a)
+    loc_band_t = jnp.asarray(loc_band)
+    loc_slot_t = jnp.asarray(loc_slot)
+    w1_j = jnp.asarray(w1_t)
+    w2_j = jnp.asarray(w2_t)
+    chunk_loop = make_banded_window_chunk_loop(n_a, K, da, db, dtype,
+                                               CH, W_band, W_slot)
+
+    def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
+        part_band, part_rhs, Cinv_f = chunk_loop(
+            E_p, Cd_p, g_b_p, loc_band_t, loc_slot_t, w1_j, w2_j)
         S_low = fin_band(part_band)
         rhs = fin_slot(part_rhs)
         return S_low, rhs, Cinv_f

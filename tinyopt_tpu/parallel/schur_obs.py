@@ -56,8 +56,11 @@ from ..ops.schur_obs import (_PLANNED_STAGING_LIMIT, SchurObsSystem,
                              make_landmark_marginal_pass,
                              make_obs_kernels,
                              make_planned_segment_reduce_multi,
+                             make_banded_window_chunk_loop,
                              make_window_chunk_loop,
+                             banded_reduced_solve_band,
                              pick_band_group,
+                             plan_window_reduce_banded_multi,
                              plan_window_reduce_multi)
 from .sharded import _shard_map
 
@@ -145,13 +148,13 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     except Exception:
         cam_host = None
     band_g = None
+    bw_det = None
     cam_d_list = None
     if cam_host is not None:
         # banded reduced solve (hessian.schur_banded): structure from
         # the GLOBAL co-observation pattern
-        band_g = pick_band_group(
-            detect_camera_bandwidth(cam_host, _np.asarray(mask)),
-            n_a, da)
+        bw_det = detect_camera_bandwidth(cam_host, _np.asarray(mask))
+        band_g = pick_band_group(bw_det, n_a, da)
         cam_d_list = []
         for d in range(axis_size):
             cam_d = cam_host[d * nb_loc:(d + 1) * nb_loc]
@@ -186,6 +189,37 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
                  fin_tri_tabs, fin_slot_tabs))
             tables_spec = jax.tree_util.tree_map(lambda _: P(axis),
                                                  tables)
+    # BAND-storage sharded reduce (r5): per-device banded window plans;
+    # the per-device S_low band partials are completed with one psum and
+    # the replicated solve assembles the CR tridiagonals from the band —
+    # the (n_a, n_a) flat S never exists on ANY device.
+    band_loop = None
+    fin_band_apply = fin_bslot_apply = None
+    band_tables = band_tables_spec = None
+    if cam_d_list is not None and band_g is not None:
+        bwplan = plan_window_reduce_banded_multi(cam_d_list, n_a, K,
+                                                 CH, bw_det)
+        if bwplan is not None:
+            (loc_b, seg_b, W_b, w1_t, w2_t, loc_s2, seg_s2, W_s2,
+             _) = bwplan
+            fin_band_tabs, fin_band_apply = \
+                make_planned_segment_reduce_multi(
+                    [seg_b[d].ravel() for d in range(axis_size)],
+                    n_a * (bw_det + 1))
+            fin_bslot_tabs, fin_bslot_apply = \
+                make_planned_segment_reduce_multi(
+                    [seg_s2[d].ravel() for d in range(axis_size)],
+                    n_a)
+            band_loop = make_banded_window_chunk_loop(
+                n_a, K, da, db, dtype, CH, W_b, W_s2)
+            sh = NamedSharding(mesh, P(axis))
+            band_tables = jax.tree_util.tree_map(
+                lambda l: jax.device_put(jnp.asarray(l), sh),
+                (jnp.asarray(loc_b), jnp.asarray(loc_s2),
+                 jnp.asarray(w1_t), jnp.asarray(w2_t),
+                 fin_band_tabs, fin_bslot_tabs))
+            band_tables_spec = jax.tree_util.tree_map(
+                lambda _: P(axis), band_tables)
     if (win_loop is None and cam_d_list is not None
             and staged <= _PLANNED_STAGING_LIMIT):
         ks = _np.asarray([k for k in range(K) for l in range(k)])
@@ -280,15 +314,39 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         return jax.lax.psum(rss, axis)
 
     def _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol, refine=0,
-                         cg_iters=0, tbls=None, band=None):
+                         cg_iters=0, tbls=None, band=None, kind=None):
         """Sharded elimination: (dx replicated, ok replicated); g/dx in
-        the loop's global layout, algebra element-major."""
+        the loop's global layout, algebra element-major.  ``kind`` is a
+        build-time static: "band" interprets ``tbls`` as the banded
+        window tables (band-storage reduce + banded solve); otherwise
+        window/planned/scatter, keyed by which machinery exists."""
         g = _to_em(g)
         g_a = g[:n_a * da].reshape(n_a, da)
         g_b_p = _pad_rows(_local_gb(g))
         E_p = _pad_rows(E_l)
         Cd_p = _pad_rows(Cd_l)
         cam_p = _pad_rows(cam_l)
+        if kind == "band":
+            tb0 = jax.tree_util.tree_map(lambda l: l[0], tbls)
+            (loc_b_sl, loc_s_sl, w1_sl, w2_sl, fb_sl, fs_sl) = tb0
+            part_band, part_rhs, Cinv_f = band_loop(
+                E_p, Cd_p, g_b_p, loc_b_sl, loc_s_sl, w1_sl, w2_sl)
+            S_low = fin_band_apply(part_band, fb_sl)
+            rhs_acc = fin_bslot_apply(part_rhs, fs_sl)
+            S_low, rhs_acc = jax.lax.psum((S_low, rhs_acc), axis)
+            dx_a, ok = banded_reduced_solve_band(
+                S_low.reshape(n_a, bw_det + 1, da, da), Bd,
+                -g_a + rhs_acc, band, refine)
+            dx_a = dx_a.reshape(n_a, da)
+            ok = ok & jnp.all(jnp.isfinite(dx_a))
+            dx_b_l = backsub_pass(E_p, Cinv_f, cam_p, g_b_p,
+                                  dx_a)[:nb_loc]
+            bad_b = jax.lax.psum(
+                jnp.any(~jnp.isfinite(dx_b_l)).astype(jnp.int32), axis)
+            ok = ok & (bad_b == 0)
+            dx = _to_gl(jnp.concatenate(
+                [dx_a.reshape(-1), _gather_b(dx_b_l).reshape(-1)]))
+            return dx, ok
         if tbls is not None and win_loop is not None:
             # windowed sharded reduce: device slices of the loc tables
             # + multi-plan final reduces (leading (1, ...) row of each
@@ -350,6 +408,11 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         refine = opts.hessian.schur_refine
         cg_it = opts.hessian.schur_cg_iters
         band = band_g if opts.hessian.schur_banded == "auto" else None
+        use_band = (band is not None and cg_it == 0
+                    and band_loop is not None)
+        kind = "band" if use_band else None
+        ship = band_tables if use_band else tables
+        ship_spec = band_tables_spec if use_band else tables_spec
 
         def _propose_core(H, g, lam, tbls):
             E_l, cam_l = H.E, H.cam_idx
@@ -357,28 +420,28 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
                 from ..solvers.step import dogleg_core
                 dx_gn, ok_gn = _eliminate_local(E_l, cam_l, H.Ba, H.C, g,
                                                 use_chol, refine, cg_it,
-                                                tbls, band)
+                                                tbls, band, kind)
                 return dogleg_core(
                     g, lam, dx_gn, ok_gn, _ghg_local(H, g),
                     lambda le: _eliminate_local(
                         E_l, cam_l, _damp_blocks(H.Ba, le),
                         _damp_flat(H.C, db, le), g, use_chol, refine,
-                        cg_it, tbls, band))
+                        cg_it, tbls, band, kind))
             is_lm = opts.solver_type == SolverType.LEVENBERG_MARQUARDT
             Bd = _damp_blocks(H.Ba, lam) if is_lm else H.Ba
             Cd_l = _damp_flat(H.C, db, lam) if is_lm else H.C
             return _eliminate_local(E_l, cam_l, Bd, Cd_l, g, use_chol,
-                                    refine, cg_it, tbls, band)
+                                    refine, cg_it, tbls, band, kind)
 
-        if tables is not None:
+        if ship is not None:
             @partial(_shard_map, mesh=mesh,
-                     in_specs=(H_spec, P(), P(), tables_spec),
+                     in_specs=(H_spec, P(), P(), ship_spec),
                      out_specs=(P(), P()))
             def _propose_sm_t(H, g, lam, tbls):
                 return _propose_core(H, g, lam, tbls)
 
             def propose(H, g, lam, opts_inner):
-                return _propose_sm_t(H, g, lam, tables)
+                return _propose_sm_t(H, g, lam, ship)
 
             return propose
 

@@ -237,6 +237,36 @@ class TestShardedSchurObs:
         x0 = (jnp.zeros((n_a, 1)), jnp.zeros((n_b, 1)))
         return pair_fn, obs, cam_idx, smask, x0
 
+    def test_sharded_sort_routes_and_matches(self, monkeypatch):
+        """Natural order defeats the window plan at this shape; the
+        sharded entry must route through the sorted single-slab bucket
+        path and reproduce the natural-order trajectory (f64)."""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        from tinyopt_tpu.ops.schur_obs import camera_sort_perm
+        from tinyopt_tpu.parallel import sharded_schur_sparse_optimize
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=400, n_pts=8192, k_obs=8, noise=1e-4, seed=2)
+        assert camera_sort_perm(np.asarray(ci), np.asarray(mk), 400, 8,
+                                512) is not None
+
+        def pfs(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        xt = (x0["poses"], x0["points"])
+        outs = []
+        for hs in ("auto", "off"):
+            o = to.Options(max_iters=2, max_consec_failures=0,
+                           hessian=to.HessianOptions(save_last=False,
+                                                     schur_sort=hs))
+            outs.append(sharded_schur_sparse_optimize(
+                xt, pfs, obs, ci, mk, o, mesh=local_mesh("block")))
+        (xa, oa), (xn, on) = outs
+        assert int(oa.num_iters) == int(on.num_iters)
+        np.testing.assert_allclose(np.asarray(xa[1]), np.asarray(xn[1]),
+                                   rtol=1e-7, atol=1e-9)
+
     def test_band_storage_sharded_matches(self, monkeypatch):
         """Corridor rig + window forced: the sharded eliminate reduces
         into per-device BAND partials, psums the band, and solves by CR

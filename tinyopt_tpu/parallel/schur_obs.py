@@ -503,6 +503,36 @@ def sharded_schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs,
             "mask=0 points (padded points contribute zero residual and "
             "zero Jacobian)")
 
+    # Internal camera-locality sort (r5, mirrors sparse.py): when the
+    # caller's landmark order defeats the per-device window plans but a
+    # primary-camera sort admits them, route through the sharded bucket
+    # machinery as ONE sorted slab (x stays in caller order).  Host
+    # decision from concrete indices; multi-process global arrays keep
+    # the natural order.
+    if options.hessian.schur_sort == "auto":
+        perm = None
+        try:
+            import numpy as _np
+            from ..ops.schur_obs import camera_sort_perm
+            if getattr(cam_idx, "is_fully_addressable", True):
+                n_a_ = jnp.shape(
+                    jax.tree_util.tree_leaves(x0[0])[0])[0]
+                # per-DEVICE slabs must window: plan on the slab size
+                perm = camera_sort_perm(
+                    _np.asarray(cam_idx), _np.asarray(mask),
+                    int(n_a_), int(cam_idx.shape[1]),
+                    min(chunk, n_b // mesh.shape[axis]))
+        except Exception:
+            perm = None
+        if perm is not None:
+            permj = jnp.asarray(perm, jnp.int32)
+            slab = (jax.tree_util.tree_map(
+                        lambda l: jnp.asarray(l)[permj], obs),
+                    cam_idx[permj], mask[permj], perm)
+            return sharded_schur_sparse_optimize_buckets(
+                x0, pair_fn, [slab], options, mesh=mesh, axis=axis,
+                chunk=chunk, jit=jit)
+
     from ..sparse import (_solver_cache_get, _solver_cache_key,
                           _solver_cache_put)
     orig_leaves = jax.tree_util.tree_leaves((obs, cam_idx, mask))

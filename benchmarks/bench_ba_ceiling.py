@@ -50,6 +50,25 @@ def main(n_cams=10_000, n_pts=500_000, k_obs=8, max_iters=13):
     def pf(pose, point, ob):
         return project(pose, point[None, :])[0] - ob
 
+    # path introspection: which assembly the entry will pick
+    from tinyopt_tpu.ops.schur_obs import (_pick_chunk, camera_sort_perm,
+                                           detect_camera_bandwidth,
+                                           pick_band_group,
+                                           plan_window_reduce_banded)
+    bw = detect_camera_bandwidth(np.asarray(ci), np.asarray(mk))
+    bg = pick_band_group(bw, n_cams, 6)
+    perm = camera_sort_perm(np.asarray(ci), np.asarray(mk), n_cams,
+                            k_obs)
+    cam_probe = np.asarray(ci) if perm is None else np.asarray(ci)[perm]
+    CHp = _pick_chunk(-(-n_pts // 1024) * 1024, 1024)
+    bplan = None if bg is None else plan_window_reduce_banded(
+        np.concatenate([cam_probe, np.zeros(
+            ((-(-n_pts // 1024) * 1024) - n_pts, k_obs), np.int64)]),
+        n_cams, k_obs, CHp, bw)
+    print(f"path: bw={bw} band_group={bg} "
+          f"sort={'active' if perm is not None else 'natural'} "
+          f"band_storage={'ACTIVE (no n_a^2 grid)' if bplan is not None else 'flat'}")
+
     o = to.Options(max_iters=max_iters, max_consec_failures=0,
                    min_error=0.0,
                    hessian=to.HessianOptions(save_last=False,

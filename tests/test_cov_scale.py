@@ -484,3 +484,82 @@ class TestDegenerateLayouts:
         xs, outs = sharded_schur_sparse_optimize(
             x, pair_fn, obs, cam_idx, smask, o_cg)
         assert float(outs.final_cost.cost) <= 1.01 * ref + 1e-12
+
+
+class TestBandedMarginals:
+    """obs_marginals_banded (r5): selected-inverse covariance through
+    BAND storage — neither the (n_a, n_a) S grid nor the dense S⁻¹
+    exists.  Exact algebra: must match the dense marginal path."""
+
+    def _corridor(self, n_a=24, n_b=96, K=4, seed=5):
+        rng = np.random.default_rng(seed)
+        a = jnp.asarray(rng.normal(size=(n_a, 3)))
+        b = jnp.asarray(rng.normal(size=(n_b, 2)))
+        base = np.clip((np.arange(n_b) * n_a) // n_b, 0, n_a - K)
+        ci = jnp.asarray(base[:, None] + np.arange(K)[None, :],
+                         jnp.int32)
+        obs = {"A": jnp.asarray(rng.normal(size=(n_b, K, 4, 3))),
+               "B": jnp.asarray(rng.normal(size=(n_b, K, 4, 2))),
+               "y": jnp.asarray(rng.normal(size=(n_b, K, 4)))}
+        mk = np.asarray(rng.random((n_b, K)) < 0.85, np.float64)
+        mk[:, 0] = 1.0
+        return a, b, obs, ci, jnp.asarray(mk)
+
+    @staticmethod
+    def _pf(cam, pt, d):
+        return d["A"] @ cam + d["B"] @ pt - d["y"]
+
+    def test_matches_dense_marginals(self, monkeypatch):
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.ops.schur_obs import banded_cov_plan
+        a, b, obs, ci, mk = self._corridor()
+        assert banded_cov_plan(ci, mk, 24, 3) is not None
+        cov_a_b, cov_b_b = to.schur_sparse_covariance(
+            (a, b), self._pf, obs, ci, mk, chunk=16)
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "0")
+
+        def pf_dense(cam, pt, d):      # fresh fn: fresh cache entry
+            return d["A"] @ cam + d["B"] @ pt - d["y"]
+
+        cov_a_d, cov_b_d = to.schur_sparse_covariance(
+            (a, b), pf_dense, obs, ci, mk, chunk=16)
+        np.testing.assert_allclose(np.asarray(cov_a_b),
+                                   np.asarray(cov_a_d),
+                                   rtol=1e-8, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(cov_b_b),
+                                   np.asarray(cov_b_d),
+                                   rtol=1e-8, atol=1e-11)
+
+    def test_scrambled_layout_matches(self, monkeypatch):
+        """Scrambled landmark order: bandwidth is landmark-order
+        invariant, so the banded route still applies (with wider
+        windows) and its orientation weights must hold under arbitrary
+        row order; cov_b comes back in the caller's order.  (At scales
+        where the scrambled windows exceed the budget, the entry sorts
+        internally first — same algebra.)"""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.ops.schur_obs import banded_cov_plan
+        a, b, obs, ci, mk = self._corridor()
+        rng = np.random.default_rng(9)
+        perm = rng.permutation(96)
+        b2 = b[perm]
+        obs2 = jax.tree_util.tree_map(lambda l: l[perm], obs)
+        ci2, mk2 = ci[perm], mk[perm]
+
+        def pf_s(cam, pt, d):
+            return d["A"] @ cam + d["B"] @ pt - d["y"]
+
+        cov_a_s, cov_b_s = to.schur_sparse_covariance(
+            (a, b2), pf_s, obs2, ci2, mk2, chunk=16)
+
+        def pf_n(cam, pt, d):
+            return d["A"] @ cam + d["B"] @ pt - d["y"]
+
+        cov_a_n, cov_b_n = to.schur_sparse_covariance(
+            (a, b), pf_n, obs, ci, mk, chunk=16)
+        np.testing.assert_allclose(np.asarray(cov_a_s),
+                                   np.asarray(cov_a_n),
+                                   rtol=1e-8, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(cov_b_s),
+                                   np.asarray(cov_b_n)[perm],
+                                   rtol=1e-8, atol=1e-11)

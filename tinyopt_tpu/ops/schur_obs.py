@@ -1437,6 +1437,162 @@ def make_landmark_marginal_pass(n_a: int, K: int, da: int, db: int,
     return marginal_pass
 
 
+def banded_cov_plan(cam_idx, mask, n_a: int, da: int,
+                    chunk: int = 1024):
+    """(band_group, bw, bplan) enabling the banded covariance route
+    (:func:`obs_marginals_banded`), or None when the structure/plan
+    does not admit it (concrete indices required; window gate applies).
+    """
+    import numpy as np
+
+    try:
+        if not getattr(cam_idx, "is_fully_addressable", True):
+            return None
+        cam = np.asarray(cam_idx, np.int64)
+        mk = np.asarray(mask)
+    except Exception:
+        return None
+    bw = detect_camera_bandwidth(cam, mk)
+    g = pick_band_group(bw, n_a, da)
+    if g is None:
+        return None
+    n_b, K = cam.shape
+    step = min(chunk, max(n_b, 1))
+    n_bp = int(-(-n_b // step) * step)
+    CH = _pick_chunk(n_bp, chunk)
+    if n_bp != n_b:
+        cam = np.concatenate(
+            [cam, np.zeros((n_bp - n_b, K), np.int64)])
+    bplan = plan_window_reduce_banded(cam, n_a, K, CH, bw)
+    if bplan is None:
+        return None
+    return g, bw, bplan
+
+
+def make_landmark_marginal_pass_banded(n_a: int, K: int, da: int,
+                                       db: int, dtype, CH: int,
+                                       band_group: int):
+    """Landmark-marginal pass reading S⁻¹ from its BANDED selected
+    inverse instead of the dense (n_a·da)² matrix.
+
+    Any two cameras co-observing a landmark are within the bandwidth,
+    hence in the same or ADJACENT super-blocks — so the dense pass's
+    ``Sinv[cam_k, cam_l]`` gather becomes three masked gathers from the
+    selected inverse's diagonal and sub-diagonal super-blocks
+    (:func:`tinyopt_tpu.ops.tridiag.block_tridiag_selected_inverse_sub`).
+    ``pass(E_p, Cinv_p, cam_p, Sig_diag (Ng, d_blk, d_blk), Sig_sub
+    (Ng−1, d_blk, d_blk)) -> cov_b (n_p, db, db)``.
+    """
+    g = band_group
+
+    def _sl(arr, c):
+        return jax.lax.dynamic_slice_in_dim(arr, c * CH, CH, 0)
+
+    def _upd(arr, val, c):
+        return jax.lax.dynamic_update_slice_in_dim(arr, val, c * CH, 0)
+
+    def marginal_pass(E_p, Cinv_p, cam_p, Sig_diag, Sig_sub):
+        n_p = cam_p.shape[0]
+        Ng = Sig_diag.shape[0]
+        # (Ng, g, g, da, da) flat sub-block tables + a zero sentinel
+        def _blocks(S):
+            n = S.shape[0]
+            return jnp.concatenate([
+                S.reshape(n, g, da, g, da).transpose(0, 1, 3, 2, 4)
+                .reshape(n * g * g, da, da),
+                jnp.zeros((1, da, da), S.dtype)])
+
+        diag_b = _blocks(Sig_diag)
+        sub_b = _blocks(Sig_sub) if Sig_sub.shape[0] else \
+            jnp.zeros((1, da, da), Sig_diag.dtype)
+        n_diag = Ng * g * g
+        n_sub = max(Sig_sub.shape[0], 0) * g * g
+
+        def body(c, cov_f):
+            E_c = _sl(E_p, c).reshape(CH, K, da, db)
+            Cinv_c = _sl(Cinv_p, c).reshape(CH, db, db)
+            cam_c = _sl(cam_p, c)
+            G = cam_c // g
+            p = cam_c % g
+            Gk, Gl = G[:, :, None], G[:, None, :]
+            pk, pl = p[:, :, None], p[:, None, :]
+            same = Gk == Gl
+            up = Gk == Gl + 1            # Σ_{Gk, Gl} = Sub[Gl]
+            down = Gl == Gk + 1          # transpose of Sub[Gk]
+            idx_same = jnp.where(same, Gk * g * g + pk * g + pl,
+                                 n_diag)
+            idx_up = jnp.where(up, Gl * g * g + pk * g + pl, n_sub)
+            idx_dn = jnp.where(down, Gk * g * g + pl * g + pk, n_sub)
+            Sb = (diag_b[idx_same]
+                  + sub_b[jnp.minimum(idx_up, n_sub)]
+                  + jnp.swapaxes(sub_b[jnp.minimum(idx_dn, n_sub)],
+                                 -1, -2))          # (CH, K, K, da, da)
+            W = _esum("jkab,jbc->jkac", E_c, Cinv_c,
+                      preferred_element_type=dtype)
+            Mv = _esum("jklab,jlbd->jkad", Sb, W,
+                       preferred_element_type=dtype)
+            corr = _esum("jkab,jkac->jbc", W, Mv,
+                         preferred_element_type=dtype)
+            return _upd(cov_f, (Cinv_c + corr).reshape(CH, db * db), c)
+
+        cov_f = jax.lax.fori_loop(
+            0, n_p // CH, body, jnp.zeros((n_p, db * db), dtype))
+        return cov_f.reshape(n_p, db, db)
+
+    return marginal_pass
+
+
+def obs_marginals_banded(H: "SchurObsSystem", band_group: int, bw: int,
+                         bplan, chunk: int = 1024):
+    """:func:`obs_marginals` through BAND storage — covariance at the
+    10k-camera ceiling: the reduced system reduces into n_a·(bw+1) band
+    entries, its selected inverse (diag + sub-diagonal super-blocks)
+    costs O(Ng·d_blk³), and neither the (n_a, n_a) S grid nor the dense
+    (n_a·da)² S⁻¹ ever exists.  Exact algebra — f64 parity with the
+    dense path is pinned in tests.
+    """
+    n_a, da, n_b, db, K = H._dims()
+    dtype = H.dtype
+    g = band_group
+    step = min(chunk, max(n_b, 1))
+    n_bp = int(-(-n_b // step) * step)
+    pad = n_bp - n_b
+    CH = _pick_chunk(n_bp, chunk)
+
+    def _pad_rows(arr):
+        if not pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+    E_p = _pad_rows(H.E)
+    C_p = _pad_rows(H.C)
+    cam_p = _pad_rows(H.cam_idx)
+    reduce_band = make_reduce_pass_window_banded(n_a, K, da, db, dtype,
+                                                 CH, bplan)
+    S_low, _, Cinv_p = reduce_band(E_p, C_p, cam_p,
+                                   jnp.zeros((n_bp, db), dtype))
+    from .tridiag import (block_tridiag_factor,
+                          block_tridiag_selected_inverse_sub)
+    with jax.default_matmul_precision("highest"):
+        D, B = band_to_tridiag(S_low.reshape(n_a, bw + 1, da, da),
+                               H.Ba, g)
+        L, M, _ = block_tridiag_factor(D, B)
+        Sig_diag, Sig_sub = block_tridiag_selected_inverse_sub(L, M)
+    # per-camera marginals: the diagonal da-blocks of Sig_diag
+    Ng = Sig_diag.shape[0]
+    diag_flat = Sig_diag.reshape(Ng, g, da, g, da) \
+        .transpose(0, 1, 3, 2, 4).reshape(Ng * g * g, da, da)
+    cams = jnp.arange(n_a)
+    cov_a = diag_flat[(cams // g) * g * g + (cams % g) * (g + 1)]
+    marginal_pass = make_landmark_marginal_pass_banded(
+        n_a, K, da, db, dtype, CH, g)
+    cov_b = marginal_pass(E_p, Cinv_p, cam_p, Sig_diag, Sig_sub)[:n_b]
+    dead = jnp.all(H.C == 0, axis=1)
+    cov_b = jnp.where(dead[:, None, None], jnp.nan, cov_b)
+    return cov_a, cov_b
+
+
 def obs_marginals(H: "SchurObsSystem", chunk: int = 1024):
     """Posterior marginal covariance blocks of a sparse-obs BA solution.
 

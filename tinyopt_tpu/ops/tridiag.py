@@ -160,6 +160,47 @@ def block_tridiag_selected_inverse(L: jax.Array, M: jax.Array
         return jnp.concatenate([Sig_rest, Sig_last[None]])
 
 
+def block_tridiag_selected_inverse_sub(L: jax.Array, M: jax.Array):
+    """Diagonal AND sub-diagonal blocks of ``(L Lᵀ)⁻¹`` — the extended
+    Takahashi recursion.
+
+    Beyond :func:`block_tridiag_selected_inverse`'s diagonal blocks, the
+    same reverse sweep yields the sub-diagonal of the inverse for free:
+    with ``A_i = M_i L_i⁻¹``,
+
+        Σ_{i+1,i} = −Σ_{i+1,i+1} A_i
+
+    (the inverse's entries on the factor's sparsity pattern).  Returns
+    ``(Σ_ii (N, d, d), Σ_{i+1,i} (N−1, d, d))`` — exactly the entries a
+    BANDED system's marginal algebra needs, since any two indices within
+    bandwidth lie in the same or adjacent super-blocks.  O(N·d³),
+    HIGHEST precision (module docstring).
+    """
+    N, d, _ = L.shape
+    eye = jnp.eye(d, dtype=L.dtype)
+    with jax.default_matmul_precision("highest"):
+        def inv_lower(Li):
+            return solve_triangular(Li, eye, lower=True)
+
+        Linv_last = inv_lower(L[N - 1])
+        Sig_last = Linv_last.T @ Linv_last
+        if N == 1:
+            return Sig_last[None], jnp.zeros((0, d, d), L.dtype)
+
+        def step(Sig_next, inp):
+            L_i, M_i = inp
+            Li_inv = inv_lower(L_i)
+            A = M_i @ Li_inv
+            Sig_sub = -Sig_next @ A                  # Σ_{i+1, i}
+            Sig_ii = Li_inv.T @ Li_inv + A.T @ Sig_next @ A
+            return Sig_ii, (Sig_ii, Sig_sub)
+
+        _, (Sig_rest, Sub) = jax.lax.scan(step, Sig_last, (L[:-1], M),
+                                          reverse=True)
+        Sig = jnp.concatenate([Sig_rest, Sig_last[None]])
+        return Sig, Sub
+
+
 def tridiag_woodbury_marginals(D: jax.Array, B: jax.Array,
                                U: jax.Array):
     """Per-block marginal covariance of ``H = T + U Uᵀ``: the diagonal

@@ -758,13 +758,43 @@ def schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx, mask,
     identical to ``Output.covariance(rescaled=True)``.  NaNs if H is
     singular (gauge not fixed) — ops/linalg.inv_cov's contract.
     """
-    from .ops.schur_obs import obs_marginals, schur_obs_system
+    from .ops.schur_obs import (banded_cov_plan, camera_sort_perm,
+                                obs_marginals, obs_marginals_banded,
+                                schur_obs_system)
 
     if not (isinstance(x, tuple) and len(x) == 2):
         raise ValueError("schur_sparse_covariance needs x = (a, b)")
     x = (mf.as_pytree(x[0]), mf.as_pytree(x[1]))
     cam_idx = jnp.asarray(cam_idx, jnp.int32)
     mask = jnp.asarray(mask)
+    # Banded covariance at scale (r5): covariance is a pure function of
+    # the solution, so an internal landmark permutation is free — sort
+    # for camera locality when it enables the banded selected-inverse
+    # path (neither the (n_a, n_a) S grid nor the dense S⁻¹ exists).
+    iperm = None
+    n_a_ = int(jnp.shape(jax.tree_util.tree_leaves(x[0])[0])[0])
+    da_ = mf.tangent_spec(
+        jax.tree_util.tree_map(lambda l: l[0], x[0])).dims
+    cov_band = banded_cov_plan(cam_idx, mask, n_a_, da_, chunk)
+    if cov_band is None:
+        try:
+            import numpy as np
+            perm = camera_sort_perm(np.asarray(cam_idx),
+                                    np.asarray(mask), n_a_,
+                                    int(cam_idx.shape[1]), chunk)
+        except Exception:
+            perm = None
+        if perm is not None:
+            import numpy as np
+            permj = jnp.asarray(perm, jnp.int32)
+            obs = jax.tree_util.tree_map(
+                lambda l: jnp.asarray(l)[permj], obs)
+            cam_idx, mask = cam_idx[permj], mask[permj]
+            x = (x[0], jax.tree_util.tree_map(
+                lambda l: l[permj], x[1]))
+            iperm = jnp.asarray(np.argsort(perm), jnp.int32)
+            cov_band = banded_cov_plan(cam_idx, mask, n_a_, da_,
+                                       chunk)
     data_leaves = jax.tree_util.tree_leaves((obs, cam_idx, mask))
     key = _solver_cache_key("schur_obs_cov", pair_fn, None, jit, x,
                             data_leaves, extra=(rescaled, chunk))
@@ -776,11 +806,18 @@ def schur_sparse_covariance(x, pair_fn: Callable, obs, cam_idx, mask,
 
         def compute(xv):
             H, _, cost = acc(xv)
-            cov_a, cov_b = obs_marginals(H, chunk)
+            if cov_band is not None:
+                band_g, bw, bplan = cov_band
+                cov_a, cov_b = obs_marginals_banded(H, band_g, bw,
+                                                    bplan, chunk)
+            else:
+                cov_a, cov_b = obs_marginals(H, chunk)
             if rescaled:
                 from .ops.linalg import cov_rescale
                 f = cov_rescale(cost.cost, cost.num_residuals, spec.dims)
                 cov_a, cov_b = cov_a * f, cov_b * f
+            if iperm is not None:
+                cov_b = cov_b[iperm]     # back to caller landmark order
             return cov_a, cov_b
 
         if jit:

@@ -864,3 +864,37 @@ class TestWindowReduceAndSort:
         np.testing.assert_allclose(np.asarray(xa[1]), np.asarray(xd[1]),
                                    rtol=1e-7, atol=1e-9)
         assert bool(oa.succeeded())
+
+    def test_masked_slot_cam0_contract(self, monkeypatch):
+        """Masked slots carry cam_idx 0 per the public contract; their
+        spurious (0, c) pairs must neither crash the banded planner nor
+        corrupt the reduction (window forced; parity vs banded off)."""
+        monkeypatch.setenv("TINYOPT_WINDOW_REDUCE", "1")
+        from tinyopt_tpu.models.bundle_adjustment import (
+            make_ba_problem_sparse, project)
+        (obs, ci, mk), x0, _ = make_ba_problem_sparse(
+            n_cams=60, n_pts=400, k_obs=4, noise=1e-4, seed=4)
+        m = np.array(mk)
+        rng = np.random.default_rng(0)
+        m[rng.random(m.shape) < 0.25] = 0.0
+        m[:, 0] = 1.0
+        # the CONTRACT: masked slots carry camera 0
+        ci = jnp.asarray(np.where(m > 0, np.asarray(ci), 0))
+        mk = jnp.asarray(m)
+
+        def pf(pose, point, ob):
+            return project(pose, point[None, :])[0] - ob
+
+        xt = (x0["poses"], x0["points"])
+        outs = []
+        for banded in ("auto", "off"):
+            o = to.Options(max_iters=6, max_consec_failures=0,
+                           hessian=to.HessianOptions(
+                               save_last=False, schur_banded=banded))
+            outs.append(to.schur_sparse_optimize(xt, pf, obs, ci, mk,
+                                                 o))
+        (xa, oa), (xd, od) = outs
+        assert int(oa.num_iters) == int(od.num_iters)
+        np.testing.assert_allclose(np.asarray(xa[1]), np.asarray(xd[1]),
+                                   rtol=1e-7, atol=1e-9)
+        assert bool(oa.succeeded())

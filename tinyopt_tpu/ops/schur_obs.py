@@ -699,7 +699,7 @@ def _window_enabled() -> bool:
 
 
 def plan_window_reduce(cam_idx_np, n_a: int, K: int, CH: int,
-                       budget: int = _WINDOW_BUDGET):
+                       budget: int = _WINDOW_BUDGET, mask_np=None):
     """Host plan for the per-chunk WINDOWED matmul reduction, or None.
 
     The planned gather reduce pays the TPU gather primitive's ~29 ns/row
@@ -726,6 +726,16 @@ def plan_window_reduce(cam_idx_np, n_a: int, K: int, CH: int,
     ks = np.asarray([k for k in range(K) for l in range(k)], np.int64)
     ls = np.asarray([l for k in range(K) for l in range(k)], np.int64)
     ids_tri = (cam[:, ks] * n_a + cam[:, ls]).reshape(n_p, -1)
+    if mask_np is not None:
+        # masked-slot pairs contribute exact zeros (their E rows are
+        # zero) — collapse their ids to segment 0 so spurious (0, c)
+        # pairs cannot inflate the windows
+        mk = np.asarray(mask_np) != 0
+        if mk.shape[0] < n_p:       # caller passed the unpadded mask
+            mk = np.concatenate(
+                [mk, np.zeros((n_p - mk.shape[0], K), bool)])
+        real = (mk[:, ks] & mk[:, ls]).reshape(n_p, -1)
+        ids_tri = np.where(real, ids_tri, 0)
     P_tri = ids_tri.shape[1]
 
     # pass 1: window sizes (cheap bail-out before building tables)
@@ -759,7 +769,8 @@ def plan_window_reduce(cam_idx_np, n_a: int, K: int, CH: int,
 
 
 def plan_window_reduce_multi(cam_list, n_a: int, K: int, CH: int,
-                             budget: int = _WINDOW_BUDGET):
+                             budget: int = _WINDOW_BUDGET,
+                             mask_list=None):
     """Per-DEVICE window plans with COMMON shapes (sharded pass A), or
     None.  ``cam_list`` — one padded (n_lp, K) host array per device;
     all slabs must have the same shape.  Returns ``(loc_tri (n_dev,
@@ -773,7 +784,7 @@ def plan_window_reduce_multi(cam_list, n_a: int, K: int, CH: int,
         return None
     raws = []
     W_tri = W_slot = 0
-    for cam in cam_list:
+    for d_i, cam in enumerate(cam_list):
         cam = np.asarray(cam, np.int64)
         n_p = cam.shape[0]
         assert n_p % CH == 0
@@ -782,6 +793,13 @@ def plan_window_reduce_multi(cam_list, n_a: int, K: int, CH: int,
         ls = np.asarray([l for k in range(K) for l in range(k)],
                         np.int64)
         ids_tri = (cam[:, ks] * n_a + cam[:, ls]).reshape(n_p, -1)
+        if mask_list is not None:
+            mk = np.asarray(mask_list[d_i]) != 0
+            if mk.shape[0] < n_p:
+                mk = np.concatenate(
+                    [mk, np.zeros((n_p - mk.shape[0], K), bool)])
+            real = (mk[:, ks] & mk[:, ls]).reshape(n_p, -1)
+            ids_tri = np.where(real, ids_tri, 0)
         dev = []
         for c in range(n_p // CH):
             sl = slice(c * CH, (c + 1) * CH)
@@ -817,7 +835,8 @@ def plan_window_reduce_multi(cam_list, n_a: int, K: int, CH: int,
 
 
 def plan_window_reduce_banded(cam_idx_np, n_a: int, K: int, CH: int,
-                              bw: int, budget: int = _WINDOW_BUDGET):
+                              bw: int, budget: int = _WINDOW_BUDGET,
+                              mask_np=None):
     """Host plan for the windowed reduction into BAND storage, or None.
 
     Like :func:`plan_window_reduce` but the camera-pair targets live in
@@ -845,15 +864,31 @@ def plan_window_reduce_banded(cam_idx_np, n_a: int, K: int, CH: int,
     ls = np.asarray([l for k in range(K) for l in range(k)], np.int64)
     c1 = cam[:, ks]
     c2 = cam[:, ls]
+    # Only REAL-slot pairs carry information: the masked-slot contract
+    # (cam 0 on masked/padded slots) otherwise creates spurious (0, c)
+    # pairs whose spans exceed the detected bandwidth (bw is computed
+    # mask-aware).  Their blocks are exact zeros (masked E rows are
+    # zero), so they collapse to band id 0 with BOTH weights zero.
+    if mask_np is not None:
+        mk = np.asarray(mask_np) != 0
+        if mk.shape[0] < n_p:
+            mk = np.concatenate(
+                [mk, np.zeros((n_p - mk.shape[0], K), bool)])
+        real = mk[:, ks] & mk[:, ls]
+    else:
+        real = np.ones_like(c1, bool)
     hi = np.maximum(c1, c2)
     lo = np.minimum(c1, c2)
-    assert int((hi - lo).max(initial=0)) <= bw
+    if int(np.where(real, hi - lo, 0).max(initial=0)) > bw:
+        raise ValueError(
+            "real camera-pair span exceeds the detected bandwidth — "
+            "pass the mask used for detect_camera_bandwidth")
     bw1 = bw + 1
-    ids_tri = (hi * bw1 + (hi - lo)).reshape(n_p, -1)   # (n_p, P_tri)
+    ids_tri = np.where(real, hi * bw1 + (hi - lo), 0)         .reshape(n_p, -1)                               # (n_p, P_tri)
     ids_diag = cam * bw1                                # (n_p, K)
     P_tri = ids_tri.shape[1]
-    w1 = (c1 >= c2).astype(np.uint8).reshape(n_p, -1)
-    w2 = (c1 <= c2).astype(np.uint8).reshape(n_p, -1)
+    w1 = (real & (c1 >= c2)).astype(np.uint8).reshape(n_p, -1)
+    w2 = (real & (c1 <= c2)).astype(np.uint8).reshape(n_p, -1)
 
     R_band = CH * (P_tri + K)
     W_band = W_slot = 0
@@ -894,7 +929,8 @@ def plan_window_reduce_banded(cam_idx_np, n_a: int, K: int, CH: int,
 
 def plan_window_reduce_banded_multi(cam_list, n_a: int, K: int,
                                     CH: int, bw: int,
-                                    budget: int = _WINDOW_BUDGET):
+                                    budget: int = _WINDOW_BUDGET,
+                                    mask_list=None):
     """Per-DEVICE banded window plans with COMMON shapes, or None.
     Same contract as :func:`plan_window_reduce_multi` for the BAND
     target space; every device's slab must plan or the whole thing
@@ -902,8 +938,10 @@ def plan_window_reduce_banded_multi(cam_list, n_a: int, K: int,
     import numpy as np
 
     plans = []
-    for cam in cam_list:
-        p = plan_window_reduce_banded(cam, n_a, K, CH, bw, budget)
+    for d_i, cam in enumerate(cam_list):
+        p = plan_window_reduce_banded(
+            cam, n_a, K, CH, bw, budget,
+            None if mask_list is None else mask_list[d_i])
         if p is None:
             return None
         plans.append(p)
@@ -1051,12 +1089,20 @@ def camera_sort_perm(cam_idx_np, mask_np, n_a: int, K: int,
             c = np.concatenate([c, np.zeros((padn, K), np.int64)])
         return c
 
-    if plan_window_reduce(_padded(cam), n_a, K, CH) is not None:
+    def _padded_mk(m):
+        padn = n_bp - m.shape[0]
+        if padn:
+            m = np.concatenate([m, np.zeros((padn, K), bool)])
+        return m
+
+    if plan_window_reduce(_padded(cam), n_a, K, CH,
+                          mask_np=_padded_mk(mk)) is not None:
         return None
     primary = np.where(mk, cam, np.iinfo(np.int64).max).min(axis=1)
     primary = np.where(mk.any(axis=1), primary, 0)
     perm = np.argsort(primary, kind="stable")
-    if plan_window_reduce(_padded(cam[perm]), n_a, K, CH) is None:
+    if plan_window_reduce(_padded(cam[perm]), n_a, K, CH,
+                          mask_np=_padded_mk(mk[perm])) is None:
         return None
     return perm
 
@@ -1463,7 +1509,9 @@ def banded_cov_plan(cam_idx, mask, n_a: int, da: int,
     if n_bp != n_b:
         cam = np.concatenate(
             [cam, np.zeros((n_bp - n_b, K), np.int64)])
-    bplan = plan_window_reduce_banded(cam, n_a, K, CH, bw)
+        mk = np.concatenate(
+            [mk, np.zeros((n_bp - n_b, K), mk.dtype)])
+    bplan = plan_window_reduce_banded(cam, n_a, K, CH, bw, mask_np=mk)
     if bplan is None:
         return None
     return g, bw, bplan
@@ -1691,7 +1739,7 @@ def obs_marginals_buckets(H: "SchurObsBuckets", ids_list,
 
 def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
                      dtype, n_a: int, K: int, CH: int,
-                     cam_idx_np=None):
+                     cam_idx_np=None, mask_np=None):
     """Chunked slab kernels over a point-major slab (length = CH multiple).
 
     ``cam_idx_np``: the PADDED (n_p, K) camera indices as a concrete
@@ -1800,7 +1848,8 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
     #     (traced index layouts, multi-process shards).
     window_plan = None
     if cam_idx_np is not None and _window_enabled():
-        window_plan = plan_window_reduce(cam_idx_np, n_a, K, CH)
+        window_plan = plan_window_reduce(cam_idx_np, n_a, K, CH,
+                                         mask_np=mask_np)
     if cam_idx_np is not None and window_plan is None:
         import numpy as _np
         staged = (int(_np.shape(cam_idx_np)[0]) * (K * (K - 1) // 2)
@@ -1951,7 +2000,7 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         cam_idx_host = mask_host = None
     acc_slab, eval_slab, reduce_pass, backsub_pass = make_obs_kernels(
         pair_fn, a0, spec_a, spec_b, dtype, n_a, K, CH,
-        cam_idx_np=cam_idx_host)
+        cam_idx_np=cam_idx_host, mask_np=mask_host)
     # static banded-structure detection (hessian.schur_banded="auto")
     bw_det = None if cam_idx_host is None else \
         detect_camera_bandwidth(cam_idx_host, mask_host)
@@ -1965,7 +2014,7 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
     reduce_band = None
     if band_g is not None and cam_idx_host is not None:
         bplan = plan_window_reduce_banded(cam_idx_host, n_a, K, CH,
-                                          bw_det)
+                                          bw_det, mask_np=mask_host)
         if bplan is not None:
             reduce_band = make_reduce_pass_window_banded(
                 n_a, K, da, db, dtype, CH, bplan)
@@ -2163,7 +2212,8 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
             m_dims = m
         kernels = make_obs_kernels(pair_fn, a0, spec_a, spec_b, dtype,
                                    n_a, K, CH,
-                                   cam_idx_np=np.asarray(cam_p))
+                                   cam_idx_np=np.asarray(cam_p),
+                                   mask_np=np.asarray(mask_p))
         n_res_total = n_res_total + (
             jnp.count_nonzero(mask).astype(jnp.int32) * m)
         buckets.append(dict(obs=obs, cam=cam_p, mask=mask_p, ids=ids,
@@ -2183,7 +2233,8 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
     if band_g is not None:
         for bk in buckets:
             bplan = plan_window_reduce_banded(
-                np.asarray(bk["cam"]), n_a, bk["K"], bk["CH"], bw)
+                np.asarray(bk["cam"]), n_a, bk["K"], bk["CH"], bw,
+                mask_np=np.asarray(bk["mask"]))
             bk["reduce_band"] = None if bplan is None else \
                 make_reduce_pass_window_banded(
                     n_a, bk["K"], da, db, dtype, bk["CH"], bplan)

@@ -156,12 +156,18 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
         bw_det = detect_camera_bandwidth(cam_host, _np.asarray(mask))
         band_g = pick_band_group(bw_det, n_a, da)
         cam_d_list = []
+        mask_d_list = []
+        mask_host = _np.asarray(mask)
         for d in range(axis_size):
             cam_d = cam_host[d * nb_loc:(d + 1) * nb_loc]
+            mk_d = mask_host[d * nb_loc:(d + 1) * nb_loc] != 0
             if pad:
                 cam_d = _np.concatenate(
                     [cam_d, _np.zeros((pad, K), _np.int64)])
+                mk_d = _np.concatenate(
+                    [mk_d, _np.zeros((pad, K), bool)])
             cam_d_list.append(cam_d)
+            mask_d_list.append(mk_d)
     # WINDOWED sharded reduce (r5): per-device window tables with
     # common shapes — the per-chunk onehot matmuls of the single-device
     # path, completed by per-device multi-plan final reduces and the
@@ -170,7 +176,8 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     win_loop = None
     fin_tri_apply = fin_slot_apply = None
     if cam_d_list is not None:
-        wplan = plan_window_reduce_multi(cam_d_list, n_a, K, CH)
+        wplan = plan_window_reduce_multi(cam_d_list, n_a, K, CH,
+                                         mask_list=mask_d_list)
         if wplan is not None:
             (loc_tri, seg_tri, W_tri, loc_slot, seg_slot,
              W_slot) = wplan
@@ -197,8 +204,8 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
     fin_band_apply = fin_bslot_apply = None
     band_tables = band_tables_spec = None
     if cam_d_list is not None and band_g is not None:
-        bwplan = plan_window_reduce_banded_multi(cam_d_list, n_a, K,
-                                                 CH, bw_det)
+        bwplan = plan_window_reduce_banded_multi(
+            cam_d_list, n_a, K, CH, bw_det, mask_list=mask_d_list)
         if bwplan is not None:
             (loc_b, seg_b, W_b, w1_t, w2_t, loc_s2, seg_s2, W_s2,
              _) = bwplan

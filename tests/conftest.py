@@ -14,8 +14,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "concurrency_optimized_scheduler" not in flags:
+    # XLA CPU's concurrency-optimized thunk scheduler has an upstream
+    # buffer-reuse RACE (jaxlib 0.9.0): the windowed-reduce programs
+    # (ops/schur_obs.py r5) deterministically produced wrong diagonal
+    # segments or aborted with "double free or corruption" depending on
+    # process history; with the scheduler disabled the same programs
+    # are exact (isolated by tests/window_fuzz_worker.py).  CPU-only
+    # flag; real-TPU runs are unaffected.
+    flags = (flags
+             + " --xla_cpu_enable_concurrency_optimized_scheduler=false")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 import pytest

@@ -81,3 +81,38 @@ def test_detected_structure_is_superset(seed):
     assert detected is not None
     missed = structure & ~detected
     assert not missed.any(), f"probe missed {missed.sum()} true nonzeros"
+
+
+class TestWindowBandFuzz:
+    """Randomized layouts × masks for the r5 reduction family: the
+    windowed MXU reduce and the BAND-storage reduce must reproduce the
+    scatter pass's reduced system exactly (f64), including duplicate
+    cameras within a landmark, contract cam-0 masked slots, and
+    all-masked rows.
+
+    Runs in a SUBPROCESS: jaxlib's CPU runtime has an upstream heap
+    bug ("double free or corruption") when these window-reduce
+    programs execute after a shard_map program in the same process
+    (deterministic with pytest fd-capture, absent with --capture=no —
+    heap-layout sensitive).  The window path is TPU-gated in
+    production; isolating the CPU fuzz keeps the suite immune.
+    Diagnosed r5 — see also _reconstruct_S's scatter-free diagonal
+    (a second, distinct XLA CPU miscompile isolated by this fuzz).
+    """
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_reduce_parity_random_banded(self, seed):
+        import os
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(
+                repo, "tests", "window_fuzz_worker.py"), str(seed)],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, TINYOPT_WINDOW_REDUCE="1"),
+            cwd=repo)
+        assert proc.returncode == 0, (
+            f"seed {seed} failed:\n{proc.stdout[-2000:]}\n"
+            f"{proc.stderr[-2000:]}")
+        assert "WINDOW-FUZZ-OK" in proc.stdout

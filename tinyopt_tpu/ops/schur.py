@@ -295,7 +295,10 @@ def schur_eliminate(E, Bd, Cd, g_a, g_b, use_cholesky=True,
     S_red = red(_esum("ijac,kjdc->ikad", EC, E,
                            preferred_element_type=g_a.dtype))
     idx = jnp.arange(n_a)
-    S_blocks = (-S_red).at[idx, idx].add(Bd)
+    # scatter-free diagonal add (ops/schur_obs._reconstruct_S docstring:
+    # the fancy double-index diagonal scatter miscompiles on XLA CPU)
+    S_blocks = -S_red + jnp.eye(n_a, dtype=S_red.dtype)[:, :, None, None] \
+        * Bd.reshape(n_a, 1, *Bd.shape[1:])
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
     rhs = (-g_a + red(_esum("ijac,jc->ia", EC, g_b))).reshape(-1)
     if cg_iters > 0:

@@ -400,12 +400,10 @@ def make_reduce_pass(n_a: int, K: int, da: int, db: int, dtype,
                  jnp.zeros((n_p, db * db), dtype))
         S_f, S_diag, rhs, Cinv_f = jax.lax.fori_loop(
             0, n_p // CH, bodyA, initA)
-        # Dense reconstruction: S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag
-        X = S_f.reshape(n_a, n_a, da, da)
-        X = X + X.transpose(1, 0, 3, 2)
-        idx = jnp.arange(n_a)
-        X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
-        return X.reshape(n_a * n_a, da * da), rhs, Cinv_f
+        # Dense reconstruction via the shared scatter-free form
+        # (_reconstruct_S; fancy diagonal scatter-add miscompiles on
+        # the CPU backend — see its docstring)
+        return _reconstruct_S(S_f, S_diag, n_a, da), rhs, Cinv_f
 
     return reduce_pass
 
@@ -1050,6 +1048,10 @@ def make_reduce_pass_window_banded(n_a: int, K: int, da: int, db: int,
     def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
         part_band, part_rhs, Cinv_f = chunk_loop(
             E_p, Cd_p, g_b_p, loc_band_t, loc_slot_t, w1_j, w2_j)
+        # barrier: see make_reduce_pass_window (XLA CPU scatter-fusion
+        # miscompilation across the fori boundary)
+        part_band, part_rhs = jax.lax.optimization_barrier(
+            (part_band, part_rhs))
         S_low = fin_band(part_band)
         rhs = fin_slot(part_rhs)
         return S_low, rhs, Cinv_f
@@ -1192,6 +1194,13 @@ def make_reduce_pass_window(n_a: int, K: int, da: int, db: int, dtype,
     def reduce_pass(E_p, Cd_p, cam_p, g_b_p):
         part_tri, part_diag, part_rhs, Cinv_f = chunk_loop(
             E_p, Cd_p, g_b_p, loc_tri_t, loc_slot_t)
+        # Fusing the final scatter-set reduces with the fori-loop
+        # producers miscompiles on the XLA CPU backend (wrong diagonal
+        # segments; fuzz seeds 1/2, jax 0.9.0) — the barrier
+        # materializes the (small) partials and keeps the reduces in
+        # their own computation.
+        part_tri, part_diag, part_rhs = jax.lax.optimization_barrier(
+            (part_tri, part_diag, part_rhs))
         S_f = fin_tri(part_tri)
         S_diag = fin_slot(part_diag)
         rhs = fin_slot(part_rhs)
@@ -1201,11 +1210,19 @@ def make_reduce_pass_window(n_a: int, K: int, da: int, db: int, dtype,
 
 
 def _reconstruct_S(S_f, S_diag, n_a, da):
-    """S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag, flat (n_a², da²)."""
+    """S(i,i') = X(i,i') + X(i',i)ᵀ + δ(i,i')·diag, flat (n_a², da²).
+
+    The diagonal placement is a scatter-free eye-broadcast rather than
+    ``X.at[idx, idx].add``: the fancy double-index diagonal scatter-add
+    MISCOMPILES on the XLA CPU backend when fused into the windowed-
+    reduce graph (jit-vs-eager divergence, isolated by
+    tests/test_fuzz_sparse.py TestWindowBandFuzz; jax 0.9.0) — the
+    broadcast form is algebraically identical and fusion-safe.
+    """
     X = S_f.reshape(n_a, n_a, da, da)
     X = X + X.transpose(1, 0, 3, 2)
-    idx = jnp.arange(n_a)
-    X = X.at[idx, idx].add(S_diag.reshape(n_a, da, da))
+    eye = jnp.eye(n_a, dtype=S_f.dtype)[:, :, None, None]
+    X = X + eye * S_diag.reshape(n_a, 1, da, da)
     return X.reshape(n_a * n_a, da * da)
 
 
@@ -1427,7 +1444,9 @@ def camera_marginals_from_S(S_f, Ba):
     """
     n_a, da, _ = Ba.shape
     idx = jnp.arange(n_a)
-    S_blocks = (-S_f.reshape(n_a, n_a, da, da)).at[idx, idx].add(Ba)
+    S_blocks = -S_f.reshape(n_a, n_a, da, da) \
+        + jnp.eye(n_a, dtype=S_f.dtype)[:, :, None, None] \
+        * Ba.reshape(n_a, 1, da, da)
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
     # HIGHEST: the assembled S is ill-conditioned at BA scale and TPU
     # DEFAULT bf16-truncates the solve's dot_generals (assemble_reduced
@@ -1899,7 +1918,9 @@ def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
     n_a, da = g_a.shape
     S_red = S_f.reshape(n_a, n_a, da, da)
     idx = jnp.arange(n_a)
-    S_blocks = (-S_red).at[idx, idx].add(Bd)
+    # scatter-free diagonal add (see _reconstruct_S docstring)
+    S_blocks = -S_red + jnp.eye(n_a, dtype=S_f.dtype)[:, :, None, None] \
+        * Bd.reshape(n_a, 1, da, da)
     S = S_blocks.transpose(0, 2, 1, 3).reshape(n_a * da, n_a * da)
     rhs = (-g_a + rhs_acc).reshape(-1)
     # HIGHEST-precision solves: TPU DEFAULT bf16-truncates the

@@ -338,6 +338,9 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
             (loc_b_sl, loc_s_sl, w1_sl, w2_sl, fb_sl, fs_sl) = tb0
             part_band, part_rhs, Cinv_f = band_loop(
                 E_p, Cd_p, g_b_p, loc_b_sl, loc_s_sl, w1_sl, w2_sl)
+            # barrier: ops/schur_obs.make_reduce_pass_window rationale
+            part_band, part_rhs = jax.lax.optimization_barrier(
+                (part_band, part_rhs))
             S_low = fin_band_apply(part_band, fb_sl)
             rhs_acc = fin_bslot_apply(part_rhs, fs_sl)
             S_low, rhs_acc = jax.lax.psum((S_low, rhs_acc), axis)
@@ -362,6 +365,10 @@ def make_sharded_schur_obs_system(pair_fn: Callable, a0, b0, obs,
             loc_tri_sl, loc_slot_sl, ftri_sl, fslot_sl = tb0
             part_tri, part_diag, part_rhs, Cinv_f = win_loop(
                 E_p, Cd_p, g_b_p, loc_tri_sl, loc_slot_sl)
+            # barrier: ops/schur_obs.make_reduce_pass_window rationale
+            part_tri, part_diag, part_rhs = \
+                jax.lax.optimization_barrier(
+                    (part_tri, part_diag, part_rhs))
             S_f = _reconstruct_S(
                 fin_tri_apply(part_tri, ftri_sl),
                 fin_slot_apply(part_diag, fslot_sl), n_a, da)

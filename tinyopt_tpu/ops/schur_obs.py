@@ -1902,6 +1902,32 @@ def make_obs_kernels(pair_fn: Callable, a_template, spec_a, spec_b,
     return accumulate_slab, evaluate_slab, reduce_pass, backsub_pass
 
 
+def _warn_large_cg(cg_it: int, n_a: int, da: int) -> None:
+    """Interim guard for the r4 axon worker crash (VERDICT r4 #4):
+    schur_cg_iters=64 + max_iters=16 at the 1000-camera flagship scale
+    reproducibly killed the TPU worker ("kernel fault") while cg<=32
+    there and cg=64 at <=300 cameras are fine.  Until the boundary is
+    bisected on hardware (benchmarks/repro_schur_cg_crash.py), a large
+    PCG depth on a large reduced system gets a LOUD trace-time warning
+    on the TPU backend rather than a hard error (the config is valid on
+    other backends and at smaller scales)."""
+    if cg_it >= 48 and n_a * da >= 4000:
+        try:
+            import jax as _jax
+            on_tpu = _jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            import warnings
+            warnings.warn(
+                f"schur_cg_iters={cg_it} on a {n_a * da}-dim reduced "
+                "system: configs like this (cg=64, 6000 dims) have "
+                "crashed the axon TPU worker (r4, 'kernel fault'); "
+                "prefer cg<=32 at this scale, or bisect with "
+                "benchmarks/repro_schur_cg_crash.py",
+                stacklevel=3)
+
+
 def assemble_reduced(S_f, rhs_acc, Bd, g_a, use_cholesky=True,
                      refine: int = 0, cg_iters: int = 0,
                      band_group=None):
@@ -2117,6 +2143,7 @@ def schur_obs_system(pair_fn: Callable, a0, b0, obs, cam_idx, mask,
         refine = opts.hessian.schur_refine
         cg_it = opts.hessian.schur_cg_iters
         band = band_g if opts.hessian.schur_banded == "auto" else None
+        _warn_large_cg(cg_it, n_a, da)
         if opts.solver_type == SolverType.DOGLEG:
             from ..solvers.step import dogleg_core  # local: avoid cycle
 
@@ -2390,6 +2417,7 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
         refine = opts.hessian.schur_refine
         cg_it = opts.hessian.schur_cg_iters
         band = band_g if opts.hessian.schur_banded == "auto" else None
+        _warn_large_cg(cg_it, n_a, da)
         if opts.solver_type == SolverType.DOGLEG:
             from ..solvers.step import dogleg_core  # local: avoid cycle
 

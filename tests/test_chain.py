@@ -247,10 +247,13 @@ class TestChainOptimize:
 
 
 class TestSpdInvGJ:
-    """spd_inv_gj (r5): the unrolled Gauss-Jordan sweep inverse that
-    replaced XLA's batched small Cholesky inside the CR levels — exact
-    inverse on SPD inputs, NaN-poisoned exactly when Cholesky would
-    fail (some leading principal minor <= 0)."""
+    """spd_inv_gj (r5): the unrolled Gauss-Jordan sweep inverse —
+    exact inverse on SPD inputs, NaN-poisoned exactly when Cholesky
+    would fail (some leading principal minor <= 0).  It is the OPT-IN
+    (TINYOPT_CR_SWEEP_INV=1) CR level math, not the default: on the
+    ill-conditioned flagship reduced system the explicit inverse costs
+    ~half a digit per solve vs cho_solve and stalls the LM trajectory
+    (measured on TPU 2026-08-21; ops/tridiag._cr_use_cholesky)."""
 
     @pytest.mark.parametrize("d", [1, 3, 6, 42, 60])
     def test_inverse_both_paths(self, d):
@@ -274,12 +277,19 @@ class TestSpdInvGJ:
         assert np.all(np.isnan(out[1]))
         np.testing.assert_allclose(out[2], np.eye(4), atol=1e-12)
 
-    def test_cr_matches_scan_factorization(self):
-        """block_tridiag_cr_solve (sweep-inverse levels) == the
-        sequential scan factor+solve on the same SPD system."""
+    @pytest.mark.parametrize("level_math", ["cholesky", "sweep_inv"])
+    def test_cr_matches_scan_factorization(self, level_math,
+                                           monkeypatch):
+        """block_tridiag_cr_solve == the sequential scan factor+solve
+        on the same SPD system, under BOTH level maths (default
+        cho_solve and the TINYOPT_CR_SWEEP_INV=1 explicit inverse)."""
         from tinyopt_tpu.ops.tridiag import (block_tridiag_cr_solve,
                                              block_tridiag_factor,
                                              block_tridiag_solve)
+        if level_math == "sweep_inv":
+            monkeypatch.setenv("TINYOPT_CR_SWEEP_INV", "1")
+        else:
+            monkeypatch.delenv("TINYOPT_CR_SWEEP_INV", raising=False)
         rng = np.random.default_rng(0)
         N, d, k = 37, 5, 2
         D = rng.normal(size=(N, d, d))

@@ -312,13 +312,42 @@ def block_tridiag_cr_solve(D: jax.Array, B: jax.Array, b: jax.Array
     return x[..., 0] if squeeze else x
 
 
+def _cr_use_cholesky() -> bool:
+    """CR level math selector (trace-time).  DEFAULT: backward-stable
+    vmap(cholesky)+cho_solve.  TINYOPT_CR_SWEEP_INV=1 opts into the
+    explicit spd_inv_gj sweep inverse instead — measured on the
+    1000-cam flagship (2026-08-21, benchmarks/repro_flagship_conv.py):
+    the explicit inverse loses ~half a digit per solve on the
+    ill-conditioned reduced camera system and the LM trajectory stalls
+    at rmse 1.21e-3 where cho_solve reaches 9.03e-4 (criterion 1.2e-3)
+    at the same 12-iteration budget, with NO assemble-time win (25.9 vs
+    22.7 ms banded assemble+refine2) — per-level kernel-launch
+    overhead, not the factorization, is the CR floor, so the sweep
+    inverse buys nothing on the critical path.  (TINYOPT_CR_CHOLESKY=1
+    is accepted as a no-op for compatibility with the A/B harness.)"""
+    import os
+    return not os.environ.get("TINYOPT_CR_SWEEP_INV")
+
+
 def _cr_solve(D, B, b):
     N, d, _ = D.shape
+    use_chol = _cr_use_cholesky()
     if N == 1:
+        if use_chol:
+            L0 = jnp.linalg.cholesky(D[0])
+            return cho_solve((L0, True), b[0])[None]
         return (spd_inv_gj(D[:1])[0] @ b[0])[None]
     if N == 2:
         # base case (an even pad would recurse 2→3→2 forever): Schur-
         # eliminate block 1 into block 0
+        if use_chol:
+            L1 = jnp.linalg.cholesky(D[1])
+            Y = cho_solve((L1, True), B[0])       # D₁⁻¹ B₀
+            yb = cho_solve((L1, True), b[1])
+            L0 = jnp.linalg.cholesky(D[0] - B[0].T @ Y)
+            x0 = cho_solve((L0, True), b[0] - B[0].T @ yb)
+            x1 = yb - Y @ x0
+            return jnp.stack([x0, x1])
         i1 = spd_inv_gj(D[1:2])[0]
         Y = i1 @ B[0]                             # D₁⁻¹ B₀
         yb = i1 @ b[1]
@@ -337,13 +366,22 @@ def _cr_solve(D, B, b):
     Do, bo = D[1::2], b[1::2]                  # odd blocks (Mo = N//2)
     Bl = B[0::2]                               # B[2k]   = H[2k+1, 2k]
     Br = B[1::2]                               # B[2k+1] = H[2k+2, 2k+1]
-    # Explicit sweep inverses (spd_inv_gj) instead of batched
-    # Cholesky+cho_solve: the level's whole elimination becomes fused
-    # elementwise chains + three MXU einsums (VERDICT r4 #1).
-    Dinv = spd_inv_gj(Do)
-    Yl = jnp.einsum("kab,kbc->kac", Dinv, Bl)            # D⁻¹ Bl
-    Zr = jnp.einsum("kab,kcb->kac", Dinv, Br)            # D⁻¹ Brᵀ
-    Yb = jnp.einsum("kab,kbr->kar", Dinv, bo)            # D⁻¹ b_odd
+    if use_chol:
+        # r4 level math (A/B reference): backward-stable cho_solve per
+        # odd block instead of the explicit inverse.
+        Lo = jnp.linalg.cholesky(Do)
+        sol = jax.vmap(lambda L_, M_: cho_solve((L_, True), M_))
+        Yl = sol(Lo, Bl)                                 # D⁻¹ Bl
+        Zr = sol(Lo, jnp.swapaxes(Br, -1, -2))           # D⁻¹ Brᵀ
+        Yb = sol(Lo, bo)                                 # D⁻¹ b_odd
+    else:
+        # Explicit sweep inverses (spd_inv_gj) instead of batched
+        # Cholesky+cho_solve: the level's whole elimination becomes
+        # fused elementwise chains + three MXU einsums (VERDICT r4 #1).
+        Dinv = spd_inv_gj(Do)
+        Yl = jnp.einsum("kab,kbc->kac", Dinv, Bl)        # D⁻¹ Bl
+        Zr = jnp.einsum("kab,kcb->kac", Dinv, Br)        # D⁻¹ Brᵀ
+        Yb = jnp.einsum("kab,kbr->kar", Dinv, bo)        # D⁻¹ b_odd
     De = D[0::2]
     be = b[0::2]
     De = De.at[1:].add(-jnp.einsum("kab,kbc->kac", Br, Zr))

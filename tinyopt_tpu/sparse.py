@@ -90,6 +90,54 @@ def _solver_cache_put(key, solve, data_leaves):
         _SOLVE_CACHE[key] = (solve, tuple(data_leaves))
 
 
+#: Closed-over-constant budget above which the jitted solve hoists its
+#: captured arrays into runtime arguments.  Closure constants are
+#: EMBEDDED in the lowered module; at ceiling-scale sparse-obs BA the
+#: problem data + host-planned window/band tables reach hundreds of MB
+#: and the axon tunnel's remote-compile endpoint rejects the module
+#: outright ("HTTP 413: length limit exceeded", measured at 4000 cams ×
+#: 200k landmarks).  Hoisting keeps the module small (constants travel
+#: once as device buffers, not per-compile) at the cost of one extra
+#: host-side trace at build time.
+_CONST_HOIST_BYTES = 16 * 1024 * 1024
+
+
+def _jit_solve(solve, x0, data_leaves, extra_bytes: int = 0):
+    """``jax.jit(solve)``, hoisting closed-over array constants into
+    explicit runtime arguments when the captured data is large — see
+    ``_CONST_HOIST_BYTES``.  Manual closure conversion via
+    ``make_jaxpr`` + ``eval_jaxpr`` (NOT ``jax.closure_convert``, which
+    hoists only INEXACT-dtype constants — the heavy captures here are
+    the int32/int64 plan/gather tables).  Falls back to a plain jit if
+    conversion fails (e.g. effects the evaluator rejects)."""
+    est = extra_bytes + sum(
+        int(np.prod(jnp.shape(l))) * jnp.asarray(l).dtype.itemsize
+        for l in data_leaves)
+    if est < _CONST_HOIST_BYTES:
+        return jax.jit(solve)
+    try:
+        closed, out_shape = jax.make_jaxpr(solve, return_shape=True)(x0)
+        out_tree = jax.tree_util.tree_structure(out_shape)
+        consts = tuple(jnp.asarray(c) for c in closed.consts)
+        jaxpr = closed.jaxpr
+
+        def _eval(consts_, flat_x):
+            return jax.core.eval_jaxpr(jaxpr, consts_, *flat_x)
+
+        jitted = jax.jit(_eval)
+
+        def hoisted(x):
+            flat_x = jax.tree_util.tree_leaves(x)
+            outs = jitted(consts, flat_x)
+            return jax.tree_util.tree_unflatten(out_tree, outs)
+
+        # trace-time sanity: abstract shapes of x must match the jaxpr
+        jax.eval_shape(hoisted, x0)
+        return hoisted
+    except Exception:
+        return jax.jit(solve)
+
+
 # --------------------------------------------------------------------------
 # Block-diagonal path
 # --------------------------------------------------------------------------
@@ -631,7 +679,7 @@ def schur_sparse_optimize(x0: tuple, pair_fn: Callable, obs, cam_idx,
                                      propose=propose)
 
         if jit:
-            solve = jax.jit(solve)
+            solve = _jit_solve(solve, x0, data_leaves)
         _solver_cache_put(key, solve, data_leaves)
     return solve(x0)
 
@@ -684,7 +732,7 @@ def schur_sparse_optimize_buckets(x0: tuple, pair_fn: Callable, slabs,
                                      propose=propose)
 
         if jit:
-            solve = jax.jit(solve)
+            solve = _jit_solve(solve, x0, data_leaves)
         _solver_cache_put(key, solve, data_leaves)
     return solve(x0)
 

@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(n_cams=10_000, n_pts=500_000, k_obs=8, max_iters=13):
+def main(n_cams=10_000, n_pts=500_000, k_obs=8, max_iters=13,
+         cg: int = 0, damp_floor: float = 0.0):
     import jax
     import jax.numpy as jnp
     import tinyopt_tpu as to
@@ -69,10 +70,20 @@ def main(n_cams=10_000, n_pts=500_000, k_obs=8, max_iters=13):
           f"sort={'active' if perm is not None else 'natural'} "
           f"band_storage={'ACTIVE (no n_a^2 grid)' if bplan is not None else 'flat'}")
 
+    # Long corridors condition like O(n_cams²): at 4000+ cameras the
+    # f32 banded CR factor can hit a non-PD pivot once λ anneals small
+    # (stop=-3, measured).  Two conditioning escapes, both CLI-exposed:
+    # ``cg`` switches the reduced solve to block-Jacobi PCG (inexact
+    # steps, never factors), ``damp_floor`` raises the λ clamp so the
+    # reduced system stays away from its null space.
+    lm = to.LMOptions(damping_range=(damp_floor, 1e9)) if damp_floor \
+        else to.LMOptions()
     o = to.Options(max_iters=max_iters, max_consec_failures=0,
-                   min_error=0.0,
-                   hessian=to.HessianOptions(save_last=False,
-                                             schur_refine=2))
+                   min_error=0.0, lm=lm,
+                   hessian=to.HessianOptions(
+                       save_last=False,
+                       schur_refine=0 if cg else 2,
+                       schur_cg_iters=cg))
     if dtype == jnp.float32:
         o = o.for_dtype(dtype)
 
@@ -126,5 +137,8 @@ def main(n_cams=10_000, n_pts=500_000, k_obs=8, max_iters=13):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*args)
+    # n_cams n_pts k_obs [max_iters] [cg] [damp_floor]
+    argv = sys.argv[1:]
+    args = [int(a) for a in argv[:5]]
+    kw = {"damp_floor": float(argv[5])} if len(argv) > 5 else {}
+    main(*args, **kw)

@@ -414,6 +414,35 @@ class TestPlannedReduce:
                                    np.asarray(vals).sum(0))
         np.testing.assert_allclose(np.asarray(out)[1:], 0.0)
 
+    def test_merge_cascade_staging_bounded(self):
+        """The r5 ceiling regression: a thin tail of 1-row segments
+        plus one huge pad segment made the min_class merge CASCADE —
+        thousands of tiny segments inherited the outlier's cap (50k
+        rows staged to 78M slots = a 40 GB gather at the 4000-camera
+        ceiling).  bucket_caps merges are now budgeted: total padded
+        slots must stay <= max_blowup x the unmerged total, and the
+        planned reduce stays exact."""
+        from tinyopt_tpu.ops.schur_obs import (bucket_caps,
+                                               make_planned_segment_reduce)
+        # ~32k singleton segments + one 18k-row outlier (the fin_band
+        # shape of the 4000-cam ceiling, scaled down 4x)
+        n_seg, outlier = 8000, 4500
+        ids = np.concatenate([np.arange(1, n_seg + 1),
+                              np.zeros(outlier, np.int64)])
+        counts = np.bincount(ids)
+        cap_of, used = bucket_caps(counts[counts > 0], growth=1.35,
+                                   min_bucket=8)
+        staged = int(sum(int((cap_of == c).sum()) * int(c)
+                         for c in used))
+        assert staged <= 2 * ids.size + 8 * n_seg, staged
+        # exactness unchanged
+        vals = np.random.default_rng(0).normal(size=(ids.size, 3))
+        ref = np.zeros((n_seg + 1, 3))
+        np.add.at(ref, ids, vals)
+        out = np.asarray(make_planned_segment_reduce(ids, n_seg + 1)(
+            jnp.asarray(vals)))
+        assert np.abs(out - ref).max() < 1e-10
+
 
 class TestShardedBuckets:
     """Landmark-sharded K-bucketed BA (parallel/schur_obs.py r4): the

@@ -2438,7 +2438,8 @@ def schur_obs_bucket_system(pair_fn: Callable, a0, b0, slabs,
     return accumulate, evaluate, n_res, propose
 
 
-def bucket_caps(counts, growth: float = 2.0, min_bucket: int = 256):
+def bucket_caps(counts, growth: float = 2.0, min_bucket: int = 256,
+                max_blowup: float = 2.0):
     """Assign each landmark a K-bucket cap from its observation count.
 
     Caps grow geometrically by ``growth`` from the smallest count to the
@@ -2446,11 +2447,20 @@ def bucket_caps(counts, growth: float = 2.0, min_bucket: int = 256):
     into the next larger cap (fewer compiled kernels), the final largest
     bucket absorbing a trailing small one downward instead.  Returns
     ``(cap_of (n_b,) int, used_caps list)`` — host-side numpy.
+
+    Merging is STAGING-BOUNDED (r5): on thin-tail + huge-outlier count
+    distributions (e.g. the window finishing reduce, where every pad
+    lane lands in segment 0) the unconditional small-class merge used
+    to CASCADE — thousands of 1-row segments inherited the outlier's
+    multi-thousand cap, staging 50k rows into 78M padded slots (a 40 GB
+    gather that killed the 4000-camera ceiling compile).  Each merge
+    now spends from a budget of ``(max_blowup − 1) × Σ unmerged caps``;
+    merges that would exceed it keep their own class (an extra gather
+    kernel, which is cheap — the padding was the hazard).
     """
     import numpy as np
 
     counts = np.asarray(counts)
-    n_b = counts.shape[0]
     caps = []
     c = max(int(counts.min()), 1)
     kmax = max(int(counts.max()), 1)
@@ -2460,16 +2470,26 @@ def bucket_caps(counts, growth: float = 2.0, min_bucket: int = 256):
     caps.append(kmax)
     cap_of, _ = _assign_caps(counts, caps)
     used = [c0 for c0 in caps if np.any(cap_of == c0)]
+    budget = int((max_blowup - 1.0) * int(cap_of.sum()))
     for i, c0 in enumerate(used[:-1]):
-        if (cap_of == c0).sum() < min_bucket:
-            cap_of[cap_of == c0] = used[i + 1]
+        sel = cap_of == c0
+        n_sel = int(sel.sum())
+        if 0 < n_sel < min_bucket:
+            cost = (used[i + 1] - c0) * n_sel
+            if cost <= budget:
+                budget -= cost
+                cap_of[sel] = used[i + 1]
     used = [c0 for c0 in caps if np.any(cap_of == c0)]
     # a small LARGEST bucket cannot merge upward; pull the next class up
     # into it instead (a merge DOWN would truncate members whose count
     # exceeds the smaller cap — data loss, not just padding)
     if len(used) > 1 and (cap_of == used[-1]).sum() < min_bucket:
-        cap_of[cap_of == used[-2]] = used[-1]
-        used = used[:-2] + used[-1:]
+        n2 = int((cap_of == used[-2]).sum())
+        cost = (used[-1] - used[-2]) * n2
+        if cost <= budget:
+            budget -= cost
+            cap_of[cap_of == used[-2]] = used[-1]
+            used = used[:-2] + used[-1:]
     return cap_of, used
 
 
